@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` registers every implemented operator from SURVEY.md §2 plus
+the training-data-pipeline extensions; ``oracle_sql()`` provides the DuckDB
+twin for each (see ``xboard_spark/oracles.py`` — generated from the same
+constants as the Spark operators, so they cannot drift).
 """
 
 from __future__ import annotations
@@ -13,26 +12,94 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from xboard_spark.io import read_table
+from xboard_spark.ingest import orders_upsert_demo
+from xboard_spark.operators import analytics, dedup, events, similarity, text, tpch
+from xboard_spark.oracles import all_oracles
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the Q1-shaped pricing
+    summary — scan + partial/final hash aggregate, the canonical 100 TB
+    workload shape."""
+    sf = "/root/testdata/sf0.001"
+    return tpch.pricing_summary(_t(spark, sf, "lineitem"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- XBoard reference surface (SURVEY.md §2, routes/analytics.js) ---
+        "overview": lambda s, d: analytics.overview(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
+        "orders_by_date": lambda s, d: analytics.orders_by_date(_t(s, d, "orders")),
+        "orders_by_date_range": lambda s, d: analytics.orders_by_date(
+            _t(s, d, "orders"), "1996-01-01", "1996-12-31"
+        ),
+        "top_customers": lambda s, d: analytics.top_customers(
+            _t(s, d, "orders"), _t(s, d, "customer")
+        ),
+        "recent_orders": lambda s, d: analytics.recent_orders(_t(s, d, "orders")),
+        "customer_lookup": lambda s, d: analytics.customer_lookup(
+            _t(s, d, "customer"), _t(s, d, "nation"), _t(s, d, "region"), 42
+        ),
+        "upsert_merge": lambda s, d: orders_upsert_demo(_t(s, d, "orders")),
+        # --- analytic depth (multi-way joins, semi-join, top-k) ---
+        "pricing_summary": lambda s, d: tpch.pricing_summary(_t(s, d, "lineitem")),
+        "revenue_by_nation": lambda s, d: tpch.revenue_by_nation(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "supplier"),
+            _t(s, d, "nation"),
+            _t(s, d, "region"),
+        ),
+        "top_parts_by_revenue": lambda s, d: tpch.top_parts_by_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        "segment_top_orders": lambda s, d: tpch.segment_top_orders(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "order_priority_counts": lambda s, d: tpch.order_priority_counts(
+            _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        # --- streaming-shaped batch analogs (SURVEY.md §2.7) ---
+        "events_dedup": lambda s, d: events.events_dedup_summary(_t(s, d, "events")),
+        "events_daily": lambda s, d: events.events_daily(_t(s, d, "events")),
+        "session_stats": lambda s, d: events.session_stats(_t(s, d, "events")),
+        "events_json": lambda s, d: events.events_json_props(_t(s, d, "events")),
+        "user_rollup": lambda s, d: events.user_rollup(_t(s, d, "events")),
+        # --- text analysis / training-data pipeline ---
+        "doc_stats": lambda s, d: text.doc_stats(_t(s, d, "documents")),
+        "quality_scores": lambda s, d: text.quality_scores(_t(s, d, "documents")),
+        "language_id": lambda s, d: text.language_id(_t(s, d, "documents")),
+        "doc_fingerprints": lambda s, d: text.doc_fingerprints(
+            _t(s, d, "documents")
+        ),
+        # --- dedup family ---
+        "dedup_exact": lambda s, d: dedup.exact_dedup_groups(_t(s, d, "documents")),
+        "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
+            _t(s, d, "documents")
+        ),
+        "minhash_dedup": lambda s, d: dedup.minhash_dedup_pairs(
+            _t(s, d, "documents")
+        ),
+        "simhash": lambda s, d: dedup.simhash_fingerprints(_t(s, d, "documents")),
+        # --- similarity search ---
+        "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(
+            _t(s, d, "embeddings")
+        ),
+        "knn_lsh": lambda s, d: similarity.knn_lsh(_t(s, d, "embeddings")),
+        "embedding_stats": lambda s, d: similarity.embedding_stats(
+            _t(s, d, "embeddings")
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    oracles = all_oracles()
+    return {name: oracles[name] for name in queries() if name in oracles}

@@ -1,0 +1,110 @@
+"""Local stand-in for the driver's t2 correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB over
+the same parquet dir, compare row count, column names, and an
+order-insensitive value comparison (sorted rows of stringified values,
+floats normalized).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from xboard_spark.io import TESTDATA_TABLES
+from xboard_spark.session import get_spark
+
+
+def _norm_cell(v):
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    spark = get_spark("oracle-check")
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle ({len(srows)} rows, rows-only)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        dt = time.time() - t0
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: cols spark={sorted(scols)} duck={sorted(dcols)}")
+            failures.append(name)
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            failures.append(name)
+            continue
+        sn = _normalize(srows, scols)
+        dn = _normalize(drows, dcols)
+        if sn != dn:
+            diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+            print(f"FAIL {name}: value mismatch ({len(srows)} rows); first diffs:")
+            for a, b in diffs:
+                print(f"   spark={a}\n   duck ={b}")
+            failures.append(name)
+            continue
+        print(f"PASS {name} ({len(srows)} rows, {dt:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,23 @@
+"""xboard_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of PranavSaluja/XBoard (multi-tenant Shopify
+ingestion + analytics), re-expressed Spark-first, plus the large-scale
+training-data-pipeline operators (dedup, similarity search, text analysis,
+multimodal plumbing) the 100 TB deployment target needs.
+
+Layout
+------
+- ``session``    SparkSession factory (UTC, AQE, tuned shuffle defaults)
+- ``io``         parquet/JSON readers + temp-view registration
+- ``schemas``    StructTypes for the XBoard domain tables and testdata tables
+- ``operators``  batch query operators (analytics, tpch, events, text, dedup,
+                 similarity, multimodal)
+- ``functions``  reusable column expressions (portable hashing, vectors, text)
+- ``streaming``  Structured Streaming: webhook intake, dedup, windowed aggs
+- ``ingest``     Shopify-shaped JSON -> typed tables -> merge-by-window upsert
+- ``plans``      plan inspection + tenant-filter lint
+
+All query semantics derive from the public reference (see SURVEY.md §2,
+citations in each operator's docstring) and the public PySpark API.
+"""
+
+__version__ = "0.1.0"

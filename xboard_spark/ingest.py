@@ -1,0 +1,183 @@
+"""Batch ETL: Shopify-shaped JSON -> typed silver tables, and the
+merge-by-window upsert that replaces the reference's per-row
+``INSERT ... ON CONFLICT DO UPDATE`` loops (S7/S8,
+``services/dataIngestion.js:31-44`` and ``:50-64``).
+
+The reference does one synchronous SQL round-trip per row (N+1); here a
+whole batch merges in ONE shuffle: union(old, new) -> row_number over the
+merge key ordered by batch priority -> keep rank 1. Idempotent (re-merging
+the same batch is a no-op) and scales as a single hash partitioning on the
+merge key — the Delta-free MERGE (SURVEY.md §7 hard part 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Shopify Admin REST payload shapes, per the fields the reference consumes
+# (customers: dataIngestion.js:38-42; orders: :56-62; products table
+# migrations/init.sql:66-78).
+CUSTOMER_PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("email", T.StringType()),
+        T.StructField("first_name", T.StringType()),
+        T.StructField("last_name", T.StringType()),
+        T.StructField("created_at", T.StringType()),
+    ]
+)
+ORDER_PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("total_price", T.StringType()),  # Shopify money-as-string
+        T.StructField("currency", T.StringType()),
+        T.StructField("created_at", T.StringType()),
+        T.StructField(
+            "customer", T.StructType([T.StructField("id", T.LongType())])
+        ),
+    ]
+)
+PRODUCT_PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("body_html", T.StringType()),
+        T.StructField("vendor", T.StringType()),
+        T.StructField("product_type", T.StringType()),
+        T.StructField("handle", T.StringType()),
+    ]
+)
+
+
+def normalize_customers(raw: DataFrame, tenant_id: int) -> DataFrame:
+    """Typed projection of Shopify customers (F5 name build, F8 raw keep).
+
+    ``concat_ws`` skips nulls where the reference's JS template literal
+    stringifies missing names as "undefined" (``dataIngestion.js:41``) —
+    corrected semantics, divergence documented in SURVEY.md §2.6 F5.
+    """
+    return raw.select(
+        F.lit(tenant_id).cast("long").alias("tenant_id"),
+        F.col("id").alias("shopify_customer_id"),
+        F.col("email"),
+        F.trim(F.concat_ws(" ", F.col("first_name"), F.col("last_name"))).alias(
+            "name"
+        ),
+        F.to_json(F.struct("*")).alias("raw"),
+        F.to_timestamp("created_at").alias("created_at"),
+    )
+
+
+def normalize_orders(raw: DataFrame, tenant_id: int) -> DataFrame:
+    """Typed projection of Shopify orders (F6 parseFloat -> decimal cast,
+    F7 timestamp parse, F8 raw keep; ``dataIngestion.js:56-62``)."""
+    return raw.select(
+        F.lit(tenant_id).cast("long").alias("tenant_id"),
+        F.col("id").alias("shopify_order_id"),
+        F.col("total_price").cast(T.DecimalType(18, 2)).alias("total_price"),
+        F.col("currency"),
+        F.to_timestamp("created_at").alias("created_at"),
+        F.col("customer.id").alias("customer_shopify_id"),
+        F.to_json(F.struct("*")).alias("raw"),
+        F.current_timestamp().alias("created_recorded_at"),
+    )
+
+
+def normalize_products(raw: DataFrame, tenant_id: int) -> DataFrame:
+    """Typed projection of Shopify products — implemented for real where the
+    reference stubs it (S11, ``dataIngestion.js:67-72``)."""
+    return raw.select(
+        F.lit(tenant_id).cast("long").alias("tenant_id"),
+        F.col("id").alias("shopify_product_id"),
+        "title",
+        "body_html",
+        "vendor",
+        "product_type",
+        "handle",
+        F.to_json(F.struct("*")).alias("raw"),
+    )
+
+
+def merge_upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str = "_batch_priority",
+) -> DataFrame:
+    """Merge-by-window upsert: updates win over current on key conflict;
+    non-conflicting rows of both sides survive.
+
+    ON CONFLICT (keys) DO UPDATE semantics (``init.sql:43,59`` UNIQUE
+    constraints) in one distributed pass: a union (no shuffle) + one
+    hash-partition on the merge key. If ``updates`` itself contains
+    duplicate keys, the highest ``order_col`` wins (the reference's loop
+    would apply them in order — last write wins; callers pass a batch
+    sequence number to reproduce that).
+    """
+    cur = current
+    upd = updates
+    if order_col not in current.columns:
+        cur = cur.withColumn(order_col, F.lit(0).cast("long"))
+    if order_col not in updates.columns:
+        upd = upd.withColumn(order_col, F.lit(1).cast("long"))
+    unioned = cur.select(upd.columns).unionByName(upd)
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", order_col)
+    )
+
+
+def ingest_entity_json(
+    spark: SparkSession, path: str, schema: T.StructType, envelope_field: str
+) -> DataFrame:
+    """Read a captured Shopify REST payload file ({customers: [...]} etc.,
+    S2-S4 ``services/shopifyApi.js:35-45``) into one row per entity."""
+    env = T.StructType([T.StructField(envelope_field, T.ArrayType(schema))])
+    raw = spark.read.schema(env).json(path)
+    return raw.select(F.explode(F.col(envelope_field)).alias("e")).select("e.*")
+
+
+def ingest_tenant_data(
+    spark: SparkSession,
+    tenant_id: int,
+    customers_path: str | None = None,
+    orders_path: str | None = None,
+    products_path: str | None = None,
+) -> dict[str, DataFrame]:
+    """S12 orchestrator (``dataIngestion.js:8-26``): per-tenant
+    customers -> orders -> products normalization. Returns the typed frames;
+    callers merge them into their silver tables with ``merge_upsert``."""
+    out: dict[str, DataFrame] = {}
+    if customers_path:
+        raw = ingest_entity_json(spark, customers_path, CUSTOMER_PAYLOAD, "customers")
+        out["customers"] = normalize_customers(raw, tenant_id)
+    if orders_path:
+        raw = ingest_entity_json(spark, orders_path, ORDER_PAYLOAD, "orders")
+        out["orders"] = normalize_orders(raw, tenant_id)
+    if products_path:
+        raw = ingest_entity_json(spark, products_path, PRODUCT_PAYLOAD, "products")
+        out["products"] = normalize_products(raw, tenant_id)
+    return out
+
+
+def orders_upsert_demo(orders: DataFrame) -> DataFrame:
+    """Oracle-checkable demonstration of merge semantics on the testdata
+    ``orders`` table: a synthetic update batch (every 100th order gets a 10%
+    price bump and status 'U') merged over the base, then summarized per
+    status so the result is small and stable."""
+    updates = orders.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+    ).withColumn("o_orderstatus", F.lit("U"))
+    merged = merge_upsert(orders, updates, keys=["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

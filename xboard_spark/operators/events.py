@@ -1,0 +1,164 @@
+"""Batch analogs of the reference's streaming-shaped capabilities
+(SURVEY.md §2.7) over the ``events`` table, plus sessionization — the
+operators the webhook/event pipeline needs at scale. The true streaming
+versions (watermark + dropDuplicates + foreachBatch) live in
+``xboard_spark.streaming``; these batch forms share semantics and are what
+the DuckDB oracle can check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from xboard_spark.functions.portable_hash import fingerprint64
+
+
+def delivery_hash_col() -> F.Column:
+    """The ST2 dedup key (``init.sql:25`` delivery_hash UNIQUE), derived
+    deterministically from event identity. unix_micros keeps the timestamp
+    exact and avoids engine-specific string formatting."""
+    return fingerprint64(
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            F.unix_micros(F.col("ts")).cast("string"),
+            F.col("event_type"),
+        )
+    )
+
+
+def events_dedup_summary(events: DataFrame) -> DataFrame:
+    """ST2 exactly-once dedup, batch form: keep one row per delivery hash
+    (first by event_id — deterministic, unlike arbitrary ``dropDuplicates``),
+    then summarize per event type.
+
+    The window partitions by the hash, so the shuffle key is the dedup key —
+    exactly the partitioning a 100 TB dedup wants (no global sort, state
+    bounded per key). The streaming twin with a watermark is
+    ``streaming.webhook.deduped_stream``.
+    """
+    w = Window.partitionBy("delivery_hash").orderBy("event_id")
+    deduped = (
+        events.withColumn("delivery_hash", delivery_hash_col())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_daily(events: DataFrame) -> DataFrame:
+    """A2's streaming analog as a batch tumbling window: daily counts and
+    value sums per event type (groupBy(window(...)) in the streaming twin,
+    ``streaming.windows.daily_counts``)."""
+    return (
+        events.groupBy(
+            F.to_date("ts").alias("event_date"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(F.desc("event_date"), F.asc("event_type"))
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: per-user sessions split on inactivity gaps — the
+    classic gaps-and-islands, all window functions, no UDF, no state in the
+    driver. Shuffles once on user_id; every window below reuses that
+    partitioning (single Exchange in the plan).
+
+    Streaming twin: ``session_window`` / ``applyInPandasWithState`` in
+    ``xboard_spark.streaming.windows``.
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = gap_minutes * 60
+    prev_ts = F.lag("ts").over(by_user)
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(
+            prev_ts.isNull()
+            | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > gap_sec * 1_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    with_id = with_flag.withColumn(
+        "session_seq", F.sum("new_session").over(by_user)
+    )
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .withColumn(
+            "duration_sec",
+            ((F.unix_micros("session_end") - F.unix_micros("session_start")) / 1e6),
+        )
+        .withColumn("duration_sec", F.round("duration_sec", 3))
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Aggregate view of sessionization (small, stable output for the
+    correctness gate): per-user session count + event totals."""
+    return (
+        sessionize(events, gap_minutes)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.avg("duration_sec"), 3).alias("avg_session_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def events_json_props(events: DataFrame) -> DataFrame:
+    """JSONB-analog extraction (the reference keeps full raw JSON per row,
+    ``init.sql:26,41`` — F8/S6 surface): pull a typed field out of the
+    ``props`` JSON column and aggregate on it. ``get_json_object`` is a
+    JVM-side expression — no Python in the loop."""
+    return (
+        events.withColumn(
+            "k", F.get_json_object(F.col("props"), "$.k").cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct("k").alias("distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def user_rollup(events: DataFrame) -> DataFrame:
+    """Per-user activity rollup with exact and approximate distinct — the
+    approx_count_distinct (HyperLogLog++) path is the one that survives
+    100 TB; the exact path is the oracle-checkable twin."""
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+        .orderBy("user_id")
+    )

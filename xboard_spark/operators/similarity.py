@@ -1,0 +1,151 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``,
+64-dim): brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+variant as the scale path.
+
+Scale design:
+- Brute force: the query set is small and broadcast; each executor scans its
+  slice of the corpus once and keeps a per-query top-k heap (window +
+  row_number over rank — Catalyst turns the filter into a partial top-k).
+  Cost O(|corpus| * |queries|), embarrassingly parallel, no corpus shuffle.
+- LSH (random hyperplanes, Charikar 2002): 8 deterministic hyperplanes give a
+  256-bucket partition of the corpus; queries only meet candidates in their
+  own bucket — the 100 TB path where scanning the full corpus per query is
+  off the table. Hyperplane weights come from a hash, not an RNG, so the
+  oracle reproduces them exactly.
+
+All vector math is array expressions (zip_with/aggregate) — JVM-side, no
+Python, vectorizable; embeddings are cast float->double before any
+arithmetic so Spark and the DuckDB oracle accumulate identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+DIM = 64
+
+
+def plane_weight(p: int, d: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1) for hyperplane p, dim d
+    (integer-hash based — reproducible in plain SQL)."""
+    h = ((p * 131 + d) * 2654435761 + 12345) % 2001
+    return (h - 1000) / 1000.0
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: first ``n_queries`` vectors (by vec_id) against
+    the whole corpus. Returns (q_id, rank, vec_id, cosine)."""
+    corpus = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("v_norm", _norm(F.col("v")))
+    queries = (
+        corpus.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("q"),
+            F.col("v_norm").alias("q_norm"),
+        )
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = scored.withColumn(
+        "cosine", _dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+def _bucket(v: Column, n_planes: int = N_PLANES, dim: int = DIM) -> Column:
+    """LSH bucket id: bit p = sign of dot(v, plane_p)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(plane_weight(p, d)) for d in range(dim)])
+        dp = _dot(v, plane)
+        bucket = bucket + F.when(dp >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the query's LSH
+    bucket. Same output shape as ``knn_bruteforce``; recall < 1 by design.
+    At scale the corpus is written bucketed/partitioned by ``bucket`` so a
+    query touches one partition (the IVF idea with hash cells)."""
+    corpus = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    corpus = corpus.withColumn("v_norm", _norm(F.col("v"))).withColumn(
+        "bucket", _bucket(F.col("v"), n_planes)
+    )
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q"),
+        F.col("v_norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("bucket") == F.col("q_bucket")
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    scored = scored.withColumn(
+        "cosine", _dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+def embedding_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-label corpus stats: count + mean vector norm — sanity surface for
+    the embedding column plumbing."""
+    v = _as_double(F.col("embedding"))
+    return (
+        embeddings.select("label", _norm(v).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,126 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (language ID, quality scoring, token
+counting, fingerprinting). All built-in expressions (regexp_* run JVM-side
+inside whole-stage codegen); regex syntax is restricted to the subset that
+behaves identically in Java regex (Spark) and RE2 (DuckDB) so every operator
+is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xboard_spark.functions.portable_hash import fingerprint64
+
+TOKEN_RE = "[a-z0-9]+"
+
+# Tiny per-language stopword signatures for the n-gram/stopword heuristic
+# language ID. Word-boundary matching via explicit alternation (identical in
+# Java regex and RE2).
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "und", "das", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "la", "que", "de", "los", "es"],
+}
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace/alnum token count: size of all alnum runs (BPE-ish regex
+    tokenization is the same expression with a richer pattern)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0))
+
+
+def doc_stats(documents: DataFrame) -> DataFrame:
+    """Per (lang, source) corpus stats: doc counts, char/token moments.
+    One scan + one partial/final hash agg — the 100 TB shape is identical."""
+    toks = token_count_col(F.col("text"))
+    return (
+        documents.withColumn("n_tokens", toks)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Per-document quality features: length, token count, alpha ratio,
+    punctuation ratio, stopword ratio, mean token length — the standard
+    pre-training quality-filter signals (C4/Gopher-style rules), all as
+    single-pass JVM expressions."""
+    text = F.col("text")
+    lower = F.lower(text)
+    n_chars = F.length(text)
+    tokens = F.regexp_extract_all(lower, F.lit(TOKEN_RE), 0)
+    n_tokens = F.size(tokens)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
+    en_stop = LANG_STOPWORDS["en"]
+    n_stop = F.size(F.filter(tokens, lambda t: t.isin(en_stop)))
+    return documents.select(
+        "doc_id",
+        "lang",
+        n_chars.cast("long").alias("n_chars_m"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace(text, " ", "")))
+            / F.greatest(n_tokens, F.lit(1)),
+            6,
+        ).alias("spaces_per_token"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword-token hits
+    (n-gram-heuristic family). Deterministic tie-break by language code.
+    Returns predicted language + agreement with the labeled ``lang`` column
+    aggregated per true lang.
+    """
+    lower = F.lower(F.col("text"))
+    tokens = F.regexp_extract_all(lower, F.lit(TOKEN_RE), 0)
+
+    def stop_filter(words: list[str]):
+        return lambda t: t.isin(words)
+
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.filter(tokens, stop_filter(words))).alias(f"hits_{lg}")
+            for lg, words in LANG_STOPWORDS.items()
+        ],
+    )
+    # argmax via greatest + chained when (deterministic order: en,de,fr,es)
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("unknown")
+    for lg in reversed(langs):
+        pred = F.when(
+            (F.col(f"hits_{lg}") == best) & (best > 0), F.lit(lg)
+        ).otherwise(pred)
+    pred_df = scored.withColumn("pred_lang", pred)
+    return (
+        pred_df.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def doc_fingerprints(documents: DataFrame) -> DataFrame:
+    """Document fingerprinting: portable 60-bit content hash over normalized
+    text (collapse whitespace, lowercase). The exact-dedup key; also the
+    rolling-hash seed for shingles in ``dedup.py``."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
+    return documents.select(
+        "doc_id", fingerprint64(norm).alias("fingerprint"), "lang", "source"
+    )

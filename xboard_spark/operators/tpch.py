@@ -1,0 +1,165 @@
+"""Analytic depth beyond the reference's five endpoints: TPC-H-shaped
+queries over the driver testdata star schema. These generalize the
+reference's aggregate/join/top-k shapes (SURVEY.md §2.3-2.5) to multi-way
+joins and wide aggregations — the workloads that actually stress shuffle
+planning at 100 TB.
+
+Scale design:
+- Dimension joins (region, nation, supplier) are broadcast — zero shuffle.
+- Fact-fact joins (orders⋈lineitem, customer⋈orders) shuffle on the join
+  key; AQE coalesces post-shuffle partitions and splits skew.
+- Aggregations are partial+final hash agg (map-side combine) — the shuffle
+  carries one row per (partition, group), not per input row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation over lineitem.
+
+    The whole query is one parquet scan + one partial/final hash aggregate on
+    a 6-ish-group key — the canonical 100 TB scan benchmark. The date filter
+    reaches the scan (row-group min/max skipping).
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    start_date: str = "1996-01-01",
+    end_date: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join + grouped revenue, local-supplier variant
+    (customer and supplier in the same nation).
+
+    Join order matters at scale: filter orders by date FIRST (pushdown), join
+    the two facts on their natural keys (shuffle), then broadcast the
+    dimension chain (supplier/nation/region are small at any realistic
+    scale-out; supplier broadcast is borderline at 100 TB — AQE demotes to
+    shuffle join automatically if it exceeds the threshold).
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(start_date).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end_date).cast("timestamp"))
+    )
+    r = region.filter(F.col("r_name") == region_name)
+    nr = nation.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("nation_name"))
+    )
+
+
+def top_parts_by_revenue(lineitem: DataFrame, part: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k parts by discounted revenue: fact⋈dimension + grouped top-k.
+
+    Aggregates on l_partkey BEFORE joining part — the join input shrinks from
+    |lineitem| rows to |distinct partkey| rows, and the part dimension joins
+    broadcast-side. Never join-then-aggregate when aggregate-then-join is
+    semantics-preserving.
+    """
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.sum("l_quantity").alias("total_qty"),
+    )
+    return (
+        per_part.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "revenue",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(k)
+    )
+
+
+def segment_top_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    order_cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue top-k within a market segment.
+
+    Customer is filtered to one segment before the join (selective predicate
+    first), lineitem revenue aggregates per order, top-k via
+    TakeOrderedAndProject.
+    """
+    c = customer.filter(F.col("c_mktsegment") == segment)
+    o = orders.filter(F.col("o_orderdate") < F.lit(order_cutoff).cast("timestamp"))
+    rev = (
+        lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(k)
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders having at least one late
+    lineitem, counted per priority. Uses a true left-semi join (no fan-out,
+    no distinct needed), a join kind the reference lacks entirely
+    (SURVEY.md §2.9) but any warehouse workload needs.
+    """
+    # "late" in this schema: shipped more than 30 days after the order date.
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    joined = orders.join(
+        late,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30)),
+        "left_semi",
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

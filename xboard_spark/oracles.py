@@ -1,0 +1,453 @@
+"""DuckDB oracle SQL for every operator registered in ``__spark_entry__``.
+
+Each SQL string is the ANSI-SQL twin of one Spark operator, over the same
+parquet tables (pre-registered views: region nation customer supplier part
+orders lineitem events documents embeddings). Aliases, rounding, and
+tie-breaks match the Spark side exactly — the driver hash-compares values
+after sorting columns by name, so both sides pin deterministic semantics.
+
+The MinHash / LSH / SimHash / kNN oracles are *generated* from the same
+constants the Spark operators import (permutation params, band layout,
+hyperplane weights) so the two sides can never drift.
+"""
+
+from __future__ import annotations
+
+from xboard_spark.functions.portable_hash import MINHASH_P, _X_MASK, minhash_params
+from xboard_spark.operators.dedup import N_BANDS, N_PERMS
+from xboard_spark.operators.similarity import DIM, N_PLANES, plane_weight
+from xboard_spark.operators.text import LANG_STOPWORDS
+
+# ---------------------------------------------------------------- helpers
+
+TOKEN_RE_SQL = "[a-z0-9]+"
+
+
+def _fp(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+_NORM_TEXT = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+
+def _docs_cte(n: int = 3, with_norm: bool = True) -> str:
+    """Shared CTE: per-doc distinct shingle fingerprints (word n-grams)."""
+    shingle = " || ' ' || ".join(f"words[i+{j}]" for j in range(n))
+    return f"""
+docs AS (
+  SELECT doc_id, list_distinct(list_transform(shingles, s -> {_fp('s')})) AS fps
+  FROM (
+    SELECT doc_id,
+      CASE WHEN len(words) >= {n}
+        THEN list_transform(generate_series(1, len(words) - {n - 1}), i -> {shingle})
+        ELSE [] END AS shingles
+    FROM (SELECT doc_id, regexp_extract_all({_NORM_TEXT}, '{TOKEN_RE_SQL}') AS words
+          FROM documents)
+  ) WHERE len(shingles) > 0
+)"""
+
+
+def _pair_jaccard_sql(cand_cte: str, tau: float, max_df: int) -> str:
+    """Candidate pairs -> exact jaccard -> threshold (mirrors
+    operators.dedup._pair_jaccard)."""
+    return f"""
+sizes AS (SELECT doc_id, len(fps) AS n_sh FROM docs),
+pairs AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(da.fps, db.fps))::BIGINT AS shared,
+         len(da.fps)::BIGINT AS n_a, len(db.fps)::BIGINT AS n_b
+  FROM {cand_cte} c
+  JOIN docs da ON da.doc_id = c.doc_a
+  JOIN docs db ON db.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, shared, n_a, n_b,
+       round(shared / (n_a + n_b - shared), 6) AS jaccard
+FROM pairs
+WHERE round(shared / (n_a + n_b - shared), 6) >= {tau}
+ORDER BY doc_a, doc_b"""
+
+
+def ngram_jaccard_sql(n: int = 3, tau: float = 0.5, max_df: int = 100) -> str:
+    return f"""
+WITH {_docs_cte(n)},
+inv AS (SELECT doc_id, unnest(fps) AS shfp FROM docs),
+df_ok AS (SELECT shfp FROM inv GROUP BY shfp HAVING count(*) <= {max_df}),
+inv2 AS (SELECT inv.doc_id, inv.shfp FROM inv JOIN df_ok USING (shfp)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM inv2 a JOIN inv2 b USING (shfp)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+{_pair_jaccard_sql('cand', tau, max_df)}"""
+
+
+def minhash_sql(
+    n: int = 3,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    tau: float = 0.5,
+    max_df: int = 100,
+) -> str:
+    params = minhash_params(n_perms)
+    rows_per_band = n_perms // n_bands
+    sig_exprs = ",\n  ".join(
+        f"list_min(list_transform(fps, x -> ((x & {_X_MASK}) * {a} + {b}) % {MINHASH_P})) AS sig_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = []
+    for bi in range(n_bands):
+        parts = ", ".join(
+            f"sig_{bi * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        band_hash = _fp(f"concat_ws(',', {parts})")
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band, {band_hash} AS bh FROM sigs"
+        )
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_docs_cte(n)},
+sigs AS (SELECT doc_id, {sig_exprs} FROM docs),
+bands AS ({bands_union}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+{_pair_jaccard_sql('cand', tau, max_df)}"""
+
+
+def simhash_sql(bits: int = 16) -> str:
+    vote = (
+        "list_sum(list_transform(fps, x -> CASE WHEN (x >> {b}) & 1 = 1 "
+        "THEN 1 ELSE -1 END))"
+    )
+    terms = " + ".join(
+        f"(CASE WHEN {vote.format(b=b)} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all({_NORM_TEXT}, '{TOKEN_RE_SQL}'),
+                        t -> {_fp('t')}) AS fps
+  FROM documents
+)
+SELECT doc_id, ({terms})::BIGINT AS simhash FROM toks ORDER BY doc_id"""
+
+
+def _plane_sql_array(p: int, dim: int = DIM) -> str:
+    vals = ", ".join(repr(plane_weight(p, d)) for d in range(dim))
+    return f"[{vals}]::DOUBLE[]"
+
+
+def knn_sql(n_queries: int = 5, k: int = 5) -> str:
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS v_norm FROM corpus
+),
+queries AS (
+  SELECT vec_id AS q_id, v AS q, v_norm AS q_norm FROM norms
+  WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT q_id, vec_id,
+         list_dot_product(n.v, queries.q) / (n.v_norm * queries.q_norm) AS cosine
+  FROM norms n CROSS JOIN queries WHERE vec_id <> q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, rank::BIGINT AS rank, vec_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {k} ORDER BY q_id, rank"""
+
+
+def knn_lsh_sql(n_queries: int = 5, k: int = 5, n_planes: int = N_PLANES) -> str:
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql_array(p)}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS v_norm,
+         ({bucket_terms}) AS bucket
+  FROM corpus
+),
+queries AS (
+  SELECT vec_id AS q_id, v AS q, v_norm AS q_norm, bucket AS q_bucket
+  FROM norms WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT q_id, vec_id,
+         list_dot_product(n.v, queries.q) / (n.v_norm * queries.q_norm) AS cosine
+  FROM norms n JOIN queries ON n.bucket = queries.q_bucket
+  WHERE vec_id <> q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, rank::BIGINT AS rank, vec_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {k} ORDER BY q_id, rank"""
+
+
+def language_id_sql() -> str:
+    hits = ",\n    ".join(
+        f"len(list_filter(tokens, t -> t IN ({', '.join(repr(w) for w in words)})))"
+        f"::BIGINT AS hits_{lg}"
+        for lg, words in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    whens = "\n    ".join(
+        f"WHEN hits_{lg} = {best} AND {best} > 0 THEN '{lg}'" for lg in langs
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    {hits}
+  FROM (SELECT doc_id, lang,
+               regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tokens
+        FROM documents)
+)
+SELECT lang, pred_lang, count(*) AS n_docs
+FROM (SELECT lang, CASE {whens} ELSE 'unknown' END AS pred_lang FROM scored)
+GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
+
+
+def quality_scores_sql() -> str:
+    stop = ", ".join(repr(w) for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         length(text)::BIGINT AS n_chars_m,
+         regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::BIGINT AS n_punct,
+         length(regexp_replace(text, ' ', '', 'g'))::BIGINT AS n_nospace
+  FROM documents
+)
+SELECT doc_id, lang, n_chars_m,
+       len(tokens)::BIGINT AS n_tokens,
+       round(n_alpha / greatest(n_chars_m, 1), 6) AS alpha_ratio,
+       round(n_punct / greatest(n_chars_m, 1), 6) AS punct_ratio,
+       round(len(list_filter(tokens, t -> t IN ({stop})))
+             / greatest(len(tokens), 1), 6) AS stopword_ratio,
+       round((n_chars_m - n_nospace) / greatest(len(tokens), 1), 6)
+         AS spaces_per_token
+FROM base ORDER BY doc_id"""
+
+
+# ------------------------------------------------------- static oracle SQL
+
+EVENTS_TS = "ts::TIMESTAMP"
+_DELIVERY_HASH = _fp(
+    "concat_ws('|', user_id::VARCHAR, epoch_us(ts::TIMESTAMP)::VARCHAR, event_type)"
+)
+
+
+def all_oracles() -> dict[str, str]:
+    rev = "l_extendedprice * (1 - l_discount)"
+    return {
+        "overview": """
+SELECT
+  (SELECT count(*) FROM customer) AS total_customers,
+  (SELECT count(*) FROM orders) AS total_orders,
+  (SELECT round(coalesce(sum(o_totalprice), 0), 2) FROM orders) AS total_revenue,
+  (SELECT min(o_orderstatus) FROM orders) AS sample_status""",
+        "orders_by_date": """
+SELECT CAST(o_orderdate AS DATE) AS order_date,
+       count(*) AS order_count,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1 ORDER BY order_date DESC""",
+        "orders_by_date_range": """
+SELECT CAST(o_orderdate AS DATE) AS order_date,
+       count(*) AS order_count,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'
+GROUP BY 1 ORDER BY order_date DESC""",
+        "top_customers": """
+SELECT coalesce(c_custkey, -1) AS cust_id,
+       coalesce(c_name, 'Guest Customer') AS cust_name,
+       count(o_orderkey) AS orders_count,
+       round(sum(o_totalprice), 2) AS total_spent
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2 ORDER BY total_spent DESC, cust_id LIMIT 5""",
+        "recent_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_orderdate
+FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""",
+        "customer_lookup": """
+SELECT c_custkey, c_name, n_name AS nation_name, r_name AS region_name,
+       round(c_acctbal, 2) AS acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_custkey = 42""",
+        "upsert_merge": """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         round(o_totalprice * 1.1, 2) AS o_totalprice,
+         o_orderdate, o_orderpriority, 1 AS _batch_priority
+  FROM orders WHERE o_orderkey % 100 = 0
+),
+unioned AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority, 0 AS _batch_priority FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority, _batch_priority FROM updates
+),
+merged AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY _batch_priority DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM merged WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
+        "pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum({rev}), 2) AS sum_disc_price,
+       round(sum({rev} * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+        "revenue_by_nation": f"""
+SELECT n_name AS nation_name,
+       round(sum({rev}), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND c_nationkey = s_nationkey
+GROUP BY 1 ORDER BY revenue DESC, nation_name""",
+        "top_parts_by_revenue": f"""
+WITH per_part AS (
+  SELECT l_partkey, round(sum({rev}), 2) AS revenue,
+         sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT p_partkey, p_name, p_brand, revenue, round(total_qty, 2) AS total_qty
+FROM per_part JOIN part ON l_partkey = p_partkey
+ORDER BY revenue DESC, p_partkey LIMIT 10""",
+        "segment_top_orders": f"""
+SELECT o_orderkey, o_orderdate, round(sum({rev}), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+        "order_priority_counts": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+)
+GROUP BY 1 ORDER BY 1""",
+        "events_dedup": f"""
+WITH h AS (SELECT *, {_DELIVERY_HASH} AS delivery_hash FROM events),
+d AS (SELECT *, row_number() OVER (PARTITION BY delivery_hash
+                                   ORDER BY event_id) AS rn FROM h)
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
+        "events_daily": """
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY event_date DESC, event_type""",
+        "session_stats": f"""
+WITH base AS (
+  SELECT user_id, event_id, value, ts::TIMESTAMP AS ts FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, value, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {30 * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS session_seq
+  FROM flagged
+),
+per AS (
+  SELECT user_id, session_seq, count(*) AS n_events,
+         round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6, 3) AS duration_sec
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+       round(avg(duration_sec), 3) AS avg_session_sec
+FROM per GROUP BY 1 ORDER BY user_id""",
+        "events_json": """
+SELECT event_type,
+       round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k,
+       min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+       max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
+       count(DISTINCT json_extract_string(props, '$.k')::BIGINT) AS distinct_k
+FROM events GROUP BY 1 ORDER BY 1""",
+        "user_rollup": """
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       round(sum(value), 2) AS total_value,
+       min(ts::TIMESTAMP) AS first_seen,
+       max(ts::TIMESTAMP) AS last_seen
+FROM events GROUP BY 1 ORDER BY user_id""",
+        "doc_stats": f"""
+SELECT lang, source, count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       round(avg(n_chars), 6) AS avg_chars,
+       sum(n_tokens) AS total_tokens,
+       round(avg(n_tokens), 6) AS avg_tokens
+FROM (SELECT *, len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT
+             AS n_tokens
+      FROM documents)
+GROUP BY 1, 2 ORDER BY 1, 2""",
+        "doc_fingerprints": f"""
+SELECT doc_id, {_fp(_NORM_TEXT)} AS fingerprint, lang, source
+FROM documents ORDER BY doc_id""",
+        "dedup_exact": f"""
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+FROM (SELECT doc_id, {_fp(_NORM_TEXT)} AS fingerprint FROM documents)
+GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
+        "quality_scores": quality_scores_sql(),
+        "language_id": language_id_sql(),
+        "ngram_jaccard": ngram_jaccard_sql(),
+        "minhash_dedup": minhash_sql(),
+        "simhash": simhash_sql(),
+        "knn_bruteforce": knn_sql(),
+        "knn_lsh": knn_lsh_sql(),
+        "embedding_stats": """
+SELECT label, count(*) AS n_vecs,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]))), 6) AS avg_norm
+FROM embeddings GROUP BY 1 ORDER BY label""",
+    }
