@@ -1,0 +1,134 @@
+"""Unit tests for the dedup and similarity operator families on synthetic
+documents with KNOWN duplicate structure (the testdata has no exact dups, so
+these pin the semantics the oracle can't: exact-dup grouping, MinHash recall
+of a planted near-dup, LSH bucket behavior)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from xboard_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # 60 distinct-ish tokens -> ~58 distinct shingles; changing ONE token
+    # perturbs only 3 shingles, so jaccard ~0.9 (inside the 8x4 LSH band
+    # s-curve's high-recall zone — threshold ~(1/8)^(1/4) ≈ 0.59)
+    base = " ".join(f"word{i} token{i * 7 % 13}" for i in range(30))
+    near = base.replace("word17", "changed17")
+    far = "completely different content about spark shuffles and parquet files " * 5
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of 1 (modulo nothing)
+            (3, "  " + base.upper() + "  "),  # dup after normalization
+            (4, near),  # near dup
+            (5, far),
+            (6, "tiny"),  # < 3 tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_finds_normalized_dups(docs):
+    groups = dedup.exact_dedup_groups(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.n_docs == 3  # docs 1, 2, 3
+    assert g.canonical_doc_id == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, tau=0.3).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    # exact dups have jaccard 1.0; near-dup pair must be recalled too
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert (1, 4) in got
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    assert j[(1, 2)] == 1.0
+    assert 0.3 <= j[(1, 4)] < 1.0
+
+
+def test_minhash_recalls_exact_and_near_dups(docs):
+    pairs = dedup.minhash_dedup_pairs(docs, tau=0.3).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 2) in got  # identical signatures -> all bands collide
+    assert (1, 3) in got
+    # near-dup: high jaccard -> should collide in >=1 of 8 bands
+    assert (1, 4) in got
+
+
+def test_minhash_subset_of_ngram(docs):
+    """LSH trades recall, never precision: every minhash pair must appear in
+    the exact pair set with identical jaccard."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, tau=0.1).collect()
+    }
+    for r in dedup.minhash_dedup_pairs(docs, tau=0.1).collect():
+        assert exact[(r.doc_a, r.doc_b)] == r.jaccard
+
+
+def test_no_shingle_doc_excluded(docs):
+    sh = dedup.shingle_fps(docs).collect()
+    ids = {r.doc_id for r in sh}
+    assert 6 not in ids  # "tiny" has <3 tokens
+
+
+def test_simhash_close_for_near_dups(docs):
+    fps = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2] == fps[3]  # identical normalized text
+    ham_near = bin(fps[1] ^ fps[4]).count("1")
+    ham_far = bin(fps[1] ^ fps[5]).count("1")
+    assert ham_near < ham_far
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        # two clusters on orthogonal axes + noise dims
+        base = [0.0] * 64
+        if i % 2 == 0:
+            base[0] = 1.0
+        else:
+            base[1] = 1.0
+        base[2 + (i % 7)] = 0.3
+        rows.append((i, [float(x) for x in base], i % 2))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_knn_bruteforce_returns_same_cluster(vecs):
+    out = similarity.knn_bruteforce(vecs, n_queries=2, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r.vec_id)
+    # query 0 is in cluster even; its top-5 should be even ids
+    assert all(v % 2 == 0 for v in by_q[0])
+    assert all(v % 2 == 1 for v in by_q[1])
+
+
+def test_knn_ranks_are_dense_and_scores_sorted(vecs):
+    out = similarity.knn_bruteforce(vecs, n_queries=1, k=5).collect()
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    scores = [r.cosine for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_knn_lsh_subset_quality(vecs):
+    """LSH results must be a subset of the corpus with correct per-bucket
+    ranking; recall vs brute force measured, not asserted exactly."""
+    bf = similarity.knn_bruteforce(vecs, n_queries=2, k=5).collect()
+    lsh = similarity.knn_lsh(vecs, n_queries=2, k=5).collect()
+    bf_set = {(r.q_id, r.vec_id) for r in bf}
+    lsh_set = {(r.q_id, r.vec_id) for r in lsh}
+    assert lsh_set  # buckets are non-degenerate for clustered data
+    # scores of overlapping pairs agree exactly
+    bf_scores = {(r.q_id, r.vec_id): r.cosine for r in bf}
+    for r in lsh:
+        if (r.q_id, r.vec_id) in bf_scores:
+            assert abs(bf_scores[(r.q_id, r.vec_id)] - r.cosine) < 1e-9

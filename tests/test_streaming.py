@@ -1,0 +1,172 @@
+"""Streaming tests (SURVEY.md §5.2 item 4): file-source streams through the
+webhook pipeline — delivery-hash dedup, watermark plumbing, foreachBatch
+idempotent merge, tumbling/session windows. availableNow triggers make each
+run a bounded batch so tests are deterministic."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from xboard_spark.streaming import webhook, windows
+
+
+def _write_jsonl(path: str, rows: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _mk_webhooks(tmp_path, name, rows):
+    d = str(tmp_path / name / "in")
+    _write_jsonl(os.path.join(d, "batch0.json"), rows)
+    return d
+
+
+WH = [
+    {
+        "tenant_id": 1,
+        "topic": "orders/create",
+        "shop_domain": "a.example",
+        "received_at": "2024-01-01T10:00:00Z",
+        "delivery_hash": "h1",
+        "raw_payload": json.dumps(
+            {"id": 100, "total_price": "10.00", "currency": "USD",
+             "created_at": "2024-01-01T09:59:00Z"}
+        ),
+    },
+    {  # redelivery: same delivery_hash, must be dropped
+        "tenant_id": 1,
+        "topic": "orders/create",
+        "shop_domain": "a.example",
+        "received_at": "2024-01-01T10:00:05Z",
+        "delivery_hash": "h1",
+        "raw_payload": json.dumps(
+            {"id": 100, "total_price": "10.00", "currency": "USD",
+             "created_at": "2024-01-01T09:59:00Z"}
+        ),
+    },
+    {
+        "tenant_id": 1,
+        "topic": "orders/update",
+        "shop_domain": "a.example",
+        "received_at": "2024-01-01T10:01:00Z",
+        "delivery_hash": "h2",
+        "raw_payload": json.dumps(
+            {"id": 100, "total_price": "12.00", "currency": "USD",
+             "created_at": "2024-01-01T09:59:00Z"}
+        ),
+    },
+    {
+        "tenant_id": 2,
+        "topic": "customers/create",
+        "shop_domain": "b.example",
+        "received_at": "2024-01-01T10:02:00Z",
+        "delivery_hash": "h3",
+        "raw_payload": json.dumps({"id": 7, "email": "x@y.z"}),
+    },
+]
+
+
+def test_webhook_dedup_drops_redelivery(spark, tmp_path):
+    src = _mk_webhooks(tmp_path, "dedup", WH)
+    stream = webhook.deduped_stream(webhook.read_webhook_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM dedup_sink").collect()
+    hashes = sorted(r.delivery_hash for r in out)
+    assert hashes == ["h1", "h2", "h3"]  # h1 redelivery dropped
+
+
+def test_bronze_to_silver_merge_upserts_order(spark, tmp_path):
+    src = _mk_webhooks(tmp_path, "silver", WH)
+    silver = str(tmp_path / "silver" / "orders")
+    ckpt = str(tmp_path / "silver" / "ckpt")
+    stream = webhook.parse_order_events(
+        webhook.deduped_stream(webhook.read_webhook_stream(spark, src))
+    )
+    run_log: list = []
+    q = webhook.start_bronze_to_silver(
+        stream, silver, ckpt, keys=["tenant_id", "shopify_order_id"], run_log=run_log
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(silver).collect()
+    # create + update arrive in one batch -> merge keeps ONE row per order
+    assert len(out) == 1
+    assert run_log and run_log[-1]["status"] == "ok"
+
+
+def test_bronze_to_silver_idempotent_rerun(spark, tmp_path):
+    src = _mk_webhooks(tmp_path, "idem", WH)
+    silver = str(tmp_path / "idem" / "orders")
+    stream_fn = lambda: webhook.parse_order_events(  # noqa: E731
+        webhook.deduped_stream(webhook.read_webhook_stream(spark, src))
+    )
+    # two runs with SEPARATE checkpoints (simulates redelivery past
+    # watermark / checkpoint loss) — merge backstop keeps the table stable
+    for i in range(2):
+        ckpt = str(tmp_path / "idem" / f"ckpt{i}")
+        q = webhook.start_bronze_to_silver(
+            stream_fn(), silver, ckpt, keys=["tenant_id", "shopify_order_id"]
+        )
+        q.awaitTermination(120)
+    out = spark.read.parquet(silver).collect()
+    assert len(out) == 1
+
+
+def test_tumbling_daily_counts(spark, tmp_path):
+    src = _mk_webhooks(tmp_path, "tumble", WH)
+    orders = webhook.parse_order_events(webhook.read_webhook_stream(spark, src))
+    agg = windows.tumbling_daily_order_counts(orders)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumble_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM tumble_sink").collect()
+    assert len(rows) == 1  # one tenant, one day
+    # create + redelivered create + update: no dedup on this path, 3 rows
+    assert rows[0].order_count == 3
+    assert float(rows[0].revenue) == 32.0
+
+
+def test_session_window_stream(spark, tmp_path):
+    events = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00Z", "user_id": 1, "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T10:10:00Z", "user_id": 1, "value": 1.0},
+        # 40-minute gap -> new session
+        {"event_id": 3, "ts": "2024-01-01T10:50:00Z", "user_id": 1, "value": 1.0},
+    ]
+    d = str(tmp_path / "sess" / "in")
+    _write_jsonl(os.path.join(d, "e.json"), events)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts string, user_id long, value double"
+        )
+        .json(d)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = windows.session_window_per_user(stream, gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM sess_sink ORDER BY session_start").collect()
+    assert [r.n_events for r in rows] == [2, 1]

@@ -1,0 +1,173 @@
+"""Unit tests for the XBoard reference-domain semantics (SURVEY.md §5.2
+item 2): null keys in group-by, empty-group COALESCE, inclusive date
+bounds, left-join null side, conflict-update-wins upsert, and the
+documented faithful-vs-corrected join divergence."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pyspark.sql.functions as F
+import pytest
+
+from xboard_spark.ingest import merge_upsert
+from xboard_spark.operators import analytics
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def domain(spark):
+    """3 tenants, one empty (FIXTURES.md §A scale), reference-shaped."""
+    customers = spark.createDataFrame(
+        [
+            (1, 10, "a@x.com", "Alice A"),
+            (1, 11, None, "Bob B"),  # guest-ish: null email
+            (2, 20, "c@y.com", None),  # null name
+        ],
+        "tenant_id long, shopify_customer_id long, email string, name string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (1, 100, 10, 10.0, "USD", _ts("2024-01-01T10:00:00")),
+            (1, 101, 10, 20.0, "USD", _ts("2024-01-02T10:00:00")),
+            (1, 102, 11, 5.0, "EUR", _ts("2024-01-02T23:59:59")),
+            (2, 200, 20, 7.5, "USD", _ts("2024-02-01T00:00:00")),
+        ],
+        "tenant_id long, shopify_order_id long, customer_id long, "
+        "total_price double, currency string, created_at timestamp",
+    )
+    return customers, orders
+
+
+def test_overview_empty_tenant_coalesce(spark, domain):
+    customers, orders = domain
+    # tenant 3 has no rows anywhere: COALESCE(SUM,0) must yield 0, not null
+    c3 = customers.filter(F.col("tenant_id") == 3)
+    o3 = orders.filter(F.col("tenant_id") == 3)
+    row = (
+        c3.agg(F.count("*").alias("total_customers"))
+        .crossJoin(
+            o3.agg(
+                F.count("*").alias("total_orders"),
+                F.coalesce(F.sum("total_price"), F.lit(0.0)).alias("total_revenue"),
+            )
+        )
+        .first()
+    )
+    assert row.total_customers == 0
+    assert row.total_orders == 0
+    assert row.total_revenue == 0.0
+
+
+def test_date_range_inclusive_both_ends(spark, domain):
+    _, orders = domain
+    t1 = orders.filter(F.col("tenant_id") == 1)
+    out = (
+        t1.filter(
+            (F.col("created_at") >= F.lit("2024-01-02").cast("timestamp"))
+            & (F.col("created_at") <= F.lit("2024-01-02 23:59:59").cast("timestamp"))
+        )
+    ).count()
+    assert out == 2  # both the 10:00 and the 23:59:59 order
+
+
+def test_groupby_null_keys_grouped_together(spark, domain):
+    customers, _ = domain
+    # SQL semantics: NULL group keys form one group (analytics.js:89-94 / A3)
+    grouped = (
+        customers.groupBy("email").agg(F.count("*").alias("n")).collect()
+    )
+    null_groups = [r for r in grouped if r.email is None]
+    assert len(null_groups) == 1
+
+
+def test_faithful_join_fanout_vs_corrected(spark, domain):
+    customers, orders = domain
+    orders1 = orders.filter(F.col("tenant_id") == 1)
+    cust1 = customers.filter(F.col("tenant_id") == 1)
+    # faithful: join on tenant_id only -> every order matches every customer
+    faithful = orders1.join(cust1, on="tenant_id", how="left")
+    assert faithful.count() == 3 * 2  # 3 orders x 2 customers (fan-out)
+    # corrected: join on customer identity -> one row per order
+    corrected = orders1.join(
+        cust1,
+        orders1["customer_id"] == cust1["shopify_customer_id"],
+        "left",
+    )
+    assert corrected.count() == 3
+
+
+def test_left_join_null_side_coalesce(spark, domain):
+    customers, orders = domain
+    o = orders.filter(F.col("tenant_id") == 2)
+    c = customers.filter(F.col("tenant_id") == 2)
+    row = (
+        o.join(c, o["customer_id"] == c["shopify_customer_id"], "left")
+        .select(
+            F.coalesce("email", F.lit("Guest Customer")).alias("email"),
+            F.coalesce("name", F.lit("Unknown")).alias("name"),
+        )
+        .first()
+    )
+    assert row.email == "c@y.com"
+    assert row.name == "Unknown"
+
+
+def test_merge_upsert_conflict_update_wins(spark):
+    current = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 11, 50.0), (2, 20, 75.0)],
+        "tenant_id long, shopify_order_id long, total_price double",
+    )
+    updates = spark.createDataFrame(
+        [(1, 10, 999.0), (1, 12, 1.0)],
+        "tenant_id long, shopify_order_id long, total_price double",
+    )
+    merged = merge_upsert(
+        current, updates, keys=["tenant_id", "shopify_order_id"]
+    )
+    rows = {(r.tenant_id, r.shopify_order_id): r.total_price for r in merged.collect()}
+    assert rows[(1, 10)] == 999.0  # conflict: update wins
+    assert rows[(1, 11)] == 50.0  # non-conflicting old row survives
+    assert rows[(1, 12)] == 1.0  # new row inserted
+    assert rows[(2, 20)] == 75.0
+    assert len(rows) == 4
+
+
+def test_merge_upsert_idempotent(spark):
+    current = spark.createDataFrame(
+        [(1, 10, 100.0)], "tenant_id long, shopify_order_id long, total_price double"
+    )
+    updates = spark.createDataFrame(
+        [(1, 10, 999.0)], "tenant_id long, shopify_order_id long, total_price double"
+    )
+    once = merge_upsert(current, updates, ["tenant_id", "shopify_order_id"])
+    twice = merge_upsert(once, updates, ["tenant_id", "shopify_order_id"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_merge_upsert_duplicate_keys_in_batch_last_wins(spark):
+    current = spark.createDataFrame(
+        [(1, 10, 100.0)], "tenant_id long, shopify_order_id long, total_price double"
+    )
+    updates = spark.createDataFrame(
+        [(1, 10, 111.0, 1), (1, 10, 222.0, 2)],
+        "tenant_id long, shopify_order_id long, total_price double, _batch_priority long",
+    )
+    merged = merge_upsert(current, updates, ["tenant_id", "shopify_order_id"])
+    assert merged.first().total_price == 222.0
+
+
+def test_recent_orders_deterministic_tiebreak(spark, sf_dir):
+    from xboard_spark.io import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    a = analytics.recent_orders(orders, limit=10).collect()
+    b = analytics.recent_orders(orders, limit=10).collect()
+    assert a == b
+    # strictly descending (date, key)
+    seq = [(r.o_orderdate, r.o_orderkey) for r in a]
+    assert seq == sorted(seq, reverse=True)

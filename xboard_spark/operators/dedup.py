@@ -56,60 +56,128 @@ def exact_dedup_groups(documents: DataFrame, min_size: int = 2) -> DataFrame:
 def shingle_fps(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, fps array<long>): distinct word-n-gram shingle fingerprints
     per document. Pure array expressions — computed where the data lives,
-    nothing shuffles."""
+    nothing shuffles.
+
+    Each stage is a separate projection ON PURPOSE: higher-order-function
+    lambdas evaluate interpreted (outside whole-stage codegen), so an
+    unbound expression referenced inside a lambda is re-evaluated per array
+    element — inlining the tokenizer here cost ~6x wall clock before this
+    was staged. Bind each intermediate to a column and the lambda touches
+    only attributes."""
     words = F.regexp_extract_all(_norm_text(F.col("text")), F.lit(TOKEN_RE), 0)
-    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    staged = documents.select("doc_id", words.alias("words")).filter(
+        F.size("words") >= n
+    )
     shingle_at = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(words, i + j) for j in range(n)]
+        " ", *[F.element_at("words", i + j) for j in range(n)]
     )
-    shingles = F.when(F.size(words) >= n, F.transform(idx, shingle_at)).otherwise(
-        F.array().cast("array<string>")
-    )
-    fps = F.array_distinct(
+    shingled = staged.select(
+        "doc_id",
         F.transform(
-            shingles,
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-        )
+            F.sequence(F.lit(1), F.size("words") - (n - 1)), shingle_at
+        ).alias("shingles"),
     )
-    return documents.select("doc_id", fps.alias("fps")).filter(F.size("fps") > 0)
+    return shingled.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                "shingles",
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            )
+        ).alias("fps"),
+    )
 
 
-def _pair_jaccard(doc_sh: DataFrame, candidates: DataFrame | None, max_df: int) -> DataFrame:
-    """Exact Jaccard for doc pairs sharing >=1 surviving shingle.
+def shingle_index(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Row-form inverted index (doc_id, shfp): distinct word-n-gram shingle
+    fingerprints, built explode-first — posexplode tokens, assemble each
+    shingle with lead() windows, fingerprint per ROW.
 
-    doc_sh: (doc_id, fps). candidates: optional (doc_a, doc_b) to restrict to.
-    Stop-shingles with df > max_df are excluded from the *index* (candidate
-    generation) but kept in the per-doc set sizes, so Jaccard stays exact.
-    """
-    sizes = doc_sh.select("doc_id", F.size("fps").alias("n_sh"))
-    inv = doc_sh.select("doc_id", F.explode("fps").alias("shfp"))
+    Why not explode the ``shingle_fps`` arrays? The optimizer collapses the
+    interpreted higher-order-function chain into the Generate, re-evaluating
+    the tokenizer per emitted element (~10x wall clock, measured). Row-form
+    keeps every expression (regexp, md5, conv) inside whole-stage codegen.
+    The cost is one shuffle of the token stream for the per-doc window;
+    token rows are (long, int, short string) — compact — and the subsequent
+    df-filter/pair joins dwarf it at any scale."""
+    from pyspark.sql import Window
+
+    words = F.regexp_extract_all(_norm_text(F.col("text")), F.lit(TOKEN_RE), 0)
+    tok = documents.select(
+        "doc_id", F.posexplode(words).alias("pos", "word")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word")] + [
+        F.lead("word", j).over(win) for j in range(1, n)
+    ]
+    last = F.lead("word", n - 1).over(win)
+    shingled = tok.select(
+        "doc_id", F.concat_ws(" ", *parts).alias("shingle"), last.alias("_last")
+    ).filter(F.col("_last").isNotNull())
+    return shingled.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("shfp"),
+    ).dropDuplicates(["doc_id", "shfp"])
+
+
+def filtered_index(inv: DataFrame, max_df: int) -> DataFrame:
+    """Drop stop-shingles (document frequency > max_df) from the index.
+
+    The standard stop-shingle treatment — like stopword removal, it both
+    bounds the pair-join fan-out to sum(df^2) over surviving shingles AND
+    keeps Jaccard well-defined over the filtered sets. Without it one
+    ubiquitous shingle makes candidate generation quadratic in the corpus."""
     df_ok = (
         inv.groupBy("shfp")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= max_df)
         .select("shfp")
     )
-    inv = inv.join(df_ok, "shfp")
-    a = inv.select(F.col("doc_id").alias("doc_a"), "shfp")
-    b = inv.select(F.col("doc_id").alias("doc_b"), "shfp")
-    shared = (
-        a.join(b, "shfp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared_indexed"))
-    )
-    if candidates is not None:
-        shared = shared.join(candidates, ["doc_a", "doc_b"], "inner")
-    # shared_indexed undercounts shared stop-shingles; recompute exact overlap
-    # with an array intersect on the candidate pairs only (cheap: few pairs).
-    with_sets = (
-        shared.join(doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("fps").alias("fps_a")), "doc_a")
-        .join(doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("fps").alias("fps_b")), "doc_b")
-        .withColumn("shared", F.size(F.array_intersect("fps_a", "fps_b")))
-    )
+    return inv.join(df_ok, "shfp")
+
+
+def _pair_jaccard(
+    inv: DataFrame, candidates: DataFrame | None, tau: float
+) -> DataFrame:
+    """Exact Jaccard over the filtered shingle sets, computed purely from
+    inverted-index counts — no array materialization, no per-pair set
+    intersection. shared(a,b) = |index join|, sizes from a groupBy; every
+    step is a hash shuffle on a content key (scales linearly in index
+    size + candidate count)."""
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if candidates is None:
+        a = inv.select(F.col("doc_id").alias("doc_a"), "shfp")
+        b = inv.select(F.col("doc_id").alias("doc_b"), "shfp")
+        shared = (
+            a.join(b, "shfp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("shared"))
+        )
+    else:
+        # restrict the index join to the (small) LSH candidate set first
+        a = candidates.join(
+            inv.select(F.col("doc_id").alias("doc_a"), "shfp"), "doc_a"
+        )
+        shared = (
+            a.join(
+                inv.select(F.col("doc_id").alias("doc_b"), "shfp"),
+                ["doc_b", "shfp"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("shared"))
+        )
     return (
-        with_sets.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -118,6 +186,7 @@ def _pair_jaccard(doc_sh: DataFrame, candidates: DataFrame | None, max_df: int) 
                 6,
             ),
         )
+        .filter(F.col("jaccard") >= tau)
         .select(
             "doc_a",
             "doc_b",
@@ -132,35 +201,24 @@ def _pair_jaccard(doc_sh: DataFrame, candidates: DataFrame | None, max_df: int) 
 def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, tau: float = 0.5, max_df: int = 100
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs above ``tau`` via the shingle
-    inverted index."""
-    doc_sh = shingle_fps(documents, n)
-    return (
-        _pair_jaccard(doc_sh, None, max_df)
-        .filter(F.col("jaccard") >= tau)
-        .orderBy("doc_a", "doc_b")
-    )
+    """Exact n-gram Jaccard near-dup pairs above ``tau`` via the
+    stop-shingle-filtered inverted index."""
+    inv = filtered_index(shingle_index(documents, n), max_df)
+    return _pair_jaccard(inv, None, tau).orderBy("doc_a", "doc_b")
 
 
-def minhash_signatures(doc_sh: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
-    """(doc_id, sig_0..sig_{n-1}): MinHash signature columns. Each signature
-    is array_min over a transformed fingerprint array — per-row JVM work,
-    embarrassingly parallel, no shuffle."""
+def minhash_signatures(inv: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}): MinHash signatures over the filtered
+    inverted index — one partial+final hash aggregate on doc_id with
+    n_perms min() accumulators (map-side combine shrinks the shuffle to one
+    signature row per doc per input partition)."""
     params = minhash_params(n_perms)
-
-    def perm(a: int, b: int):
-        # closure factory: a single-arg lambda, so Spark binds only the
-        # array element (a default-arg lambda would read as the 2/3-arg
-        # (element, index) form and bind ints to Columns)
-        return lambda x: (
-            x.bitwiseAND(F.lit(_X_MASK)) * F.lit(a) + F.lit(b)
-        ) % F.lit(MINHASH_P)
-
-    sig_cols = [
-        F.array_min(F.transform("fps", perm(a, b))).alias(f"sig_{i}")
+    x = F.col("shfp").bitwiseAND(F.lit(_X_MASK))
+    sig_aggs = [
+        F.min((x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig_{i}")
         for i, (a, b) in enumerate(params)
     ]
-    return doc_sh.select("doc_id", *sig_cols)
+    return inv.groupBy("doc_id").agg(*sig_aggs)
 
 
 def minhash_dedup_pairs(
@@ -180,8 +238,8 @@ def minhash_dedup_pairs(
     pairs; LSH trades recall for never comparing all pairs.
     """
     rows_per_band = n_perms // n_bands
-    doc_sh = shingle_fps(documents, n)
-    sigs = minhash_signatures(doc_sh, n_perms)
+    inv = filtered_index(shingle_index(documents, n), max_df)
+    sigs = minhash_signatures(inv, n_perms)
     band_cols = []
     for bi in range(n_bands):
         parts = [
@@ -205,21 +263,16 @@ def minhash_dedup_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return (
-        _pair_jaccard(doc_sh, candidates, max_df)
-        .filter(F.col("jaccard") >= tau)
-        .orderBy("doc_a", "doc_b")
-    )
+    return _pair_jaccard(inv, candidates, tau).orderBy("doc_a", "doc_b")
 
 
-def simhash_col(tokens: Column, bits: int = 16) -> Column:
-    """SimHash over token fingerprints: for each bit, sign of the sum of
-    (+1/-1) votes across tokens. Expressed with aggregate() over the token
-    array — per-row, JVM-side. 16 bits keeps the oracle SQL tractable;
-    the construction generalizes."""
-    fps = F.transform(
-        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-    )
+def simhash_col(fps_col: str, bits: int = 16) -> Column:
+    """SimHash over a BOUND column of token fingerprints: for each bit,
+    sign of the sum of (+1/-1) votes across tokens. aggregate() runs
+    per-row, JVM-side; ``fps_col`` must be a materialized column name (each
+    of the ``bits`` aggregates re-reads it — an inline expression would be
+    recomputed ``bits`` times, see ``shingle_fps``)."""
+
     def voter(bit_mask: int):
         return lambda acc, x: acc + F.when(
             x.bitwiseAND(F.lit(bit_mask)) != 0, 1
@@ -227,7 +280,7 @@ def simhash_col(tokens: Column, bits: int = 16) -> Column:
 
     bit_exprs = []
     for b in range(bits):
-        vote = F.aggregate(fps, F.lit(0).cast("long"), voter(1 << b))
+        vote = F.aggregate(fps_col, F.lit(0).cast("long"), voter(1 << b))
         bit_exprs.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)))
     out = bit_exprs[0]
     for e in bit_exprs[1:]:
@@ -236,8 +289,15 @@ def simhash_col(tokens: Column, bits: int = 16) -> Column:
 
 
 def simhash_fingerprints(documents: DataFrame, bits: int = 16) -> DataFrame:
-    """Per-document SimHash fingerprint + duplicate-bucket summary."""
+    """Per-document SimHash fingerprint (staged: tokens -> fps -> votes)."""
     tokens = F.regexp_extract_all(_norm_text(F.col("text")), F.lit(TOKEN_RE), 0)
-    return documents.select(
-        "doc_id", simhash_col(tokens, bits).cast("long").alias("simhash")
+    staged = documents.select("doc_id", tokens.alias("tokens")).select(
+        "doc_id",
+        F.transform(
+            "tokens",
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        ).alias("fps"),
+    )
+    return staged.select(
+        "doc_id", simhash_col("fps", bits).cast("long").alias("simhash")
     ).orderBy("doc_id")

@@ -47,38 +47,42 @@ docs AS (
 )"""
 
 
-def _pair_jaccard_sql(cand_cte: str, tau: float, max_df: int) -> str:
-    """Candidate pairs -> exact jaccard -> threshold (mirrors
+def _inv_cte(max_df: int) -> str:
+    """Stop-shingle-filtered inverted index (mirrors
+    operators.dedup.filtered_index)."""
+    return f"""
+inv0 AS (SELECT doc_id, unnest(fps) AS shfp FROM docs),
+df_ok AS (SELECT shfp FROM inv0 GROUP BY shfp HAVING count(*) <= {max_df}),
+inv AS (SELECT inv0.doc_id, inv0.shfp FROM inv0 JOIN df_ok USING (shfp))"""
+
+
+def _pair_jaccard_sql(shared_cte: str, tau: float) -> str:
+    """shared counts -> sizes join -> jaccard threshold (mirrors
     operators.dedup._pair_jaccard)."""
     return f"""
-sizes AS (SELECT doc_id, len(fps) AS n_sh FROM docs),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM inv GROUP BY doc_id),
 pairs AS (
-  SELECT doc_a, doc_b,
-         len(list_intersect(da.fps, db.fps))::BIGINT AS shared,
-         len(da.fps)::BIGINT AS n_a, len(db.fps)::BIGINT AS n_b
-  FROM {cand_cte} c
-  JOIN docs da ON da.doc_id = c.doc_a
-  JOIN docs db ON db.doc_id = c.doc_b
+  SELECT doc_a, doc_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+  FROM {shared_cte} s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
 )
-SELECT doc_a, doc_b, shared, n_a, n_b,
-       round(shared / (n_a + n_b - shared), 6) AS jaccard
-FROM pairs
-WHERE round(shared / (n_a + n_b - shared), 6) >= {tau}
+SELECT doc_a, doc_b, shared, n_a, n_b, jaccard
+FROM pairs WHERE jaccard >= {tau}
 ORDER BY doc_a, doc_b"""
 
 
 def ngram_jaccard_sql(n: int = 3, tau: float = 0.5, max_df: int = 100) -> str:
     return f"""
 WITH {_docs_cte(n)},
-inv AS (SELECT doc_id, unnest(fps) AS shfp FROM docs),
-df_ok AS (SELECT shfp FROM inv GROUP BY shfp HAVING count(*) <= {max_df}),
-inv2 AS (SELECT inv.doc_id, inv.shfp FROM inv JOIN df_ok USING (shfp)),
-cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM inv2 a JOIN inv2 b USING (shfp)
+{_inv_cte(max_df)},
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+  FROM inv a JOIN inv b USING (shfp)
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 ),
-{_pair_jaccard_sql('cand', tau, max_df)}"""
+{_pair_jaccard_sql('shared', tau)}"""
 
 
 def minhash_sql(
@@ -91,7 +95,7 @@ def minhash_sql(
     params = minhash_params(n_perms)
     rows_per_band = n_perms // n_bands
     sig_exprs = ",\n  ".join(
-        f"list_min(list_transform(fps, x -> ((x & {_X_MASK}) * {a} + {b}) % {MINHASH_P})) AS sig_{i}"
+        f"min(((shfp & {_X_MASK}) * {a} + {b}) % {MINHASH_P}) AS sig_{i}"
         for i, (a, b) in enumerate(params)
     )
     band_selects = []
@@ -106,14 +110,22 @@ def minhash_sql(
     bands_union = "\nUNION ALL\n".join(band_selects)
     return f"""
 WITH {_docs_cte(n)},
-sigs AS (SELECT doc_id, {sig_exprs} FROM docs),
+{_inv_cte(max_df)},
+sigs AS (SELECT doc_id, {sig_exprs} FROM inv GROUP BY doc_id),
 bands AS ({bands_union}),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 ),
-{_pair_jaccard_sql('cand', tau, max_df)}"""
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS shared
+  FROM cand c
+  JOIN inv a ON a.doc_id = c.doc_a
+  JOIN inv b ON b.doc_id = c.doc_b AND b.shfp = a.shfp
+  GROUP BY 1, 2
+),
+{_pair_jaccard_sql('shared', tau)}"""
 
 
 def simhash_sql(bits: int = 16) -> str:
