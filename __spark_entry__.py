@@ -14,7 +14,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from xboard_spark.io import read_table
 from xboard_spark.ingest import orders_upsert_demo
-from xboard_spark.operators import analytics, dedup, events, similarity, text, tpch
+from xboard_spark.operators import (
+    analytics,
+    dedup,
+    events,
+    similarity,
+    temporal,
+    text,
+    tpch,
+    window_ops,
+)
 from xboard_spark.oracles import all_oracles
 
 
@@ -89,6 +98,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "simhash": lambda s, d: dedup.simhash_fingerprints(_t(s, d, "documents")),
+        # --- relational surface beyond the reference (SURVEY.md §2.9) ---
+        "nation_customer_ranks": lambda s, d: window_ops.nation_customer_ranks(
+            _t(s, d, "customer"), _t(s, d, "nation")
+        ),
+        "segment_setops": lambda s, d: window_ops.segment_setops(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
+        "status_distinct_aggs": lambda s, d: window_ops.status_distinct_aggs(
+            _t(s, d, "orders")
+        ),
+        "revenue_rollup": lambda s, d: window_ops.revenue_rollup(
+            _t(s, d, "lineitem")
+        ),
+        "value_percentiles": lambda s, d: window_ops.value_percentiles(
+            _t(s, d, "events")
+        ),
+        "daily_type_pivot": lambda s, d: window_ops.daily_type_pivot(
+            _t(s, d, "events")
+        ),
+        "customers_without_orders": lambda s, d: window_ops.customers_without_orders(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "nation")
+        ),
+        # --- temporal joins (as-of, bounded range) ---
+        "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(
+            _t(s, d, "events")
+        ),
+        "views_before_purchase": lambda s, d: temporal.views_before_purchase(
+            _t(s, d, "events")
+        ),
         # --- similarity search ---
         "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(
             _t(s, d, "embeddings")

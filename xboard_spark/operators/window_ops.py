@@ -1,0 +1,161 @@
+"""Relational surface the reference explicitly lacks (SURVEY.md §2.9:
+window functions, set operations, DISTINCT aggregates, rollup/grouping
+sets, anti joins, percentiles, pivot) — required for "a user of the
+reference could switch and run every query they'd ever grow into", and all
+cheap wins on Spark since Catalyst plans them natively.
+
+Scale notes: ranking windows shuffle once on their partition key; rollup is
+a multi-pass partial aggregate (Expand + hash agg — no extra scan); exact
+percentiles need a sort per group (use approx_percentile at 100 TB — both
+are exposed); anti join plans as broadcast-anti for small right sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def nation_customer_ranks(customer: DataFrame, nation: DataFrame, k: int = 3) -> DataFrame:
+    """Ranking windows: top-k customers by account balance per nation, with
+    rank + running share of the nation's total balance."""
+    joined = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    by_nation = Window.partitionBy("n_name").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    nation_total = Window.partitionBy("n_name")
+    return (
+        joined.withColumn("rnk", F.row_number().over(by_nation))
+        .withColumn(
+            "balance_share",
+            F.round(F.col("c_acctbal") / F.sum("c_acctbal").over(nation_total), 6),
+        )
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.col("rnk").cast("long").alias("rnk"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "balance_share",
+        )
+        .orderBy("nation_name", "rnk")
+    )
+
+
+def segment_setops(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer key sets (BUILDING-segment
+    vs high-value buyers), tagged and counted — one row per set op."""
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    big_buyers = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .filter(F.col("spend") > 150000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    parts = [
+        ("union", building.union(big_buyers).distinct()),
+        ("intersect", building.intersect(big_buyers)),
+        ("except", building.exceptAll(big_buyers).distinct()),
+    ]
+    out = None
+    for tag, df in parts:
+        row = df.agg(F.count("*").alias("n_customers")).select(
+            F.lit(tag).alias("set_op"), "n_customers"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("set_op")
+
+
+def status_distinct_aggs(orders: DataFrame) -> DataFrame:
+    """DISTINCT aggregates (absent from the reference): distinct customers
+    and distinct order months per status. At 100 TB the approx twin
+    (approx_count_distinct / HLL++) replaces the exact shuffle-heavy form —
+    both are exposed; the exact one is the oracle-checked surface."""
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count_distinct(F.date_trunc("month", "o_orderdate")).alias("n_months"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def revenue_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP (returnflag, linestatus): subtotals + grand total with
+    grouping_id — one Expand + hash aggregate, no extra scans."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles of event value per type (linear
+    interpolation — matches ANSI percentile_cont / DuckDB quantile_cont).
+    The 100 TB twin is approx_percentile; exact needs a per-group sort."""
+    pct = lambda p: F.round(  # noqa: E731
+        F.expr(f"percentile(value, {p})"), 4
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(
+            pct(0.5).alias("p50"),
+            pct(0.9).alias("p90"),
+            pct(0.99).alias("p99"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def daily_type_pivot(events: DataFrame) -> DataFrame:
+    """Pivot: one row per day, one count column per event type (fixed value
+    list — required for a deterministic schema, and what keeps the pivot a
+    single pass instead of a values-discovery job + a pass)."""
+    out = (
+        events.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return out.na.fill(0, EVENT_TYPES).orderBy("event_date")
+
+
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame,
+    before: str = "1995-07-01",
+) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no orders before ``before``,
+    counted per nation. Plans as a true left-anti (no fan-out, no
+    distinct); the date filter pushes to the orders scan first."""
+    early = orders.filter(F.col("o_orderdate") < F.lit(before).cast("timestamp"))
+    silent = customer.join(
+        early, customer["c_custkey"] == early["o_custkey"], "left_anti"
+    )
+    return (
+        silent.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_silent"),
+            F.round(F.sum("c_acctbal"), 2).alias("idle_balance"),
+        )
+        .orderBy("nation_name")
+    )

@@ -457,6 +457,106 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "simhash": simhash_sql(),
         "knn_bruteforce": knn_sql(),
         "knn_lsh": knn_lsh_sql(),
+
+        "nation_customer_ranks": """
+WITH j AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+         round(c_acctbal / sum(c_acctbal) OVER (PARTITION BY n_name), 6)
+           AS balance_share
+  FROM j
+)
+SELECT n_name AS nation_name, rnk::BIGINT AS rnk, c_custkey, c_name,
+       round(c_acctbal, 2) AS acctbal, balance_share
+FROM r WHERE rnk <= 3 ORDER BY nation_name, rnk""",
+        "segment_setops": """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+big AS (SELECT o_custkey AS c_custkey FROM orders
+        GROUP BY 1 HAVING sum(o_totalprice) > 150000)
+SELECT 'union' AS set_op, count(*) AS n_customers
+FROM (SELECT c_custkey FROM building UNION SELECT c_custkey FROM big)
+UNION ALL
+SELECT 'intersect', count(*)
+FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM big)
+UNION ALL
+SELECT 'except', count(*)
+FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM big)
+ORDER BY set_op""",
+        "status_distinct_aggs": """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
+       count(*) AS n_orders
+FROM orders GROUP BY 1 ORDER BY 1""",
+        "revenue_rollup": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items,
+       (2 * GROUPING(l_returnflag) + GROUPING(l_linestatus))::BIGINT AS gid
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+        "value_percentiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       round(avg(value), 4) AS mean_value
+FROM events GROUP BY 1 ORDER BY 1""",
+        "daily_type_pivot": """
+SELECT CAST(ts AS DATE) AS event_date,
+       (count(*) FILTER (WHERE event_type = 'click'))::BIGINT AS click,
+       (count(*) FILTER (WHERE event_type = 'error'))::BIGINT AS error,
+       (count(*) FILTER (WHERE event_type = 'purchase'))::BIGINT AS purchase,
+       (count(*) FILTER (WHERE event_type = 'signup'))::BIGINT AS signup,
+       (count(*) FILTER (WHERE event_type = 'view'))::BIGINT AS view
+FROM events GROUP BY 1 ORDER BY 1""",
+        "customers_without_orders": """
+SELECT n_name AS nation_name, count(*) AS n_silent,
+       round(sum(c_acctbal), 2) AS idle_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+)
+GROUP BY 1 ORDER BY 1""",
+        "purchase_asof_view": """
+WITH base AS (
+  SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+scan AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'view'
+                         THEN struct_pack(vts := ts, vid := event_id) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+  FROM base
+)
+SELECT event_id AS purchase_id, user_id, lv.vid AS view_id,
+       round((epoch_us(ts) - epoch_us(lv.vts)) / 1e6, 3) AS gap_sec
+FROM scan WHERE event_type = 'purchase' ORDER BY purchase_id""",
+        "views_before_purchase": """
+WITH base AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS tus
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+c AS (
+  SELECT *,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING) AS nv
+  FROM base
+)
+SELECT event_id AS purchase_id, user_id,
+       coalesce(nv, 0)::BIGINT AS n_views_before
+FROM c WHERE event_type = 'purchase' ORDER BY purchase_id""",
         "embedding_stats": """
 SELECT label, count(*) AS n_vecs,
        round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
