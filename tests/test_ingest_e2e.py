@@ -1,0 +1,131 @@
+"""End-to-end fixture flow (SURVEY.md §5.2 item 3): Shopify-shaped JSON
+payloads -> ingest (S2-S4) -> typed silver tables (F5-F8) -> merge upsert
+(S7/S8) -> the five analytics queries — the whole reference pipeline in one
+test, including re-ingestion with changed values (conflict-update-wins)."""
+
+from __future__ import annotations
+
+import json
+import os
+from decimal import Decimal
+
+import pyspark.sql.functions as F
+import pytest
+
+from xboard_spark import ingest
+
+
+@pytest.fixture(scope="module")
+def payload_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("shopify")
+    customers = {
+        "customers": [
+            {"id": 1, "email": "a@x.com", "first_name": "Alice", "last_name": "A",
+             "created_at": "2024-01-01T00:00:00Z"},
+            {"id": 2, "email": None, "first_name": "Bob", "last_name": None,
+             "created_at": "2024-01-02T00:00:00Z"},
+        ]
+    }
+    orders = {
+        "orders": [
+            {"id": 100, "total_price": "10.50", "currency": "USD",
+             "created_at": "2024-01-03T10:00:00Z", "customer": {"id": 1}},
+            {"id": 101, "total_price": "20.00", "currency": "USD",
+             "created_at": "2024-01-04T11:00:00Z", "customer": {"id": 2}},
+        ]
+    }
+    products = {
+        "products": [
+            {"id": 7, "title": "Widget", "body_html": "<p>x</p>", "vendor": "Acme",
+             "product_type": "tool", "handle": "widget"},
+        ]
+    }
+    for name, obj in [("customers", customers), ("orders", orders), ("products", products)]:
+        with open(os.path.join(d, f"{name}.json"), "w") as f:
+            json.dump(obj, f)
+    # re-ingestion batch: order 100 price changed, order 102 new
+    orders2 = {
+        "orders": [
+            {"id": 100, "total_price": "99.99", "currency": "USD",
+             "created_at": "2024-01-03T10:00:00Z", "customer": {"id": 1}},
+            {"id": 102, "total_price": "5.00", "currency": "EUR",
+             "created_at": "2024-01-05T09:00:00Z", "customer": {"id": 1}},
+        ]
+    }
+    with open(os.path.join(d, "orders2.json"), "w") as f:
+        json.dump(orders2, f)
+    return str(d)
+
+
+def test_full_pipeline(spark, payload_dir):
+    tables = ingest.ingest_tenant_data(
+        spark,
+        tenant_id=1,
+        customers_path=os.path.join(payload_dir, "customers.json"),
+        orders_path=os.path.join(payload_dir, "orders.json"),
+        products_path=os.path.join(payload_dir, "products.json"),
+    )
+    customers, orders, products = (
+        tables["customers"], tables["orders"], tables["products"]
+    )
+
+    # F5: concat_ws skips the null last_name (no 'undefined' artifacts)
+    names = {r.shopify_customer_id: r.name for r in customers.collect()}
+    assert names[1] == "Alice A"
+    assert names[2] == "Bob"
+
+    # F6/F7: money string -> decimal, ISO string -> timestamp
+    o = {r.shopify_order_id: r for r in orders.collect()}
+    assert o[100].total_price == Decimal("10.50")
+    assert o[100].created_at.year == 2024
+    assert o[100].customer_shopify_id == 1
+
+    # S11 implemented for real: products land typed
+    assert products.count() == 1
+    assert products.first().vendor == "Acme"
+
+    # S8 re-ingestion: changed row wins, new row lands, old rows survive
+    raw2 = ingest.ingest_entity_json(
+        spark, os.path.join(payload_dir, "orders2.json"),
+        ingest.ORDER_PAYLOAD, "orders",
+    )
+    batch2 = ingest.normalize_orders(raw2, tenant_id=1)
+    merged = ingest.merge_upsert(
+        orders.drop("created_recorded_at"),
+        batch2.drop("created_recorded_at"),
+        keys=["tenant_id", "shopify_order_id"],
+    )
+    m = {r.shopify_order_id: r for r in merged.collect()}
+    assert len(m) == 3
+    assert m[100].total_price == Decimal("99.99")  # update wins
+    assert m[101].total_price == Decimal("20.00")  # untouched survives
+    assert m[102].total_price == Decimal("5.00")  # insert lands
+
+    # the five analytics over the merged silver (reference-domain shapes)
+    merged.createOrReplaceTempView("t_orders")
+    customers.createOrReplaceTempView("t_customers")
+    overview = spark.sql(
+        """SELECT (SELECT count(*) FROM t_customers) AS total_customers,
+                  count(*) AS total_orders,
+                  coalesce(sum(total_price), 0) AS total_revenue
+           FROM t_orders"""
+    ).first()
+    assert overview.total_customers == 2
+    assert overview.total_orders == 3
+    assert overview.total_revenue == Decimal("124.99")
+
+    daily = spark.sql(
+        """SELECT date(created_at) AS d, count(*) n, sum(total_price) s
+           FROM t_orders GROUP BY 1 ORDER BY d DESC"""
+    ).collect()
+    assert len(daily) == 3  # three distinct order dates
+
+    top = spark.sql(
+        """SELECT c.name, count(o.shopify_order_id) AS n,
+                  sum(o.total_price) AS spent
+           FROM t_orders o LEFT JOIN t_customers c
+             ON o.customer_shopify_id = c.shopify_customer_id
+           GROUP BY 1 ORDER BY spent DESC LIMIT 5"""
+    ).collect()
+    assert top[0].name == "Alice A"
+    assert top[0].spent == Decimal("104.99")

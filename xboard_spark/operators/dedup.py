@@ -202,8 +202,15 @@ def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, tau: float = 0.5, max_df: int = 100
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs above ``tau`` via the
-    stop-shingle-filtered inverted index."""
-    inv = filtered_index(shingle_index(documents, n), max_df)
+    stop-shingle-filtered inverted index.
+
+    The index is persisted (MEMORY_AND_DISK): the pair join, the size
+    aggregate, and the df filter all consume it, and without an explicit
+    persist each consumer re-derives the tokenize->window->fingerprint
+    subtree (ReuseExchange only dedups *identical* exchanges, and these
+    consumers shuffle on different keys). The index is 2 longs/row —
+    orders of magnitude smaller than the text it came from."""
+    inv = filtered_index(shingle_index(documents, n), max_df).persist()
     return _pair_jaccard(inv, None, tau).orderBy("doc_a", "doc_b")
 
 
@@ -238,7 +245,8 @@ def minhash_dedup_pairs(
     pairs; LSH trades recall for never comparing all pairs.
     """
     rows_per_band = n_perms // n_bands
-    inv = filtered_index(shingle_index(documents, n), max_df)
+    # persisted for the same multi-consumer reason as ngram_jaccard_pairs
+    inv = filtered_index(shingle_index(documents, n), max_df).persist()
     sigs = minhash_signatures(inv, n_perms)
     band_cols = []
     for bi in range(n_bands):

@@ -53,9 +53,15 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k: first ``n_queries`` vectors (by vec_id) against
     the whole corpus. Returns (q_id, rank, vec_id, cosine)."""
-    corpus = embeddings.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).withColumn("v_norm", _norm(F.col("v")))
+    # persisted: the norm-annotated corpus is consumed by both the query
+    # extraction and the scoring join; without persist the double-cast +
+    # norm subtree runs once per consumer (the corpus is the search index —
+    # materializing it is the point)
+    corpus = (
+        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("v_norm", _norm(F.col("v")))
+        .persist()
+    )
     queries = (
         corpus.filter(F.col("vec_id") < n_queries)
         .select(
@@ -107,8 +113,12 @@ def knn_lsh(
     corpus = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    corpus = corpus.withColumn("v_norm", _norm(F.col("v"))).withColumn(
-        "bucket", _bucket(F.col("v"), n_planes)
+    # persisted: bucket assignment costs n_planes dot products per row and
+    # the frame feeds both join sides (this IS the LSH index build)
+    corpus = (
+        corpus.withColumn("v_norm", _norm(F.col("v")))
+        .withColumn("bucket", _bucket(F.col("v"), n_planes))
+        .persist()
     )
     queries = corpus.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
