@@ -82,11 +82,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": lambda s, d: events.session_stats(_t(s, d, "events")),
         "events_json": lambda s, d: events.events_json_props(_t(s, d, "events")),
         "user_rollup": lambda s, d: events.user_rollup(_t(s, d, "events")),
+        "hourly_windows": lambda s, d: events.hourly_windows(_t(s, d, "events")),
         # --- text analysis / training-data pipeline ---
         "doc_stats": lambda s, d: text.doc_stats(_t(s, d, "documents")),
         "quality_scores": lambda s, d: text.quality_scores(_t(s, d, "documents")),
         "language_id": lambda s, d: text.language_id(_t(s, d, "documents")),
         "doc_fingerprints": lambda s, d: text.doc_fingerprints(
+            _t(s, d, "documents")
+        ),
+        "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(
             _t(s, d, "documents")
         ),
         # --- dedup family ---
@@ -133,6 +137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "knn_lsh": lambda s, d: similarity.knn_lsh(_t(s, d, "embeddings")),
         "embedding_stats": lambda s, d: similarity.embedding_stats(
+            _t(s, d, "embeddings")
+        ),
+        "label_centroids": lambda s, d: similarity.label_centroids(
             _t(s, d, "embeddings")
         ),
     }

@@ -1,0 +1,82 @@
+"""Scale-path storage tests: bucketed tables co-locate join keys so the
+fact-fact join needs NO shuffle (the Spark analog of the reference's
+indexed join columns, and the strategy that matters most at 100 TB — a
+600 GB shuffle avoided per query is the difference between minutes and
+hours). Asserts on the physical plan, not just results."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from xboard_spark.plans.lint import explain_str
+from xboard_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def wh_spark(spark):
+    # shared session; conftest pins the warehouse + metastore to a temp dir
+    return spark
+
+
+def _exchanges(df) -> int:
+    return len(re.findall(r"\bExchange\b", explain_str(df, "simple")))
+
+
+def test_bucketed_join_has_no_shuffle(wh_spark):
+    spark = wh_spark
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("orders_b")
+    )
+    (
+        lineitem.write.mode("overwrite")
+        .bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("lineitem_b")
+    )
+
+    ob = spark.table("orders_b")
+    lb = spark.table("lineitem_b")
+
+    plain = lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+    bucketed = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+
+    # same results
+    assert bucketed.count() == plain.count()
+    # the bucketed join reads both sides pre-partitioned: no Exchange at all
+    assert _exchanges(bucketed) == 0
+    # sanity: the plain parquet join does shuffle (or broadcasts);
+    # disable broadcast to expose the exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain2 = lineitem.join(
+            orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+        )
+        assert _exchanges(plain2) >= 2
+        bucketed2 = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+        assert _exchanges(bucketed2) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_partitioned_write_prunes(wh_spark, tmp_path_factory):
+    """partitionBy on the tenant-analog column -> predicate becomes
+    directory pruning (the Spark analog of idx_*_tenant_id,
+    SURVEY.md §1.4)."""
+    spark = wh_spark
+    out = str(tmp_path_factory.mktemp("part")) + "/orders_p"
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+
+    pruned = spark.read.parquet(out).filter("o_orderstatus = 'F'")
+    txt = explain_str(pruned, "formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
+    assert m and "o_orderstatus" in m.group(1)  # filter hit the directory level
+    assert pruned.count() == orders.filter("o_orderstatus = 'F'").count()

@@ -162,3 +162,24 @@ def user_rollup(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def hourly_windows(events: DataFrame) -> DataFrame:
+    """Tumbling-window aggregation via the native ``window()`` expression —
+    the batch form of the Structured Streaming tumbling aggregate (same
+    expression works under readStream + watermark; see
+    ``streaming.windows``). Emits window start/end explicitly."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

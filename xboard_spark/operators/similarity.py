@@ -159,3 +159,19 @@ def embedding_stats(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension): posexplode the
+    vector and hash-aggregate on (label, dim). Row-form on purpose — the
+    element-wise array mean stays in whole-stage codegen and the shuffle
+    carries partial (sum, count) per (label, dim), independent of corpus
+    size. (The k-means/IVF building block.)"""
+    exploded = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim_idx"))
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+        .orderBy("label", "dim_idx")
+    )

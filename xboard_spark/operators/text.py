@@ -124,3 +124,49 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", fingerprint64(norm).alias("fingerprint"), "lang", "source"
     )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3, max_doc_id: int = 50) -> DataFrame:
+    """TF-IDF top-k terms per document (bounded to doc_id < ``max_doc_id``
+    for a stable result size). Classic inverted-index shape: explode
+    tokens -> per-(doc,term) counts -> document frequency join -> ranking
+    window. All shuffles are on term/doc keys; idf uses the smoothed
+    ln((N+1)/(df+1)) + 1 form."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.count()  # scalar; the corpus size is a plan constant
+    scored = (
+        tf.join(df, "term")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ),
+        )
+        .filter(F.col("doc_id") < max_doc_id)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "tfidf",
+        )
+        .orderBy("doc_id", "rnk")
+    )

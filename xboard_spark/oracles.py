@@ -557,6 +557,35 @@ c AS (
 SELECT event_id AS purchase_id, user_id,
        coalesce(nv, 0)::BIGINT AS n_views_before
 FROM c WHERE event_type = 'purchase' ORDER BY purchase_id""",
+        "hourly_windows": """
+SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+        "tfidf_top_terms": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * (ln((nd.n + 1) / (df.df + 1)) + 1), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN nd
+  WHERE tf.doc_id < 50
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, rnk::BIGINT AS rnk, term, tf, df, tfidf
+FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+        "label_centroids": """
+SELECT label, i AS dim_idx, round(avg(embedding[i]), 6) AS centroid_val
+FROM embeddings, generate_series(1, 64) t(i)
+GROUP BY 1, 2 ORDER BY label, dim_idx""",
         "embedding_stats": """
 SELECT label, count(*) AS n_vecs,
        round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
