@@ -1,0 +1,71 @@
+"""Registration flow (S9/S10, routes/auth.js) + approx-distinct accuracy +
+the tenant-filter lint — the remaining reference rows and engine
+invariants."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from xboard_spark import ingest
+from xboard_spark.io import read_table
+from xboard_spark.plans.lint import assert_filter_on
+
+
+@pytest.fixture()
+def empty_tables(spark):
+    tenants = spark.createDataFrame([], ingest.TENANT_SCHEMA)
+    users = spark.createDataFrame([], ingest.USER_SCHEMA)
+    return tenants, users
+
+
+def test_register_assigns_sequential_ids(spark, empty_tables):
+    tenants, users = empty_tables
+    tenants, users, tid1 = ingest.register_tenant(
+        spark, tenants, users, "a.example", "tok-a", "a@x.com", "hash-a"
+    )
+    tenants, users, tid2 = ingest.register_tenant(
+        spark, tenants, users, "b.example", "tok-b", "b@x.com", "hash-b"
+    )
+    assert (tid1, tid2) == (1, 2)
+    assert {r.id for r in tenants.collect()} == {1, 2}
+    u = {r.email: r for r in users.collect()}
+    assert u["a@x.com"].tenant_id == 1
+    assert u["b@x.com"].tenant_id == 2
+
+
+def test_register_duplicate_email_rejected(spark, empty_tables):
+    tenants, users = empty_tables
+    tenants, users, _ = ingest.register_tenant(
+        spark, tenants, users, "a.example", "tok", "a@x.com", "h"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        ingest.register_tenant(spark, tenants, users, "c.example", "t", "a@x.com", "h")
+
+
+def test_assign_ids_continues_from_max(spark):
+    existing = spark.createDataFrame(
+        [(7, "x")], "id long, v string"
+    )
+    new = spark.createDataFrame([(None, "a"), (None, "b")], "id long, v string")
+    out = ingest.assign_ids(existing, new)
+    assert sorted(r.id for r in out.collect()) == [8, 9]
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """The 100 TB twin of count_distinct: HLL++ must land within its
+    documented error (rsd default 5%) of the exact count."""
+    events = read_table(spark, sf_dir, "events")
+    row = events.agg(
+        F.count_distinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id").alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.1
+
+
+def test_tenant_filter_lint(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    filtered = orders.filter(F.col("o_custkey") == 7)
+    assert_filter_on(filtered, "o_custkey")  # passes
+    with pytest.raises(ValueError, match="isolation predicate"):
+        assert_filter_on(orders, "o_custkey")  # no filter -> lint trips

@@ -181,3 +181,77 @@ def orders_upsert_demo(orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+TENANT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("shop_domain", T.StringType()),
+        T.StructField("encrypted_admin_token", T.StringType()),
+        T.StructField("scopes", T.StringType()),
+        T.StructField("installed_at", T.TimestampType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+USER_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("email", T.StringType()),
+        T.StructField("password_hash", T.StringType()),
+        T.StructField("tenant_id", T.LongType()),
+        T.StructField("created_at", T.TimestampType()),
+    ]
+)
+
+
+def assign_ids(existing: DataFrame, new_rows: DataFrame, id_col: str = "id") -> DataFrame:
+    """S9/S10 insert-returning analog: assign surrogate ids to ``new_rows``
+    as max(existing id) + row_number (``RETURNING id``,
+    ``routes/auth.js:26-39``). Spark has no auto-increment; this is the
+    documented non-transactional equivalent (SURVEY.md §7) — safe for a
+    single writer per table, which is exactly the reference's model (one
+    Node process). row_number over an explicit total order keeps ids
+    deterministic; monotonically_increasing_id would not be."""
+    base = existing.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m"))
+    order_cols = [c for c in new_rows.columns if c != id_col]
+    w = Window.orderBy(*order_cols)
+    numbered = new_rows.withColumn("_rn", F.row_number().over(w))
+    return (
+        numbered.crossJoin(F.broadcast(base))
+        .withColumn(id_col, (F.col("m") + F.col("_rn")).cast("long"))
+        .drop("_rn", "m")
+        .select(new_rows.columns)
+    )
+
+
+def register_tenant(
+    spark: SparkSession,
+    tenants: DataFrame,
+    users: DataFrame,
+    shop_domain: str,
+    access_token: str,
+    email: str,
+    password_hash: str,
+    scopes: str = "read_customers,read_orders,read_products",
+) -> tuple[DataFrame, DataFrame, int]:
+    """The register flow (``routes/auth.js:13-53``) minus the HTTP/JWT/bcrypt
+    shell (out of engine scope, SURVEY.md §2.6 F10/F11): duplicate-email
+    check, tenant insert-returning, user insert — returns the new frames and
+    the assigned tenant id. Ingestion kickoff (the reference fires it
+    unawaited, ``auth.js:44-46``) is the caller's separate Spark action."""
+    if users.filter(F.col("email") == email).limit(1).count() > 0:
+        raise ValueError(f"user already exists: {email}")
+    new_tenant = spark.createDataFrame(
+        [(None, shop_domain, access_token, scopes, None, "active")], TENANT_SCHEMA
+    ).withColumn("installed_at", F.current_timestamp())
+    new_tenant = assign_ids(tenants, new_tenant)
+    tenant_id = new_tenant.first().id
+    new_user = spark.createDataFrame(
+        [(None, email, password_hash, tenant_id, None)], USER_SCHEMA
+    ).withColumn("created_at", F.current_timestamp())
+    new_user = assign_ids(users, new_user)
+    return (
+        tenants.unionByName(new_tenant),
+        users.unionByName(new_user),
+        tenant_id,
+    )
