@@ -1,0 +1,65 @@
+"""Plan-quality regression tests: the properties that make these queries
+scale are asserted on the PHYSICAL PLAN, so a refactor that silently
+un-pushes a filter, drops a broadcast, or sneaks a Python UDF into a hot
+path fails CI — not just the 100 TB run."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from xboard_spark.plans.lint import explain_str, plan_report
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+def _report(spark, qs, name, sf_dir):
+    return plan_report(qs[name](spark, sf_dir))
+
+
+def test_filters_reach_parquet_scan(spark, sf_dir, qs):
+    r = _report(spark, qs, "pricing_summary", sf_dir)
+    pushed = " ".join(p for p in r["pushed_filters"] if p)
+    assert "l_shipdate" in pushed  # date cutoff reached the scan
+
+    r = _report(spark, qs, "segment_top_orders", sf_dir)
+    pushed = " ".join(p for p in r["pushed_filters"] if p)
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed
+
+
+def test_column_pruning(spark, sf_dir, qs):
+    r = _report(spark, qs, "recent_orders", sf_dir)
+    # projection of 5 columns must NOT read the other orders columns
+    schemas = " ".join(r["read_schemas"])
+    assert "o_orderpriority" not in schemas
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir, qs):
+    for name in ["top_customers", "recent_orders", "top_parts_by_revenue"]:
+        assert _report(spark, qs, name, sf_dir)["take_ordered"], name
+
+
+def test_dimension_joins_broadcast(spark, sf_dir, qs):
+    r = _report(spark, qs, "revenue_by_nation", sf_dir)
+    assert r["n_broadcast_joins"] >= 3  # supplier, nation, region at least
+    assert r["n_smj"] == 0  # nothing falls back to sort-merge at this scale
+
+
+def test_no_python_udf_in_hot_paths(spark, sf_dir, qs):
+    for name in [
+        "pricing_summary",
+        "minhash_dedup",
+        "knn_bruteforce",
+        "quality_scores",
+        "session_stats",
+        "tfidf_top_terms",
+    ]:
+        assert not _report(spark, qs, name, sf_dir)["has_python_udf"], name
+
+
+def test_point_lookup_is_shuffle_free(spark, sf_dir, qs):
+    r = _report(spark, qs, "customer_lookup", sf_dir)
+    assert r["n_exchanges"] == 0  # filter + broadcast chain, no shuffle

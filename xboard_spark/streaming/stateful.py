@@ -1,0 +1,88 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState`` — the
+escape hatch for semantics the built-in windows can't express (SURVEY.md
+§7 / the Structured Streaming model of Armbrust et al., SIGMOD 2018).
+
+The example operator is a per-user running profile with inactivity timeout:
+it maintains (event count, value sum, last seen) per user across
+micro-batches and EMITS a final "session summary" row only when the user
+goes quiet past the timeout — something dropDuplicates/window cannot do
+because the emission is state-timeout-driven, not watermark-window-driven.
+State lives in the executor state store keyed by user (scales horizontally
+with keys; nothing on the driver).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_seen_ms", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("closed_by_timeout", T.BooleanType()),
+    ]
+)
+
+
+def _update_user_profile(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, total, _ = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "closed_by_timeout": [True],
+            }
+        )
+        return
+
+    n, total, last_ms = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
+    state.update((n, total, last_ms))
+    state.setTimeoutDuration(30_000)  # close the profile after 30s idle
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "closed_by_timeout": [False],
+        }
+    )
+
+
+def user_profiles_stream(events_stream: DataFrame) -> DataFrame:
+    """events (ts, user_id, value) -> running per-user profile rows, with a
+    timeout-closed summary row when a user goes idle."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_profile,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
