@@ -124,6 +124,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": lambda s, d: window_ops.customers_without_orders(
             _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "nation")
         ),
+        "rolling_revenue": lambda s, d: window_ops.rolling_revenue(
+            _t(s, d, "orders")
+        ),
+        "customer_order_gaps": lambda s, d: window_ops.customer_order_gaps(
+            _t(s, d, "orders"), _t(s, d, "customer")
+        ),
+        "orders_cube": lambda s, d: window_ops.orders_cube(_t(s, d, "orders")),
         # --- temporal joins (as-of, bounded range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(
             _t(s, d, "events")

@@ -159,3 +159,58 @@ def customers_without_orders(
         )
         .orderBy("nation_name")
     )
+
+
+def rolling_revenue(orders: DataFrame, window_days: int = 7) -> DataFrame:
+    """Moving average of daily revenue over the last ``window_days`` observed
+    days (ROWS frame over the daily rollup — dense and portable).
+
+    The ordering window is global but over the DAILY grain — cardinality is
+    days, not orders, so the single-partition sort is a few thousand rows at
+    any raw-data scale. (Partition by year if the calendar itself gets big.)
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("order_date").rowsBetween(-(window_days - 1), 0)
+    return (
+        daily.withColumn("ma7", F.round(F.avg("revenue").over(w), 4))
+        .orderBy("order_date")
+    )
+
+
+def customer_order_gaps(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Inter-order gap analysis: days between consecutive orders per
+    customer (lag window), aggregated per market segment. One shuffle on
+    custkey for the window, reused by the join."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.withColumn(
+        "gap", F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+    )
+    return (
+        gaps.join(customer, gaps["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg("gap"), 4).alias("avg_gap_days"),
+            F.count("gap").alias("n_gaps"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def orders_cube(orders: DataFrame) -> DataFrame:
+    """CUBE (status, priority): all 4 grouping combinations in one Expand +
+    hash aggregate — the full grouping-sets surface next to
+    ``revenue_rollup``'s ROLLUP."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )

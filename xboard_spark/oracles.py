@@ -586,6 +586,36 @@ FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
 SELECT label, i AS dim_idx, round(avg(embedding[i]), 6) AS centroid_val
 FROM embeddings, generate_series(1, 64) t(i)
 GROUP BY 1, 2 ORDER BY label, dim_idx""",
+        "rolling_revenue": """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT order_date, revenue,
+       round(avg(revenue) OVER (ORDER BY order_date
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+         AS ma7
+FROM daily ORDER BY order_date""",
+        "customer_order_gaps": """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap
+  FROM orders
+)
+SELECT c_mktsegment, round(avg(gap), 4) AS avg_gap_days,
+       count(gap) AS n_gaps
+FROM g JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1""",
+        "orders_cube": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       (2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority))::BIGINT AS gid
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
         "embedding_stats": """
 SELECT label, count(*) AS n_vecs,
        round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
