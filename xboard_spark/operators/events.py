@@ -183,3 +183,38 @@ def hourly_windows(events: DataFrame) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+def user_value_trend(events: DataFrame) -> DataFrame:
+    """Per-user OLS slope of event value over time via ``applyInPandas`` —
+    the grouped-map escape hatch for per-entity model fits that closed-form
+    SQL can't express cleanly. Arrow-batched, one group per user, shuffle
+    on user_id only; the Python work is O(rows_of_that_user) with NumPy
+    vectorization (never row-at-a-time)."""
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        t = pdf["ts"].astype("int64") / 1e9
+        v = pdf["value"].astype("float64")
+        if len(pdf) < 2 or t.std() == 0:
+            slope = 0.0
+        else:
+            slope = float(np.polyfit(t - t.mean(), v, 1)[0])
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "slope_per_hour": [round(slope * 3600, 6)],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            fit, schema="user_id long, n_events long, slope_per_hour double"
+        )
+        .orderBy("user_id")
+    )

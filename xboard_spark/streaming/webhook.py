@@ -48,6 +48,36 @@ def read_webhook_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_webhooks_with_errors(spark: SparkSession, path: str) -> DataFrame:
+    """Batch intake that KEEPS malformed payloads instead of dropping them —
+    the reference's ``webhook_events.error TEXT`` design (``init.sql:28``):
+    bad rows must land with an error marker, not vanish. PERMISSIVE mode
+    parks the raw line in ``error_raw``; downstream routing filters on
+    ``is_valid`` (good rows -> silver merge, bad rows -> quarantine table).
+    """
+    # StructType.add MUTATES in place — build a fresh schema each call so the
+    # shared module-level WEBHOOK_SCHEMA never grows a duplicate column
+    schema = T.StructType(WEBHOOK_SCHEMA.fields + [T.StructField(CORRUPT_COL, T.StringType())])
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    # a permissive parse can't be filtered on the corrupt column directly
+    # without materializing it first (Spark requires a checkpointed plan) —
+    # re-project through select so the column is a plain attribute
+    return df.select(
+        *[c for c in df.columns if c != CORRUPT_COL],
+        F.col(CORRUPT_COL).alias("error_raw"),
+    ).withColumn(
+        "is_valid", F.col("error_raw").isNull()
+    ).withColumn("received_at", F.to_timestamp("received_at"))
+
+
 def deduped_stream(
     webhook: DataFrame, watermark_delay: str = "10 minutes"
 ) -> DataFrame:
