@@ -104,24 +104,31 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.round(F.sum("value"), 2).alias("session_value"),
         )
         .withColumn(
-            "duration_sec",
-            ((F.unix_micros("session_end") - F.unix_micros("session_start")) / 1e6),
+            "duration_us",
+            F.unix_micros("session_end") - F.unix_micros("session_start"),
         )
-        .withColumn("duration_sec", F.round("duration_sec", 3))
+        .withColumn("duration_sec", F.round(F.col("duration_us") / 1e6, 3))
         .orderBy("user_id", "session_seq")
     )
 
 
 def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Aggregate view of sessionization (small, stable output for the
-    correctness gate): per-user session count + event totals."""
+    correctness gate): per-user session count + event totals.
+
+    The mean duration is computed from EXACT integer microseconds
+    (sum(long)/count, divided once) — averaging per-session rounded doubles
+    is order-dependent at the last ulp and flipped a round(.,3) boundary
+    between engines at sf0.1."""
     return (
         sessionize(events, gap_minutes)
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_sessions"),
             F.sum("n_events").alias("n_events"),
-            F.round(F.avg("duration_sec"), 3).alias("avg_session_sec"),
+            F.round(
+                (F.sum("duration_us") / F.count("*")) / 1e6, 3
+            ).alias("avg_session_sec"),
         )
         .orderBy("user_id")
     )

@@ -413,11 +413,11 @@ sess AS (
 ),
 per AS (
   SELECT user_id, session_seq, count(*) AS n_events,
-         round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6, 3) AS duration_sec
+         (epoch_us(max(ts)) - epoch_us(min(ts))) AS duration_us
   FROM sess GROUP BY 1, 2
 )
 SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
-       round(avg(duration_sec), 3) AS avg_session_sec
+       round((sum(duration_us) / count(*)) / 1e6, 3) AS avg_session_sec
 FROM per GROUP BY 1 ORDER BY user_id""",
         "events_json": """
 SELECT event_type,

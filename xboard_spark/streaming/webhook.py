@@ -48,6 +48,36 @@ def read_webhook_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_webhook_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "webhooks",
+) -> DataFrame:
+    """Kafka form of the webhook source — the production intake at scale
+    (file source is the test/dev twin; both feed the same downstream
+    pipeline). Requires the spark-sql-kafka package on the classpath; this
+    container ships without it, so the failure mode is an explicit error at
+    call time, not a silent stub."""
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .load()
+        )
+    except Exception as e:  # pragma: no cover - no kafka jar in container
+        raise NotImplementedError(
+            "kafka source requires the spark-sql-kafka package "
+            "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>); "
+            "wire it here — downstream (deduped_stream -> parse_order_events "
+            "-> start_bronze_to_silver) is source-agnostic"
+        ) from e
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), WEBHOOK_SCHEMA).alias("w")
+    ).select("w.*")
+    return parsed.withColumn("received_at", F.to_timestamp("received_at"))
+
+
 CORRUPT_COL = "_corrupt_record"
 
 
