@@ -16,6 +16,7 @@ from xboard_spark.io import read_table
 from xboard_spark.ingest import orders_upsert_demo
 from xboard_spark.operators import (
     analytics,
+    curation,
     dedup,
     events,
     similarity,
@@ -102,6 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "simhash": lambda s, d: dedup.simhash_fingerprints(_t(s, d, "documents")),
+        "curation_stats": lambda s, d: curation.curated_corpus_stats(
+            _t(s, d, "documents")
+        ),
         # --- relational surface beyond the reference (SURVEY.md §2.9) ---
         "nation_customer_ranks": lambda s, d: window_ops.nation_customer_ranks(
             _t(s, d, "customer"), _t(s, d, "nation")
@@ -143,6 +147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings")
         ),
         "knn_lsh": lambda s, d: similarity.knn_lsh(_t(s, d, "embeddings")),
+        "knn_ivf": lambda s, d: similarity.knn_ivf(_t(s, d, "embeddings")),
+        "ivf_cell_sizes": lambda s, d: similarity.ivf_cell_sizes(
+            _t(s, d, "embeddings")
+        ),
         "embedding_stats": lambda s, d: similarity.embedding_stats(
             _t(s, d, "embeddings")
         ),

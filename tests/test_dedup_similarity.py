@@ -132,3 +132,16 @@ def test_knn_lsh_subset_quality(vecs):
     for r in lsh:
         if (r.q_id, r.vec_id) in bf_scores:
             assert abs(bf_scores[(r.q_id, r.vec_id)] - r.cosine) < 1e-9
+
+
+def test_knn_ivf_recall_and_balance(vecs):
+    """IVF with learned cells: clustered data must land in distinct cells
+    and probe-2 search must recall most of the brute-force top-k for these
+    well-separated clusters."""
+    bf = {(r.q_id, r.vec_id) for r in similarity.knn_bruteforce(vecs, 2, 5).collect()}
+    ivf = {(r.q_id, r.vec_id) for r in similarity.knn_ivf(vecs, 2, 5).collect()}
+    assert ivf  # non-degenerate index
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.6, f"recall {recall}"
+    sizes = similarity.ivf_cell_sizes(vecs).collect()
+    assert sum(r.n_vecs for r in sizes) == 40  # every vector assigned once

@@ -175,3 +175,152 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
         .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
         .orderBy("label", "dim_idx")
     )
+
+
+N_CELLS = 8
+
+
+def _vec_dims(embeddings: DataFrame) -> DataFrame:
+    """Row-form (vec_id, dim, val) — the shape every IVF step joins on.
+    Row-form on purpose: all distance math stays in whole-stage codegen
+    (see dedup.shingle_index for the HOF-collapse measurement)."""
+    return embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+
+
+def initial_centroids(spark, n_cells: int = N_CELLS, dim: int = DIM) -> DataFrame:
+    """Deterministic seed centroids (cell, dim, cval) from the same integer
+    hash as the LSH hyperplanes — reproducible in plain SQL, no RNG."""
+    rows = [
+        (c, d + 1, plane_weight(c, d))
+        for c in range(n_cells)
+        for d in range(dim)
+    ]
+    return spark.createDataFrame(rows, "cell int, dim long, cval double")
+
+
+def _assign(vec_dims: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: join on dim (centroids broadcast),
+    partial-aggregate squared distance per (vec, cell), argmin via ranking
+    window with a cell-id tiebreak."""
+    dist = (
+        vec_dims.join(F.broadcast(centroids), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+            ).alias("dist2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cell")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def _update(vec_dims: DataFrame, assign: DataFrame) -> DataFrame:
+    """Lloyd update: element-wise mean per (cell, dim)."""
+    return (
+        vec_dims.join(assign, "vec_id")
+        .groupBy("cell", "dim")
+        .agg(F.avg("val").alias("cval"))
+    )
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate kNN with LEARNED cells: one deterministic Lloyd
+    iteration from hash-seeded centroids, then probe the ``n_probe``
+    nearest cells per query and rank candidates by exact cosine.
+
+    The 100 TB path: the final assignment IS the index — the corpus is
+    written partitioned by cell, a query reads n_probe/n_cells of the data.
+    One fixed iteration keeps the construction reproducible in the SQL
+    oracle; production would iterate to convergence offline and store the
+    centroids (the structure of every step is identical).
+    """
+    spark = embeddings.sparkSession
+    vd = _vec_dims(embeddings).persist()
+    c0 = initial_centroids(spark, n_cells)
+    c1 = _update(vd, _assign(vd, c0)).persist()
+    final_assign = _assign(vd, c1)
+
+    corpus = (
+        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("v_norm", _norm(F.col("v")))
+        .join(final_assign, "vec_id")
+        .persist()
+    )
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q"),
+        F.col("v_norm").alias("q_norm"),
+    )
+    # probe cells: rank cells by centroid distance per query
+    q_dims = _vec_dims(embeddings.filter(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("q_id"), "dim", "val"
+    )
+    q_cell = (
+        q_dims.join(F.broadcast(c1), "dim")
+        .groupBy("q_id", "cell")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+            ).alias("dist2")
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy("dist2", "cell")
+    probes = (
+        q_cell.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "cell")
+    )
+    scored = (
+        corpus.join(probes, "cell")
+        .join(F.broadcast(queries), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+def ivf_cell_sizes(embeddings: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+    """Index-balance diagnostic: vectors per learned cell after one Lloyd
+    iteration (the partition-balance check you run before writing the
+    corpus partitioned by cell)."""
+    spark = embeddings.sparkSession
+    vd = _vec_dims(embeddings).persist()
+    c0 = initial_centroids(spark, n_cells)
+    c1 = _update(vd, _assign(vd, c0))
+    final_assign = _assign(vd, c1)
+    return (
+        final_assign.groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("cell")
+    )

@@ -172,9 +172,21 @@ def rolling_revenue(orders: DataFrame, window_days: int = 7) -> DataFrame:
     daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue")
     )
+    # moving average over EXACT integer cents: a windowed avg over doubles
+    # is engine-order-dependent (segment-tree vs running sum) and can flip a
+    # rounding boundary; summing longs is exact in any order
+    daily = daily.withColumn(
+        "rev_cents", F.round(F.col("revenue") * 100).cast("long")
+    )
     w = Window.orderBy("order_date").rowsBetween(-(window_days - 1), 0)
     return (
-        daily.withColumn("ma7", F.round(F.avg("revenue").over(w), 4))
+        daily.withColumn(
+            "ma7",
+            F.round(
+                F.sum("rev_cents").over(w) / (F.count("*").over(w) * 100.0), 4
+            ),
+        )
+        .drop("rev_cents")
         .orderBy("order_date")
     )
 

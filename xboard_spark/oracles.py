@@ -56,9 +56,9 @@ df_ok AS (SELECT shfp FROM inv0 GROUP BY shfp HAVING count(*) <= {max_df}),
 inv AS (SELECT inv0.doc_id, inv0.shfp FROM inv0 JOIN df_ok USING (shfp))"""
 
 
-def _pair_jaccard_sql(shared_cte: str, tau: float) -> str:
-    """shared counts -> sizes join -> jaccard threshold (mirrors
-    operators.dedup._pair_jaccard)."""
+def _pairs_cte(shared_cte: str) -> str:
+    """sizes + pairs CTEs (mirrors operators.dedup._pair_jaccard), no final
+    select — composable by minhash/ngram/curation oracles."""
     return f"""
 sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM inv GROUP BY doc_id),
 pairs AS (
@@ -67,7 +67,11 @@ pairs AS (
   FROM {shared_cte} s
   JOIN sizes sa ON sa.doc_id = s.doc_a
   JOIN sizes sb ON sb.doc_id = s.doc_b
-)
+)"""
+
+
+def _pair_jaccard_sql(shared_cte: str, tau: float) -> str:
+    return f"""{_pairs_cte(shared_cte)}
 SELECT doc_a, doc_b, shared, n_a, n_b, jaccard
 FROM pairs WHERE jaccard >= {tau}
 ORDER BY doc_a, doc_b"""
@@ -108,8 +112,7 @@ def minhash_sql(
             f"SELECT doc_id, {bi} AS band, {band_hash} AS bh FROM sigs"
         )
     bands_union = "\nUNION ALL\n".join(band_selects)
-    return f"""
-WITH {_docs_cte(n)},
+    stack = f"""{_docs_cte(n)},
 {_inv_cte(max_df)},
 sigs AS (SELECT doc_id, {sig_exprs} FROM inv GROUP BY doc_id),
 bands AS ({bands_union}),
@@ -124,8 +127,37 @@ shared AS (
   JOIN inv a ON a.doc_id = c.doc_a
   JOIN inv b ON b.doc_id = c.doc_b AND b.shfp = a.shfp
   GROUP BY 1, 2
+),{_pairs_cte('shared')}"""
+    return f"""
+WITH {stack}
+SELECT doc_a, doc_b, shared, n_a, n_b, jaccard
+FROM pairs WHERE jaccard >= {tau}
+ORDER BY doc_a, doc_b"""
+
+
+def curation_sql(min_tokens: int = 40, tau: float = 0.5) -> str:
+    """Quality gate + minhash near-dedup removal + corpus rollup — composes
+    the minhash pair stack (mirrors operators.curation)."""
+    mh = minhash_sql(tau=tau)
+    stack = mh[mh.index("WITH ") + 5 : mh.index("\nSELECT doc_a")]
+    return f"""
+WITH {stack},
+removed AS (
+  SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE jaccard >= {tau}
 ),
-{_pair_jaccard_sql('shared', tau)}"""
+toks AS (
+  SELECT doc_id, lang, source,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT
+           AS n_tokens
+  FROM documents
+)
+SELECT lang, source, count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       round(avg(n_tokens), 6) AS avg_tokens
+FROM toks
+WHERE n_tokens >= {min_tokens}
+  AND doc_id NOT IN (SELECT doc_id FROM removed)
+GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 def simhash_sql(bits: int = 16) -> str:
@@ -210,6 +242,97 @@ ranked AS (
 )
 SELECT q_id, rank::BIGINT AS rank, vec_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {k} ORDER BY q_id, rank"""
+
+
+def _centroid_values_sql(n_cells: int = 8, dim: int = DIM) -> str:
+    rows = []
+    for c in range(n_cells):
+        vals = ", ".join(repr(plane_weight(c, d)) for d in range(dim))
+        rows.append(f"({c}, [{vals}]::DOUBLE[])")
+    return ",\n        ".join(rows)
+
+
+def _ivf_stack(n_cells: int = 8, n_queries: int = 5, dim: int = DIM) -> str:
+    """CTE stack shared by knn_ivf / ivf_cell_sizes (mirrors
+    operators.similarity: seed centroids -> assign -> Lloyd update ->
+    final assignment)."""
+    return f"""c0 AS (
+  SELECT cell, i AS dim, arr[i] AS cval
+  FROM (VALUES {_centroid_values_sql(n_cells, dim)}) t(cell, arr),
+       generate_series(1, {dim}) s(i)
+),
+vd AS (
+  SELECT vec_id, i AS dim, (embedding[i])::DOUBLE AS val
+  FROM embeddings, generate_series(1, {dim}) s(i)
+),
+d1 AS (
+  SELECT vd.vec_id, c0.cell,
+         sum((vd.val - c0.cval) * (vd.val - c0.cval)) AS dist2
+  FROM vd JOIN c0 USING (dim) GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cell) AS rn FROM d1)
+  WHERE rn = 1
+),
+c1 AS (
+  SELECT cell, dim, avg(val) AS cval
+  FROM vd JOIN a1 USING (vec_id) GROUP BY 1, 2
+),
+d2 AS (
+  SELECT vd.vec_id, c1.cell,
+         sum((vd.val - c1.cval) * (vd.val - c1.cval)) AS dist2
+  FROM vd JOIN c1 USING (dim) GROUP BY 1, 2
+),
+fa AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cell) AS rn FROM d2)
+  WHERE rn = 1
+)"""
+
+
+def knn_ivf_sql(
+    n_queries: int = 5, k: int = 5, n_cells: int = 8, n_probe: int = 2
+) -> str:
+    return f"""
+WITH {_ivf_stack(n_cells, n_queries)},
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+norms AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS v_norm FROM corpus),
+queries AS (SELECT vec_id AS q_id, v AS q, v_norm AS q_norm
+            FROM norms WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT vec_id AS q_id, cell, dist2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist2, cell) AS rn
+    FROM d2 WHERE vec_id < {n_queries})
+  WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT q.q_id, n.vec_id,
+         list_dot_product(n.v, q.q) / (n.v_norm * q.q_norm) AS cosine
+  FROM norms n
+  JOIN fa ON n.vec_id = fa.vec_id
+  JOIN probes p ON p.cell = fa.cell
+  JOIN queries q ON q.q_id = p.q_id
+  WHERE n.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, rank::BIGINT AS rank, vec_id, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {k} ORDER BY q_id, rank"""
+
+
+def ivf_cell_sizes_sql(n_cells: int = 8) -> str:
+    return f"""
+WITH {_ivf_stack(n_cells)}
+SELECT cell, count(*) AS n_vecs FROM fa GROUP BY 1 ORDER BY cell"""
 
 
 def language_id_sql() -> str:
@@ -453,10 +576,13 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "quality_scores": quality_scores_sql(),
         "language_id": language_id_sql(),
         "ngram_jaccard": ngram_jaccard_sql(),
+        "curation_stats": curation_sql(),
         "minhash_dedup": minhash_sql(),
         "simhash": simhash_sql(),
         "knn_bruteforce": knn_sql(),
         "knn_lsh": knn_lsh_sql(),
+        "knn_ivf": knn_ivf_sql(),
+        "ivf_cell_sizes": ivf_cell_sizes_sql(),
 
         "nation_customer_ranks": """
 WITH j AS (
@@ -589,14 +715,15 @@ GROUP BY 1, 2 ORDER BY label, dim_idx""",
         "rolling_revenue": """
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS order_date,
-         round(sum(o_totalprice), 2) AS revenue
+         round(sum(o_totalprice), 2) AS revenue,
+         round(round(sum(o_totalprice), 2) * 100)::BIGINT AS rev_cents
   FROM orders GROUP BY 1
 )
 SELECT order_date, revenue,
-       round(avg(revenue) OVER (ORDER BY order_date
-                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
-         AS ma7
-FROM daily ORDER BY order_date""",
+       round(sum(rev_cents) OVER w / (count(*) OVER w * 100.0), 4) AS ma7
+FROM daily
+WINDOW w AS (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY order_date""",
         "customer_order_gaps": """
 WITH g AS (
   SELECT o_custkey,
