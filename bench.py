@@ -35,6 +35,12 @@ HEADLINE = [
     "ngram_jaccard",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
+    "curation_stats",
+    "hourly_windows",
+    "purchase_asof_view",
+    "rolling_revenue",
+    "nation_customer_ranks",
 ]
 
 

@@ -69,3 +69,33 @@ def test_tenant_filter_lint(spark, sf_dir):
     assert_filter_on(filtered, "o_custkey")  # passes
     with pytest.raises(ValueError, match="isolation predicate"):
         assert_filter_on(orders, "o_custkey")  # no filter -> lint trips
+
+
+def test_backfill_orchestration(spark, empty_tables):
+    import datetime as dt
+
+    from xboard_spark.ingest import run_backfill, tenants_needing_backfill
+
+    tenants, users = empty_tables
+    for shop, email in [("a.example", "a@x.com"), ("b.example", "b@x.com")]:
+        tenants, users, _ = ingest.register_tenant(
+            spark, tenants, users, shop, "tok", email, "h"
+        )
+    # both have last_backfill_at NULL -> both due
+    assert tenants_needing_backfill(tenants).count() == 2
+
+    seen = []
+
+    def fake_ingest(row):
+        seen.append(row.shop_domain)
+        if row.shop_domain == "b.example":
+            raise RuntimeError("shopify 429")
+        return {"customers": 3}
+
+    tenants2, runs = run_backfill(spark, tenants, fake_ingest)
+    assert sorted(seen) == ["a.example", "b.example"]
+    by_status = {r.status: r for r in runs.collect()}
+    assert by_status["success"].tenant_id == 1
+    assert "429" in by_status["failed"].details
+    # success stamped, failure left due for retry
+    assert tenants_needing_backfill(tenants2).count() == 1

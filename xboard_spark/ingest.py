@@ -191,6 +191,8 @@ TENANT_SCHEMA = T.StructType(
         T.StructField("scopes", T.StringType()),
         T.StructField("installed_at", T.TimestampType()),
         T.StructField("status", T.StringType()),
+        T.StructField("webhook_registration", T.StringType()),  # JSON
+        T.StructField("last_backfill_at", T.TimestampType()),
     ]
 )
 USER_SCHEMA = T.StructType(
@@ -242,7 +244,8 @@ def register_tenant(
     if users.filter(F.col("email") == email).limit(1).count() > 0:
         raise ValueError(f"user already exists: {email}")
     new_tenant = spark.createDataFrame(
-        [(None, shop_domain, access_token, scopes, None, "active")], TENANT_SCHEMA
+        [(None, shop_domain, access_token, scopes, None, "active", None, None)],
+        TENANT_SCHEMA,
     ).withColumn("installed_at", F.current_timestamp())
     new_tenant = assign_ids(tenants, new_tenant)
     tenant_id = new_tenant.first().id
@@ -255,3 +258,79 @@ def register_tenant(
         users.unionByName(new_user),
         tenant_id,
     )
+
+
+INGESTION_RUN_SCHEMA = T.StructType(
+    [
+        T.StructField("tenant_id", T.LongType()),
+        T.StructField("started_at", T.TimestampType()),
+        T.StructField("finished_at", T.TimestampType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("details", T.StringType()),  # JSON, like init.sql:131
+    ]
+)
+
+
+def tenants_needing_backfill(
+    tenants: DataFrame, older_than_hours: int = 24
+) -> DataFrame:
+    """ST5 scheduling predicate: active tenants whose ``last_backfill_at``
+    is NULL (never backfilled) or older than the interval
+    (``tenants.last_backfill_at``, init.sql:12)."""
+    cutoff = F.current_timestamp() - F.make_interval(hours=F.lit(older_than_hours))
+    return tenants.filter(
+        (F.col("status") == "active")
+        & (F.col("last_backfill_at").isNull() | (F.col("last_backfill_at") < cutoff))
+    )
+
+
+def run_backfill(
+    spark: SparkSession,
+    tenants: DataFrame,
+    ingest_fn,
+    ingestion_runs: DataFrame | None = None,
+    older_than_hours: int = 24,
+) -> tuple[DataFrame, DataFrame]:
+    """Backfill orchestrator: for each due tenant run ``ingest_fn(tenant_row)``
+    (the S12 pipeline), stamp ``last_backfill_at``, and append an
+    ``ingestion_runs`` row per tenant (started/finished/status/details —
+    init.sql:126-133). Returns (updated tenants, updated ingestion_runs).
+
+    The reference fires one ETL per tenant sequentially on one node
+    (``dataIngestion.js:12-19``); here each tenant's ingest is a Spark job —
+    at scale the per-tenant jobs are submitted concurrently (scheduler
+    pools), and this driver loop only moves metadata.
+    """
+    import datetime as dt
+    import json as _json
+
+    due = tenants_needing_backfill(tenants, older_than_hours).collect()
+    runs = []
+    done_ids = []
+    for row in due:
+        started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        try:
+            details = ingest_fn(row) or {}
+            status = "success"
+        except Exception as e:  # noqa: BLE001 - run log captures the failure
+            details = {"error": str(e)[:500]}
+            status = "failed"
+        finished = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        runs.append((row.id, started, finished, status, _json.dumps(details)))
+        if status == "success":
+            done_ids.append(row.id)
+
+    new_runs = spark.createDataFrame(runs or [], INGESTION_RUN_SCHEMA)
+    all_runs = (
+        new_runs
+        if ingestion_runs is None
+        else ingestion_runs.unionByName(new_runs)
+    )
+    updated_tenants = tenants.withColumn(
+        "last_backfill_at",
+        F.when(
+            F.col("id").isin(done_ids) if done_ids else F.lit(False),
+            F.current_timestamp(),
+        ).otherwise(F.col("last_backfill_at")),
+    )
+    return updated_tenants, all_runs
