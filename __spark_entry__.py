@@ -77,6 +77,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": lambda s, d: tpch.order_priority_counts(
             _t(s, d, "orders"), _t(s, d, "lineitem")
         ),
+        "nation_market_share": lambda s, d: tpch.nation_market_share(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "nation"),
+        ),
+        "orders_above_cust_avg": lambda s, d: tpch.orders_above_customer_avg(
+            _t(s, d, "orders")
+        ),
+        "part_type_breakdown": lambda s, d: tpch.part_type_breakdown(
+            _t(s, d, "part")
+        ),
+        "tenant_orders_overview": lambda s, d: analytics.tenant_orders_overview(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "nation"), 7
+        ),
         # --- streaming-shaped batch analogs (SURVEY.md §2.7) ---
         "events_dedup": lambda s, d: events.events_dedup_summary(_t(s, d, "events")),
         "events_daily": lambda s, d: events.events_daily(_t(s, d, "events")),

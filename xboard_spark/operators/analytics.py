@@ -160,3 +160,29 @@ def top_customers_faithful(orders: DataFrame, customer: DataFrame, on: str) -> D
         )
         .orderBy(F.desc("total_spent"), F.asc("cust_name"))
     )
+
+
+def tenant_orders_overview(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame, tenant_nation: int
+) -> DataFrame:
+    """The multi-tenant isolation surface (P2) generalized onto the driver
+    tables: nationkey stands in for tenant_id; every downstream aggregate
+    sees ONLY the tenant's rows, and the plan is linted for the isolation
+    predicate before returning (the engine-side analog of the reference
+    sourcing tenant_id from the JWT, ``routes/analytics.js:30``)."""
+    from xboard_spark.plans.lint import assert_filter_on
+
+    tenant_cust = customer.filter(F.col("c_nationkey") == tenant_nation)
+    assert_filter_on(tenant_cust, "c_nationkey")
+    joined = orders.join(
+        tenant_cust, orders["o_custkey"] == tenant_cust["c_custkey"], "inner"
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -163,3 +163,74 @@ def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+def nation_market_share(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    target_nation: str = "NATION_7",
+) -> DataFrame:
+    """TPC-H Q8 shape: the target nation's revenue share per order year —
+    CASE-inside-aggregate + date-part extraction. One fact-fact shuffle,
+    dimensions broadcast, then a single hash agg keyed by year."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == target_nation, rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .orderBy("order_year")
+    )
+
+
+def orders_above_customer_avg(orders: DataFrame) -> DataFrame:
+    """Correlated-scalar-subquery shape ("orders larger than their
+    customer's average"), expressed in the decorrelated form Catalyst
+    itself would produce: per-customer aggregate + equi-join back. Counted
+    per status so the output is small and stable."""
+    cust_avg = orders.groupBy("o_custkey").agg(
+        F.avg("o_totalprice").alias("cust_avg")
+    )
+    return (
+        orders.join(cust_avg, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_above_avg"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue_above_avg"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def part_type_breakdown(part: DataFrame) -> DataFrame:
+    """String-function surface over the part dimension: regexp extraction of
+    the noun from p_name, IN-list filter on p_type, grouped stats."""
+    noun = F.regexp_extract(F.col("p_name"), "([a-z]+)$", 1)
+    # mean over exact integer cents — avg of raw doubles is summation-order
+    # dependent and flips round() boundaries between engines
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    return (
+        part.withColumn("noun", noun)
+        .withColumn("cents", cents)
+        .filter(F.col("p_type").isin("STANDARD", "SMALL"))
+        .groupBy("noun")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("cents") / (F.count("*") * 100.0), 4).alias("avg_price"),
+            F.count_distinct("p_brand").alias("n_brands"),
+        )
+        .orderBy("noun")
+    )

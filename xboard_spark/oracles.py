@@ -504,6 +504,40 @@ WHERE EXISTS (
     AND l_shipdate > o_orderdate + INTERVAL 30 DAY
 )
 GROUP BY 1 ORDER BY 1""",
+        "nation_market_share": f"""
+SELECT year(o_orderdate)::BIGINT AS order_year,
+       round(sum(CASE WHEN n_name = 'NATION_7' THEN {rev} ELSE 0 END)
+             / sum({rev}), 6) AS mkt_share,
+       round(sum({rev}), 2) AS total_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1""",
+        "orders_above_cust_avg": """
+WITH ca AS (
+  SELECT o_custkey, avg(o_totalprice) AS cust_avg FROM orders GROUP BY 1
+)
+SELECT o_orderstatus, count(*) AS n_above_avg,
+       round(sum(o_totalprice), 2) AS revenue_above_avg
+FROM orders JOIN ca USING (o_custkey)
+WHERE o_totalprice > cust_avg
+GROUP BY 1 ORDER BY 1""",
+        "part_type_breakdown": """
+SELECT regexp_extract(p_name, '([a-z]+)$', 1) AS noun,
+       count(*) AS n_parts,
+       round(sum(round(p_retailprice * 100)::BIGINT) / (count(*) * 100.0), 4)
+         AS avg_price,
+       count(DISTINCT p_brand) AS n_brands
+FROM part WHERE p_type IN ('STANDARD', 'SMALL')
+GROUP BY 1 ORDER BY 1""",
+        "tenant_orders_overview": """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey = 7
+GROUP BY 1 ORDER BY 1""",
         "events_dedup": f"""
 WITH h AS (SELECT *, {_DELIVERY_HASH} AS delivery_hash FROM events),
 d AS (SELECT *, row_number() OVER (PARTITION BY delivery_hash
