@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings")
         ),
         "knn_lsh": lambda s, d: similarity.knn_lsh(_t(s, d, "embeddings")),
+        "embedding_neardup": lambda s, d: similarity.embedding_neardup(
+            _t(s, d, "embeddings")
+        ),
         "knn_ivf": lambda s, d: similarity.knn_ivf(_t(s, d, "embeddings")),
         "ivf_cell_sizes": lambda s, d: similarity.ivf_cell_sizes(
             _t(s, d, "embeddings")

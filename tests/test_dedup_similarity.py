@@ -145,3 +145,27 @@ def test_knn_ivf_recall_and_balance(vecs):
     assert recall >= 0.6, f"recall {recall}"
     sizes = similarity.ivf_cell_sizes(vecs).collect()
     assert sum(r.n_vecs for r in sizes) == 40  # every vector assigned once
+
+
+def test_embedding_neardup_finds_planted_pairs(vecs):
+    """Same-cluster vectors (cosine ~0.9 via the shared dominant axis) must
+    pair up above tau; cross-cluster (orthogonal axes, cosine ~0.09) must
+    not. Also: pairs are canonical (a < b) and scores symmetric-exact."""
+    out = similarity.embedding_neardup(vecs, tau=0.5).collect()
+    assert out, "planted near-dups not found"
+    for r in out:
+        assert r.vec_a < r.vec_b
+        assert r.vec_a % 2 == r.vec_b % 2, "cross-cluster pair above tau"
+        assert r.cosine >= 0.5
+
+
+def test_embedding_neardup_exact_at_high_tau(vecs):
+    """At tau ~ 1 only the planted EXACT duplicates survive: i and i+14
+    share parity and noise dim (i % 2, i % 7 both repeat every 14), so
+    those vectors are identical (cosine 1.0); everything else differs in a
+    noise dim and drops below 0.9999."""
+    out = similarity.embedding_neardup(vecs, tau=0.9999).collect()
+    assert out, "identical-vector pairs missed"
+    for r in out:
+        assert (r.vec_b - r.vec_a) % 14 == 0, f"non-identical pair {r}"
+        assert abs(r.cosine - 1.0) < 1e-6

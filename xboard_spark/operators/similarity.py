@@ -146,6 +146,50 @@ def knn_lsh(
     )
 
 
+def embedding_neardup(
+    embeddings: DataFrame, tau: float = 0.35, n_planes: int = N_PLANES
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup use of the vector
+    index, vs the top-k retrieval of ``knn_*``): all (vec_a < vec_b) with
+    cosine >= ``tau``, candidates blocked by LSH bucket so the self-join is
+    per-bucket, never |corpus|^2. At 100 TB the corpus is written
+    partitioned by ``bucket`` and each partition self-joins locally — the
+    shuffle key is the bucket id, and pair fan-out is bounded by
+    sum(bucket_size^2), controlled by adding hyperplanes (each plane halves
+    expected bucket size). Same recall/precision trade as SemDeDup-style
+    embedding dedup (cf. MinHash banding in ``operators.dedup``)."""
+    corpus = (
+        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("v_norm", _norm(F.col("v")))
+        .withColumn("bucket", _bucket(F.col("v"), n_planes))
+        .persist()
+    )
+    a = corpus.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("v_norm").alias("na"),
+        "bucket",
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("v_norm").alias("nb"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+    )
+    return (
+        pairs.filter(F.col("cosine") >= tau)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def embedding_stats(embeddings: DataFrame) -> DataFrame:
     """Per-label corpus stats: count + mean vector norm — sanity surface for
     the embedding column plumbing."""

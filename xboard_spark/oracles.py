@@ -244,6 +244,28 @@ SELECT q_id, rank::BIGINT AS rank, vec_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {k} ORDER BY q_id, rank"""
 
 
+def embedding_neardup_sql(tau: float = 0.35, n_planes: int = N_PLANES) -> str:
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql_array(p)}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS v_norm,
+         ({bucket_terms}) AS bucket
+  FROM corpus
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v) / (a.v_norm * b.v_norm), 6) AS cosine
+FROM norms a JOIN norms b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.v_norm * b.v_norm) >= {tau}
+ORDER BY vec_a, vec_b"""
+
+
 def _centroid_values_sql(n_cells: int = 8, dim: int = DIM) -> str:
     rows = []
     for c in range(n_cells):
@@ -615,6 +637,7 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "simhash": simhash_sql(),
         "knn_bruteforce": knn_sql(),
         "knn_lsh": knn_lsh_sql(),
+        "embedding_neardup": embedding_neardup_sql(),
         "knn_ivf": knn_ivf_sql(),
         "ivf_cell_sizes": ivf_cell_sizes_sql(),
 
