@@ -122,6 +122,24 @@ def shingle_index(documents: DataFrame, n: int = 3) -> DataFrame:
     ).dropDuplicates(["doc_id", "shfp"])
 
 
+# (documents semanticHash, n, max_df) -> persisted filtered index.
+# ngram_jaccard_pairs and minhash_dedup_pairs consume the IDENTICAL
+# tokenize->window->fingerprint->df-filter subtree; when both run in one
+# session (the bench, the driver's correctness sweep, any curation
+# pipeline) the second build is pure waste. The index is the expensive,
+# reusable artifact — at scale it would be a bucketed table on disk;
+# in-session the persisted frame plays that role. semanticHash covers the
+# source paths + plan, so a different sf_dir misses the cache correctly.
+_INDEX_CACHE: dict[tuple[int, int, int], DataFrame] = {}
+
+
+def cached_filtered_index(documents: DataFrame, n: int, max_df: int) -> DataFrame:
+    key = (documents.semanticHash(), n, max_df)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = filtered_index(shingle_index(documents, n), max_df).persist()
+    return _INDEX_CACHE[key]
+
+
 def filtered_index(inv: DataFrame, max_df: int) -> DataFrame:
     """Drop stop-shingles (document frequency > max_df) from the index.
 
@@ -209,8 +227,9 @@ def ngram_jaccard_pairs(
     persist each consumer re-derives the tokenize->window->fingerprint
     subtree (ReuseExchange only dedups *identical* exchanges, and these
     consumers shuffle on different keys). The index is 2 longs/row —
-    orders of magnitude smaller than the text it came from."""
-    inv = filtered_index(shingle_index(documents, n), max_df).persist()
+    orders of magnitude smaller than the text it came from — and shared
+    with ``minhash_dedup_pairs`` via ``cached_filtered_index``."""
+    inv = cached_filtered_index(documents, n, max_df)
     return _pair_jaccard(inv, None, tau).orderBy("doc_a", "doc_b")
 
 
@@ -245,8 +264,9 @@ def minhash_dedup_pairs(
     pairs; LSH trades recall for never comparing all pairs.
     """
     rows_per_band = n_perms // n_bands
-    # persisted for the same multi-consumer reason as ngram_jaccard_pairs
-    inv = filtered_index(shingle_index(documents, n), max_df).persist()
+    # persisted + cross-query shared for the same multi-consumer reason as
+    # ngram_jaccard_pairs
+    inv = cached_filtered_index(documents, n, max_df)
     sigs = minhash_signatures(inv, n_perms)
     band_cols = []
     for bi in range(n_bands):
