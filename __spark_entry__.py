@@ -19,6 +19,7 @@ from xboard_spark.operators import (
     curation,
     dedup,
     events,
+    sampling,
     similarity,
     temporal,
     text,
@@ -107,6 +108,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(
+            _t(s, d, "documents")
+        ),
+        "train_test_split": lambda s, d: sampling.train_test_split_stats(
+            _t(s, d, "documents")
+        ),
+        "stratified_sample": lambda s, d: sampling.stratified_sample(
+            _t(s, d, "documents")
+        ),
+        "length_histogram": lambda s, d: sampling.length_histogram(
             _t(s, d, "documents")
         ),
         # --- dedup family ---

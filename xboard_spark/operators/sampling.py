@@ -1,0 +1,97 @@
+"""Deterministic sampling / dataset-splitting operators over ``documents``
+— the remaining training-data-pipeline primitives: hash-based train/test
+splitting, per-stratum (per-language) sampling, and length histograms.
+
+All assignment is HASH-based, never RNG-based, which is the only split
+design that survives distribution: the decision is a pure function of the
+row, so it is (a) reproducible across runs/engines/partitionings, (b)
+stable under re-ingestion (a re-ingested doc lands in the same split —
+no train/test leakage as the corpus grows), and (c) shuffle-free — the
+split column costs one md5 per row computed where the row lives. The
+salt prefix decorrelates the split hash from every other fingerprint use
+(dedup, sampling) so membership in one never biases the other.
+
+Reference parity: the XBoard reference has no sampling surface (SURVEY.md
+§2.9 explicit absences) — these are engine extensions per the north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from xboard_spark.functions.portable_hash import fingerprint64
+from xboard_spark.operators.text import token_count_col
+
+
+def with_split(
+    documents: DataFrame, test_pct: int = 10, salt: str = "split-v1"
+) -> DataFrame:
+    """Adds a deterministic ``split`` column: 'test' iff
+    fingerprint(salt || doc_id) mod 100 < test_pct."""
+    fp = fingerprint64(F.concat_ws(":", F.lit(salt), F.col("doc_id")))
+    return documents.withColumn(
+        "split",
+        F.when(fp % 100 < test_pct, F.lit("test")).otherwise(F.lit("train")),
+    )
+
+
+def train_test_split_stats(
+    documents: DataFrame, test_pct: int = 10
+) -> DataFrame:
+    """Per (split, lang) corpus panel — the balance check run after any
+    split: doc counts, token totals/means. One scan, one partial+final
+    hash aggregate; no shuffle beyond the (split, lang) agg."""
+    toks = token_count_col(F.col("text"))
+    return (
+        with_split(documents, test_pct)
+        .withColumn("n_tokens", toks)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def stratified_sample(
+    documents: DataFrame, k: int = 5, salt: str = "sample-v1"
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank docs within each ``lang``
+    by a salted fingerprint and keep the bottom-k — distributed bottom-k
+    sampling (the hash plays the role of the reservoir's random tag, cf.
+    Vitter 1985, but reproducibly). At scale the ranking window is a
+    per-stratum top-k that AQE/TakeOrdered keeps bounded; the full sort
+    never materializes."""
+    fp = fingerprint64(F.concat_ws(":", F.lit(salt), F.col("doc_id")))
+    w = Window.partitionBy("lang").orderBy(F.asc("tag"), F.asc("doc_id"))
+    return (
+        documents.select("doc_id", "lang", fp.alias("tag"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", F.col("rank").cast("long").alias("rank"), "doc_id", "tag")
+        .orderBy("lang", "rank")
+    )
+
+
+def length_histogram(documents: DataFrame, bucket_width: int = 50) -> DataFrame:
+    """Token-length histogram: fixed-width buckets over the token count,
+    with per-bucket doc counts and char means — the standard corpus
+    length-profile pass before choosing truncation/packing lengths.
+    Bucketing is a pure projection; the agg keys are ~hundreds of buckets,
+    so the shuffle is trivially small at any corpus size."""
+    toks = token_count_col(F.col("text"))
+    bucket = (F.floor(toks / bucket_width) * bucket_width).cast("long")
+    return (
+        documents.select(
+            bucket.alias("bucket_lo"), F.col("n_chars").cast("double").alias("n_chars")
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("bucket_lo")
+    )

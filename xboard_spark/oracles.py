@@ -244,6 +244,48 @@ SELECT q_id, rank::BIGINT AS rank, vec_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {k} ORDER BY q_id, rank"""
 
 
+def train_test_split_sql(test_pct: int = 10, salt: str = "split-v1") -> str:
+    fp = _fp(f"concat_ws(':', '{salt}', doc_id)")
+    return f"""
+WITH t AS (
+  SELECT CASE WHEN {fp} % 100 < {test_pct} THEN 'test' ELSE 'train' END AS split,
+         lang,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS n_tokens
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       round(avg(n_tokens), 6) AS avg_tokens
+FROM t GROUP BY split, lang ORDER BY split, lang"""
+
+
+def stratified_sample_sql(k: int = 5, salt: str = "sample-v1") -> str:
+    fp = _fp(f"concat_ws(':', '{salt}', doc_id)")
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {fp} AS tag FROM documents
+),
+r AS (
+  SELECT lang, doc_id, tag,
+         row_number() OVER (PARTITION BY lang ORDER BY tag, doc_id) AS rank
+  FROM t
+)
+SELECT lang, rank::BIGINT AS rank, doc_id, tag
+FROM r WHERE rank <= {k} ORDER BY lang, rank"""
+
+
+def length_histogram_sql(bucket_width: int = 50) -> str:
+    return f"""
+WITH t AS (
+  SELECT (floor(len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))
+                / {bucket_width}) * {bucket_width})::BIGINT AS bucket_lo,
+         n_chars::DOUBLE AS n_chars
+  FROM documents
+)
+SELECT bucket_lo, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+FROM t GROUP BY bucket_lo ORDER BY bucket_lo"""
+
+
 def embedding_neardup_sql(tau: float = 0.35, n_planes: int = N_PLANES) -> str:
     bucket_terms = " + ".join(
         f"(CASE WHEN list_dot_product(v, {_plane_sql_array(p)}) >= 0 "
@@ -638,6 +680,9 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "knn_bruteforce": knn_sql(),
         "knn_lsh": knn_lsh_sql(),
         "embedding_neardup": embedding_neardup_sql(),
+        "train_test_split": train_test_split_sql(),
+        "stratified_sample": stratified_sample_sql(),
+        "length_histogram": length_histogram_sql(),
         "knn_ivf": knn_ivf_sql(),
         "ivf_cell_sizes": ivf_cell_sizes_sql(),
 
