@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(
             _t(s, d, "documents")
         ),
+        "doc_chunks": lambda s, d: text.doc_chunks(_t(s, d, "documents")),
         "train_test_split": lambda s, d: sampling.train_test_split_stats(
             _t(s, d, "documents")
         ),

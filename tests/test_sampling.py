@@ -67,3 +67,59 @@ def test_length_histogram_buckets_cover_all_docs(docs):
     out = sampling.length_histogram(docs, bucket_width=10).collect()
     assert sum(r.n_docs for r in out) == 200
     assert all(r.bucket_lo % 10 == 0 for r in out)
+
+
+def test_doc_chunks_partition_tokens_in_order(docs, spark):
+    from xboard_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    out = T.doc_chunks(docs, chunk_size=5).collect()
+    # chunk token counts partition the document's tokens
+    totals = {}
+    for r in out:
+        totals[r.doc_id] = totals.get(r.doc_id, 0) + r.n_tokens
+        assert 1 <= r.n_tokens <= 5
+    expected = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", T.token_count_col(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert totals == expected
+    # chunk ids are dense from 0 per doc
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.chunk_id)
+    for ids in by_doc.values():
+        assert sorted(ids) == list(range(len(ids)))
+    # only the LAST chunk of a doc may be short
+    for doc_id, ids in by_doc.items():
+        rows = {r.chunk_id: r for r in out if r.doc_id == doc_id}
+        for cid in ids:
+            if cid != max(ids):
+                assert rows[cid].n_tokens == 5
+
+
+def test_doc_chunks_fp_matches_reassembled_text(spark):
+    """The chunk fingerprint equals the fingerprint of the space-joined
+    tokens in position order (exercised with a doc whose tokens are NOT in
+    lexical order, so a wrong sort key would be caught)."""
+    from xboard_spark.operators import text as T
+    from xboard_spark.functions.portable_hash import fingerprint64
+    from pyspark.sql import functions as F
+
+    one = spark.createDataFrame(
+        [(1, "zebra yak xray walrus vole unicorn", "en", "t", 34)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = T.doc_chunks(one, chunk_size=4).collect()
+    want = {0: "zebra yak xray walrus", 1: "vole unicorn"}
+    fps = {
+        r.cid: r.fp
+        for r in spark.createDataFrame(
+            [(k, v) for k, v in want.items()], "cid long, s string"
+        )
+        .select("cid", fingerprint64(F.col("s")).alias("fp"))
+        .collect()
+    }
+    assert {r.chunk_id: r.chunk_fp for r in out} == fps

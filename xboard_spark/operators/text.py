@@ -170,3 +170,45 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3, max_doc_id: int = 50) -> D
         )
         .orderBy("doc_id", "rnk")
     )
+
+
+def doc_chunks(documents: DataFrame, chunk_size: int = 64) -> DataFrame:
+    """Fixed-size token chunking — the tokenize->chunk step every LLM
+    training pipeline runs before packing. Emits one row per chunk:
+    (doc_id, chunk_id, n_tokens, chunk_fp) where chunk_fp fingerprints the
+    reassembled chunk text (compact, joinable downstream key; the text
+    itself is reproducible from the tokens).
+
+    Shape: posexplode tokens (row-form — regexp + codegen, see
+    dedup.shingle_index for why not array HOFs), chunk_id = pos div size
+    (pure projection), then ONE hash aggregate on (doc_id, chunk_id) whose
+    sort_array(collect_list(struct(pos, word))) re-assembles token order
+    without a sort shuffle — order lives inside each group's array, so the
+    shuffle is hash-partitioned and map-side-combined, the 100 TB-safe
+    shape (a global sort here would be the classic mistake)."""
+    tok = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("pos", "word"),
+    )
+    grouped = (
+        tok.withColumn("chunk_id", F.floor(F.col("pos") / chunk_size))
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+    return grouped.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_tokens",
+        fingerprint64(F.col("chunk_text")).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_id")

@@ -244,6 +244,26 @@ SELECT q_id, rank::BIGINT AS rank, vec_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {k} ORDER BY q_id, rank"""
 
 
+def doc_chunks_sql(chunk_size: int = 64) -> str:
+    fp = _fp("chunk_text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS word,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1)
+           AS pos
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, ((pos - 1) // {chunk_size})::BIGINT AS chunk_id,
+         count(*) AS n_tokens,
+         string_agg(word, ' ' ORDER BY pos) AS chunk_text
+  FROM tok GROUP BY doc_id, (pos - 1) // {chunk_size}
+)
+SELECT doc_id, chunk_id, n_tokens, {fp} AS chunk_fp
+FROM chunks ORDER BY doc_id, chunk_id"""
+
+
 def train_test_split_sql(test_pct: int = 10, salt: str = "split-v1") -> str:
     fp = _fp(f"concat_ws(':', '{salt}', doc_id)")
     return f"""
@@ -681,6 +701,7 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "knn_lsh": knn_lsh_sql(),
         "embedding_neardup": embedding_neardup_sql(),
         "train_test_split": train_test_split_sql(),
+        "doc_chunks": doc_chunks_sql(),
         "stratified_sample": stratified_sample_sql(),
         "length_histogram": length_histogram_sql(),
         "knn_ivf": knn_ivf_sql(),
