@@ -100,6 +100,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": lambda s, d: events.events_json_props(_t(s, d, "events")),
         "user_rollup": lambda s, d: events.user_rollup(_t(s, d, "events")),
         "hourly_windows": lambda s, d: events.hourly_windows(_t(s, d, "events")),
+        # approx sketches are engine-specific — intentionally NO oracle_sql
+        # entry (driver records the weaker rows-only check); pytest bounds
+        # the estimates against exact answers
+        "approx_cardinality": lambda s, d: events.approx_cardinality(
+            _t(s, d, "events")
+        ),
         # --- text analysis / training-data pipeline ---
         "doc_stats": lambda s, d: text.doc_stats(_t(s, d, "documents")),
         "quality_scores": lambda s, d: text.quality_scores(_t(s, d, "documents")),

@@ -171,3 +171,31 @@ def test_recent_orders_deterministic_tiebreak(spark, sf_dir):
     # strictly descending (date, key)
     seq = [(r.o_orderdate, r.o_orderkey) for r in a]
     assert seq == sorted(seq, reverse=True)
+
+
+def test_approx_cardinality_bounds(spark):
+    """HLL distinct-user estimates within 3x rsd of exact; t-digest
+    percentiles within the value span of neighboring exact quantiles."""
+    from xboard_spark.io import read_table
+    from xboard_spark.operators.events import approx_cardinality
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    ev = read_table(spark, sf, "events")
+    approx = {r.event_type: r for r in approx_cardinality(ev, rsd=0.02).collect()}
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, a in approx.items():
+        e = exact[t]
+        assert abs(a.approx_users - e.users) <= max(3, 0.06 * e.users), t
+        assert abs(a.approx_p50 - e.p50) <= 0.05 * (abs(e.p50) + 1), t
+        assert abs(a.approx_p95 - e.p95) <= 0.05 * (abs(e.p95) + 1), t

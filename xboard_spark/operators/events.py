@@ -225,3 +225,33 @@ def user_value_trend(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def approx_cardinality(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Approximate-aggregate panel per event_type: HyperLogLog++ distinct
+    users (``approx_count_distinct``, Heule et al. 2013) and t-digest p50/p95
+    of ``value`` (``approx_percentile``). THE sketch path for 100 TB: both
+    sketches are fixed-size mergeable state, so the aggregate is
+    partial+final with O(types * sketch_size) shuffle — versus exact
+    count-distinct, whose shuffle carries every distinct (type, user) pair.
+
+    No DuckDB oracle on purpose: sketch estimates are engine-specific (the
+    driver records the weaker rows-only check). The pytest twin bounds the
+    estimates against exact answers instead (HLL rsd=2% default)."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+            F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.95)), 10000)
+            .alias("value_p50_p95"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "approx_users",
+            F.round(F.element_at("value_p50_p95", 1), 6).alias("approx_p50"),
+            F.round(F.element_at("value_p50_p95", 2), 6).alias("approx_p95"),
+        )
+        .orderBy("event_type")
+    )
