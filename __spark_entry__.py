@@ -126,6 +126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": lambda s, d: sampling.length_histogram(
             _t(s, d, "documents")
         ),
+        "sequence_packing": lambda s, d: sampling.sequence_packing(
+            _t(s, d, "documents")
+        ),
         # --- dedup family ---
         "dedup_exact": lambda s, d: dedup.exact_dedup_groups(_t(s, d, "documents")),
         "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(

@@ -123,3 +123,25 @@ def test_doc_chunks_fp_matches_reassembled_text(spark):
         .collect()
     }
     assert {r.chunk_id: r.chunk_fp for r in out} == fps
+
+
+def test_sequence_packing_invariants(docs):
+    out = sampling.sequence_packing(docs, budget=100, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert sum(r.n_docs for r in out) == 200  # every doc packed exactly once
+    for shard, rows in by_shard.items():
+        rows = sorted(rows, key=lambda r: r.pack_id)
+        # pack ids dense from 0 within the shard
+        assert [r.pack_id for r in rows] == list(range(len(rows)))
+        # a pack is closed only once the running total crosses its upper
+        # boundary (greedy-concat semantics), so every non-final pack's
+        # cumulative token count reaches (pack_id + 1) * budget
+        cum = 0
+        for r in rows[:-1]:
+            cum += r.pack_tokens
+            assert cum >= (r.pack_id + 1) * 100, (shard, r.pack_id, cum)
+        # fill ratio is tokens/budget
+        for r in rows:
+            assert abs(r.fill_ratio - r.pack_tokens / 100) < 1e-6

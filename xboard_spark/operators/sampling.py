@@ -95,3 +95,54 @@ def length_histogram(documents: DataFrame, bucket_width: int = 50) -> DataFrame:
         )
         .orderBy("bucket_lo")
     )
+
+
+def sequence_packing(
+    documents: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 32,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Sequence packing — concatenate documents in order and cut at a token
+    ``budget`` (the streaming-concatenation packing used to build LLM
+    pre-training batches). A single global running sum is inherently
+    sequential, so packing is SHARDED: docs hash into ``n_shards``
+    independent streams, and the running sum / pack assignment is a window
+    per shard — n_shards-way parallel, each shard's state is one counter.
+    At 1000 executors you set n_shards ~ O(cores) and the window sort is
+    per-shard, never global (the plan has no single-partition window).
+
+    A doc whose tokens straddle a boundary belongs to the pack where it
+    STARTS (cum_before div budget) — packs can overflow by at most one
+    doc, the standard greedy-concat semantics.
+
+    Returns per (shard, pack_id): doc/token counts and fill ratio."""
+    toks = token_count_col(F.col("text"))
+    fp = fingerprint64(F.concat_ws(":", F.lit(salt), F.col("doc_id")))
+    staged = documents.select(
+        "doc_id", toks.alias("n_tokens"), (fp % n_shards).alias("shard")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = staged.withColumn(
+        "pack_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget),
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .select(
+            "shard",
+            "pack_id",
+            "n_docs",
+            "pack_tokens",
+            F.round(F.col("pack_tokens") / budget, 6).alias("fill_ratio"),
+        )
+        .orderBy("shard", "pack_id")
+    )

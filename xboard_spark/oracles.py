@@ -306,6 +306,31 @@ SELECT bucket_lo, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
 FROM t GROUP BY bucket_lo ORDER BY bucket_lo"""
 
 
+def sequence_packing_sql(
+    budget: int = 2048, n_shards: int = 32, salt: str = "pack-v1"
+) -> str:
+    fp = _fp(f"concat_ws(':', '{salt}', doc_id)")
+    return f"""
+WITH staged AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS n_tokens,
+         ({fp}) % {n_shards} AS shard
+  FROM documents
+),
+packed AS (
+  SELECT shard,
+         (coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          // {budget})::BIGINT AS pack_id,
+         n_tokens
+  FROM staged
+)
+SELECT shard, pack_id, count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS pack_tokens,
+       round(sum(n_tokens) / {budget}, 6) AS fill_ratio
+FROM packed GROUP BY shard, pack_id ORDER BY shard, pack_id"""
+
+
 def embedding_neardup_sql(tau: float = 0.35, n_planes: int = N_PLANES) -> str:
     bucket_terms = " + ".join(
         f"(CASE WHEN list_dot_product(v, {_plane_sql_array(p)}) >= 0 "
@@ -702,6 +727,7 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "embedding_neardup": embedding_neardup_sql(),
         "train_test_split": train_test_split_sql(),
         "doc_chunks": doc_chunks_sql(),
+        "sequence_packing": sequence_packing_sql(),
         "stratified_sample": stratified_sample_sql(),
         "length_histogram": length_histogram_sql(),
         "knn_ivf": knn_ivf_sql(),
