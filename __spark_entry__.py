@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_type_breakdown": lambda s, d: tpch.part_type_breakdown(
             _t(s, d, "part")
         ),
+        "brand_promo_revenue": lambda s, d: tpch.brand_promo_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
         "tenant_orders_overview": lambda s, d: analytics.tenant_orders_overview(
             _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "nation"), 7
         ),
@@ -117,6 +120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "doc_chunks": lambda s, d: text.doc_chunks(_t(s, d, "documents")),
+        "doc_chunks_overlapping": lambda s, d: text.doc_chunks_overlapping(
+            _t(s, d, "documents")
+        ),
         "train_test_split": lambda s, d: sampling.train_test_split_stats(
             _t(s, d, "documents")
         ),

@@ -29,8 +29,12 @@ HEADLINE = [
     "events_dedup",
     "session_stats",
     "user_rollup",
+    "brand_promo_revenue",
     "doc_stats",
     "quality_scores",
+    "doc_chunks",
+    "sequence_packing",
+    "approx_cardinality",
     "minhash_dedup",
     "ngram_jaccard",
     "embedding_neardup",

@@ -145,3 +145,38 @@ def test_sequence_packing_invariants(docs):
         # fill ratio is tokens/budget
         for r in rows:
             assert abs(r.fill_ratio - r.pack_tokens / 100) < 1e-6
+
+
+def test_overlapping_chunks_degenerate_equals_doc_chunks(docs):
+    from xboard_spark.operators import text as T
+
+    plain = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_fp)
+        for r in T.doc_chunks(docs, chunk_size=5).collect()
+    }
+    degen = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_fp)
+        for r in T.doc_chunks_overlapping(docs, chunk_size=5, stride=5).collect()
+    }
+    assert degen == plain
+
+
+def test_overlapping_chunks_window_coverage(spark):
+    """12 tokens, size 6, stride 4 -> chunks at 0/4/8 covering [0,6),
+    [4,10), [8,12): interior chunks full, overlap = size - stride."""
+    from xboard_spark.operators import text as T
+
+    words = " ".join(f"w{i:02d}" for i in range(12))
+    one = spark.createDataFrame(
+        [(1, words, "en", "t", len(words))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = sorted(
+        T.doc_chunks_overlapping(one, chunk_size=6, stride=4).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [(r.chunk_id, r.start_pos, r.n_tokens) for r in out] == [
+        (0, 0, 6),
+        (1, 4, 6),
+        (2, 8, 4),
+    ]

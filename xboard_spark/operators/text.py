@@ -212,3 +212,61 @@ def doc_chunks(documents: DataFrame, chunk_size: int = 64) -> DataFrame:
         "n_tokens",
         fingerprint64(F.col("chunk_text")).alias("chunk_fp"),
     ).orderBy("doc_id", "chunk_id")
+
+
+def doc_chunks_overlapping(
+    documents: DataFrame, chunk_size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Overlapping token windows (stride < chunk_size): chunk c covers
+    token positions [c*stride, c*stride + chunk_size) — the sliding-window
+    chunking used for embedding/retrieval corpora, where overlap preserves
+    cross-boundary context. ``stride == chunk_size`` degenerates to
+    ``doc_chunks``.
+
+    Row-form fan-out: each token emits its covering chunk ids via
+    sequence(lo, hi) where lo = ceil((pos - size + 1)/stride) (clamped to
+    0) and hi = pos div stride — a bounded explode of ceil(size/stride)
+    rows per token, then the same order-preserving hash aggregate as
+    ``doc_chunks``. Fan-out is a constant factor (the overlap ratio), so
+    the 100 TB cost model is identical to doc_chunks times that constant.
+
+    Requires stride <= chunk_size (Spark's sequence() DESCENDS when
+    start > stop — a stride gap would silently emit wrong chunks rather
+    than none)."""
+    assert 1 <= stride <= chunk_size, "stride must be in [1, chunk_size]"
+    tok = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("pos", "word"),
+    )
+    lo = F.greatest(
+        F.lit(0), F.floor((F.col("pos") - chunk_size + stride) / stride)
+    )
+    hi = F.floor(F.col("pos") / stride)
+    fanned = tok.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.explode(F.sequence(lo.cast("int"), hi.cast("int"))).alias("chunk_id"),
+    )
+    grouped = (
+        fanned.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+    return grouped.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id") * stride).cast("long").alias("start_pos"),
+        "n_tokens",
+        fingerprint64(F.col("chunk_text")).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_id")

@@ -234,3 +234,43 @@ def part_type_breakdown(part: DataFrame) -> DataFrame:
         )
         .orderBy("noun")
     )
+
+
+def brand_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Disjunctive multi-branch predicate (TPC-H Q19 shape): three
+    brand/size/quantity branches OR-ed together over lineitem JOIN part,
+    revenue per qualifying brand.
+
+    The optimizer surface this exercises: Catalyst factors the disjunction
+    — per-branch conjuncts that mention only one side (p_size bounds, the
+    l_quantity envelope) are pushed below the join to their scans
+    (PushedFilters shows the OR trees), the brand IN-superset prunes part
+    row groups, and the join stays a broadcast on the filtered dimension.
+    A naive engine evaluates the whole OR post-join; at 100 TB the
+    difference is scanning 3 brands' worth of part vs all of it."""
+    branches = [
+        ("Brand#12", 1, 15, 1, 11),
+        ("Brand#23", 1, 25, 10, 20),
+        ("Brand#34", 1, 35, 20, 30),
+    ]
+    joined = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    )
+    cond = None
+    for brand, size_lo, size_hi, qty_lo, qty_hi in branches:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(size_lo, size_hi)
+            & F.col("l_quantity").between(qty_lo, qty_hi)
+        )
+        cond = c if cond is None else cond | c
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(revenue), 2).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )

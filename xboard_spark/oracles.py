@@ -264,6 +264,33 @@ SELECT doc_id, chunk_id, n_tokens, {fp} AS chunk_fp
 FROM chunks ORDER BY doc_id, chunk_id"""
 
 
+def doc_chunks_overlapping_sql(chunk_size: int = 64, stride: int = 48) -> str:
+    fp = _fp("chunk_text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS word,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1)
+           - 1 AS pos
+  FROM documents
+),
+fanned AS (
+  SELECT doc_id, pos, word,
+         unnest(generate_series(
+           greatest(0, (pos - {chunk_size} + {stride}) // {stride}),
+           pos // {stride})) AS chunk_id
+  FROM tok
+),
+chunks AS (
+  SELECT doc_id, chunk_id::BIGINT AS chunk_id, count(*) AS n_tokens,
+         string_agg(word, ' ' ORDER BY pos) AS chunk_text
+  FROM fanned GROUP BY doc_id, chunk_id
+)
+SELECT doc_id, chunk_id, (chunk_id * {stride})::BIGINT AS start_pos,
+       n_tokens, {fp} AS chunk_fp
+FROM chunks ORDER BY doc_id, chunk_id"""
+
+
 def train_test_split_sql(test_pct: int = 10, salt: str = "split-v1") -> str:
     fp = _fp(f"concat_ws(':', '{salt}', doc_id)")
     return f"""
@@ -304,6 +331,20 @@ WITH t AS (
 )
 SELECT bucket_lo, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
 FROM t GROUP BY bucket_lo ORDER BY bucket_lo"""
+
+
+def brand_promo_revenue_sql() -> str:
+    return """
+SELECT p_brand, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+         AND l_quantity BETWEEN 20 AND 30)
+GROUP BY p_brand ORDER BY p_brand"""
 
 
 def sequence_packing_sql(
@@ -728,6 +769,8 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "train_test_split": train_test_split_sql(),
         "doc_chunks": doc_chunks_sql(),
         "sequence_packing": sequence_packing_sql(),
+        "brand_promo_revenue": brand_promo_revenue_sql(),
+        "doc_chunks_overlapping": doc_chunks_overlapping_sql(),
         "stratified_sample": stratified_sample_sql(),
         "length_histogram": length_histogram_sql(),
         "knn_ivf": knn_ivf_sql(),
