@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks_overlapping": lambda s, d: text.doc_chunks_overlapping(
             _t(s, d, "documents")
         ),
+        "term_cooccurrence": lambda s, d: text.term_cooccurrence(
+            _t(s, d, "documents")
+        ),
         "train_test_split": lambda s, d: sampling.train_test_split_stats(
             _t(s, d, "documents")
         ),

@@ -180,3 +180,38 @@ def test_overlapping_chunks_window_coverage(spark):
         (1, 4, 6),
         (2, 8, 4),
     ]
+
+
+def test_term_cooccurrence_counts_and_pmi_formula(spark):
+    """Identical docs so the combinatorics are computable by hand: verify
+    the top pair, exact pair counts, and that every returned PMI equals
+    ln((pair_n/P) / ((cnt_a/N)(cnt_b/N))) for the corpus totals."""
+    import math
+
+    from xboard_spark.operators import text as T
+
+    text = "data pipeline alpha beta data pipeline"  # 6 tokens
+    n_docs = 30
+    docs = spark.createDataFrame(
+        [(i, text, "en", "t", len(text)) for i in range(n_docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    window = 2
+    toks = text.split()
+    L = len(toks)
+    N = n_docs * L
+    # ordered pairs within the window, per doc
+    per_doc = sum(max(0, L - d) for d in range(1, window + 1))
+    P = n_docs * per_doc
+    cnt = {w: n_docs * toks.count(w) for w in set(toks)}
+
+    out = T.term_cooccurrence(docs, window=window, k=10, min_count=5).collect()
+    assert out, "no pairs above min_count"
+    # (data, pipeline) occurs twice per doc at distance 1 — top count with
+    # the (w_a, w_b) tiebreak
+    assert (out[0].w_a, out[0].w_b) == ("data", "pipeline")
+    assert out[0].pair_n == 2 * n_docs
+    for r in out:
+        assert r.cnt_a == cnt[r.w_a] and r.cnt_b == cnt[r.w_b]
+        want = math.log((r.pair_n / P) / ((r.cnt_a / N) * (r.cnt_b / N)))
+        assert abs(r.pmi - want) < 1e-6, (r.w_a, r.w_b)

@@ -270,3 +270,74 @@ def doc_chunks_overlapping(
         "n_tokens",
         fingerprint64(F.col("chunk_text")).alias("chunk_fp"),
     ).orderBy("doc_id", "chunk_id")
+
+
+def term_cooccurrence(
+    documents: DataFrame, window: int = 3, k: int = 20, min_count: int = 5
+) -> DataFrame:
+    """Windowed term co-occurrence with PMI (collocation mining): ordered
+    pairs (a, b) where b follows a within ``window`` tokens, top-``k`` by
+    pair frequency, scored with pointwise mutual information
+    ln(p(a,b) / (p(a) p(b))) (Church & Hanks 1990).
+
+    Scale shape: the pair stream is built by a bounded fan-out — each token
+    emits its next ``window`` positions (explode of a constant-length
+    sequence) and equi-joins back on (doc_id, pos) — so pair generation is
+    O(tokens * window) rows hash-joined on co-located keys, never a
+    quadratic-within-document self-join. Counts are partial+final hash
+    aggregates; the PMI arithmetic divides BEFORE multiplying so both
+    engines evaluate the identical IEEE expression tree."""
+    tok = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("pos", "word"),
+    ).persist()
+    n_tokens = tok.count()  # plan constant (one pass, reused by PMI)
+    left = tok.select(
+        "doc_id",
+        F.col("word").alias("w_a"),
+        F.explode(
+            F.sequence(F.col("pos") + 1, F.col("pos") + window)
+        ).alias("pos_b"),
+    )
+    pairs = left.join(
+        tok.select(
+            "doc_id", F.col("pos").alias("pos_b"), F.col("word").alias("w_b")
+        ),
+        ["doc_id", "pos_b"],
+    )
+    pair_counts = pairs.groupBy("w_a", "w_b").agg(F.count("*").alias("pair_n"))
+    n_pairs_row = pair_counts.agg(F.sum("pair_n").alias("s")).collect()
+    n_pairs = int(n_pairs_row[0]["s"])
+    uni = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    scored = (
+        pair_counts.filter(F.col("pair_n") >= min_count)
+        .join(uni.select(F.col("word").alias("w_a"), F.col("cnt").alias("cnt_a")), "w_a")
+        .join(uni.select(F.col("word").alias("w_b"), F.col("cnt").alias("cnt_b")), "w_b")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("pair_n") / F.lit(float(n_pairs)))
+                    / (
+                        (F.col("cnt_a") / F.lit(float(n_tokens)))
+                        * (F.col("cnt_b") / F.lit(float(n_tokens)))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pair_n"), "w_a", "w_b")
+        .limit(k)
+        .select(
+            "w_a",
+            "w_b",
+            F.col("pair_n").cast("long").alias("pair_n"),
+            F.col("cnt_a").cast("long").alias("cnt_a"),
+            F.col("cnt_b").cast("long").alias("cnt_b"),
+            "pmi",
+        )
+    )

@@ -291,6 +291,39 @@ SELECT doc_id, chunk_id, (chunk_id * {stride})::BIGINT AS start_pos,
 FROM chunks ORDER BY doc_id, chunk_id"""
 
 
+def term_cooccurrence_sql(
+    window: int = 3, k: int = 20, min_count: int = 5
+) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS word,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1)
+           - 1 AS pos
+  FROM documents
+),
+pairs AS (
+  SELECT a.word AS w_a, b.word AS w_b
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + {window}
+),
+pc AS (SELECT w_a, w_b, count(*) AS pair_n FROM pairs GROUP BY w_a, w_b),
+uni AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+tot AS (
+  SELECT (SELECT count(*) FROM tok)::DOUBLE AS n_tokens,
+         (SELECT sum(pair_n) FROM pc)::DOUBLE AS n_pairs
+)
+SELECT w_a, w_b, pair_n, ua.cnt::BIGINT AS cnt_a, ub.cnt::BIGINT AS cnt_b,
+       round(ln((pair_n / n_pairs)
+                / ((ua.cnt / n_tokens) * (ub.cnt / n_tokens))), 6) AS pmi
+FROM pc
+CROSS JOIN tot
+JOIN uni ua ON ua.word = w_a
+JOIN uni ub ON ub.word = w_b
+WHERE pair_n >= {min_count}
+ORDER BY pair_n DESC, w_a, w_b LIMIT {k}"""
+
+
 def train_test_split_sql(test_pct: int = 10, salt: str = "split-v1") -> str:
     fp = _fp(f"concat_ws(':', '{salt}', doc_id)")
     return f"""
@@ -771,6 +804,7 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "sequence_packing": sequence_packing_sql(),
         "brand_promo_revenue": brand_promo_revenue_sql(),
         "doc_chunks_overlapping": doc_chunks_overlapping_sql(),
+        "term_cooccurrence": term_cooccurrence_sql(),
         "stratified_sample": stratified_sample_sql(),
         "length_histogram": length_histogram_sql(),
         "knn_ivf": knn_ivf_sql(),
