@@ -33,6 +33,7 @@ HEADLINE = [
     "doc_stats",
     "quality_scores",
     "doc_chunks",
+    "term_cooccurrence",
     "sequence_packing",
     "approx_cardinality",
     "minhash_dedup",

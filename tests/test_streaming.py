@@ -170,3 +170,41 @@ def test_session_window_stream(spark, tmp_path):
     q.awaitTermination(60)
     rows = spark.sql("SELECT * FROM sess_sink ORDER BY session_start").collect()
     assert [r.n_events for r in rows] == [2, 1]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two file-source streams: purchases join views of the same user
+    within the 1h horizon; views outside the horizon or by other users
+    never pair. Result must equal the equivalent static join."""
+    from xboard_spark.streaming import joins
+
+    views = [
+        {"user_id": 1, "event_id": 10, "ts": "2024-01-01T09:30:00Z"},
+        {"user_id": 1, "event_id": 11, "ts": "2024-01-01T08:00:00Z"},  # stale
+        {"user_id": 2, "event_id": 12, "ts": "2024-01-01T09:45:00Z"},  # other user
+    ]
+    purchases = [
+        {"user_id": 1, "event_id": 20, "ts": "2024-01-01T10:00:00Z"},
+        {"user_id": 3, "event_id": 21, "ts": "2024-01-01T10:00:00Z"},  # no views
+    ]
+    vdir = _mk_webhooks(tmp_path, "ssj_views", views)
+    pdir = _mk_webhooks(tmp_path, "ssj_purch", purchases)
+    schema = "user_id long, event_id long, ts timestamp"
+    vs = spark.readStream.schema(schema).json(vdir)
+    ps = spark.readStream.schema(schema).json(pdir)
+    out = joins.purchases_with_recent_views(vs, ps, horizon="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ssj_out").collect()
+    assert [(r.user_id, r.purchase_id, r.view_id) for r in rows] == [(1, 20, 10)]
+    # static twin agrees
+    sv = spark.read.schema(schema).json(vdir)
+    sp = spark.read.schema(schema).json(pdir)
+    static = joins.purchases_with_recent_views(sv, sp).collect()
+    assert {(r.user_id, r.purchase_id, r.view_id) for r in static} == {(1, 20, 10)}
