@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- dedup family ---
         "dedup_exact": lambda s, d: dedup.exact_dedup_groups(_t(s, d, "documents")),
+        "dedup_prefix": lambda s, d: dedup.prefix_dedup_groups(
+            _t(s, d, "documents")
+        ),
         "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             _t(s, d, "documents")
         ),

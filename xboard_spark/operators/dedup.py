@@ -329,3 +329,23 @@ def simhash_fingerprints(documents: DataFrame, bits: int = 16) -> DataFrame:
     return staged.select(
         "doc_id", simhash_col("fps", bits).cast("long").alias("simhash")
     ).orderBy("doc_id")
+
+
+def prefix_dedup_groups(
+    documents: DataFrame, prefix_len: int = 120, min_size: int = 2
+) -> DataFrame:
+    """Prefix-fingerprint duplicate groups: exact dedup over the first
+    ``prefix_len`` normalized chars — the cheap boilerplate/mirror-detector
+    (catches scraped pages sharing headers and truncation variants that
+    full-content hashing misses; same partial+final aggregate shape as
+    ``exact_dedup_groups``, one shuffle of one row per fingerprint).
+    Unlike full-content exact dedup this is non-empty on realistic corpora
+    — shared openings are common even when full texts differ."""
+    fp = fingerprint64(F.substring(_norm_text(F.col("text")), 1, prefix_len))
+    return (
+        documents.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("n_docs") >= min_size)
+        .orderBy("fingerprint")
+    )

@@ -291,6 +291,14 @@ SELECT doc_id, chunk_id, (chunk_id * {stride})::BIGINT AS start_pos,
 FROM chunks ORDER BY doc_id, chunk_id"""
 
 
+def prefix_dedup_sql(prefix_len: int = 120) -> str:
+    fp = _fp(f"substr({_NORM_TEXT}, 1, {prefix_len})")
+    return f"""
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+FROM (SELECT doc_id, {fp} AS fingerprint FROM documents)
+GROUP BY fingerprint HAVING count(*) >= 2 ORDER BY fingerprint"""
+
+
 def term_cooccurrence_sql(
     window: int = 3, k: int = 20, min_count: int = 5
 ) -> str:
@@ -805,6 +813,7 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "brand_promo_revenue": brand_promo_revenue_sql(),
         "doc_chunks_overlapping": doc_chunks_overlapping_sql(),
         "term_cooccurrence": term_cooccurrence_sql(),
+        "dedup_prefix": prefix_dedup_sql(),
         "stratified_sample": stratified_sample_sql(),
         "length_histogram": length_histogram_sql(),
         "knn_ivf": knn_ivf_sql(),
