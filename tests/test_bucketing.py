@@ -80,3 +80,34 @@ def test_partitioned_write_prunes(wh_spark, tmp_path_factory):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
     assert m and "o_orderstatus" in m.group(1)  # filter hit the directory level
     assert pruned.count() == orders.filter("o_orderstatus = 'F'").count()
+
+
+def test_write_silver_layout_prunes_and_sorts(spark, tmp_path):
+    """write_silver's layout delivers both index analogs: the tenant
+    predicate becomes a PartitionFilter (no data read outside the tenant
+    dir) and rows inside each partition are sorted on the range column."""
+    import re
+
+    from pyspark.sql import functions as F
+    from xboard_spark.io import read_silver, write_silver
+
+    rows = [(t, i, float(i), f"2024-01-{(i % 28) + 1:02d}") for t in (1, 2, 3) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "tenant_id int, order_id int, total double, d string"
+    ).withColumn("created_at", F.to_timestamp("d")).drop("d")
+    out = str(tmp_path / "silver_orders")
+    write_silver(df, out, partition_cols=("tenant_id",), sort_cols=("created_at",))
+
+    back = read_silver(spark, out)
+    assert back.count() == 150
+    q = back.filter(F.col("tenant_id") == 2)
+    txt = q._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
+    assert m and "tenant_id" in m.group(1), txt[:500]
+    # within one tenant's files, timestamps are non-decreasing per file
+    import glob
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(f"{out}/tenant_id=2/*.parquet"):
+        ts = pq.read_table(f, columns=["created_at"]).column(0).to_pylist()
+        assert ts == sorted(ts), f

@@ -71,3 +71,37 @@ def load_tables(
             df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def write_silver(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("tenant_id",),
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write a silver table in the engine's canonical layout (SURVEY.md
+    §1.4): hive-partitioned on the tenant/entity key so every per-tenant
+    predicate becomes partition PRUNING (the Spark analog of the
+    reference's idx_*_tenant_id B-trees, migrations/init.sql:46,62,80),
+    optionally sorted within partitions on the range-scan column so parquet
+    row-group min/max stats give data skipping (the idx_orders_created_at
+    analog, init.sql:63).
+
+    ``sortWithinPartitions`` deliberately — a global orderBy would add a
+    range-exchange shuffle for ordering that only needs to hold per file."""
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        # the file writer REQUIRES task-local ordering on the partition
+        # columns and injects its own (unstable) sort when the incoming
+        # ordering doesn't satisfy it — which would destroy the secondary
+        # sort. Leading with the partition columns satisfies the writer's
+        # requirement so OUR ordering survives into the files.
+        out = out.sortWithinPartitions(*partition_cols, *sort_cols)
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_silver(spark: SparkSession, path: str) -> DataFrame:
+    """Read a silver table written by ``write_silver`` (partition columns
+    come back via partition discovery)."""
+    return spark.read.parquet(path)

@@ -131,6 +131,10 @@ def shingle_index(documents: DataFrame, n: int = 3) -> DataFrame:
 # in-session the persisted frame plays that role. semanticHash covers the
 # source paths + plan, so a different sf_dir misses the cache correctly.
 _INDEX_CACHE: dict[tuple[int, int, int], DataFrame] = {}
+# (documents semanticHash, n, n_perms, n_bands, max_df) -> persisted
+# LSH-candidate pairs with exact Jaccard, BEFORE the tau filter (see
+# minhash_dedup_pairs).
+_PAIRS_CACHE: dict[tuple[int, int, int, int, int], DataFrame] = {}
 
 
 def cached_filtered_index(documents: DataFrame, n: int, max_df: int) -> DataFrame:
@@ -263,6 +267,13 @@ def minhash_dedup_pairs(
     verify -> filter tau. Output matches ``ngram_jaccard_pairs`` on recalled
     pairs; LSH trades recall for never comparing all pairs.
     """
+    key = (documents.semanticHash(), n, n_perms, n_bands, max_df)
+    if key in _PAIRS_CACHE:
+        return (
+            _PAIRS_CACHE[key]
+            .filter(F.col("jaccard") >= tau)
+            .orderBy("doc_a", "doc_b")
+        )
     rows_per_band = n_perms // n_bands
     # persisted + cross-query shared for the same multi-consumer reason as
     # ngram_jaccard_pairs
@@ -291,7 +302,16 @@ def minhash_dedup_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _pair_jaccard(inv, candidates, tau).orderBy("doc_a", "doc_b")
+    # cache the tau-INDEPENDENT verified pair set (tau=0 keeps every
+    # candidate with its exact Jaccard): minhash_dedup and the curation
+    # pipeline ask for different thresholds over the same corpus, and the
+    # expensive parts — banding, candidate join, Jaccard verify — do not
+    # depend on tau. The final filter is a per-row predicate on the small
+    # pair set.
+    _PAIRS_CACHE[key] = _pair_jaccard(inv, candidates, 0.0).persist()
+    return (
+        _PAIRS_CACHE[key].filter(F.col("jaccard") >= tau).orderBy("doc_a", "doc_b")
+    )
 
 
 def simhash_col(fps_col: str, bits: int = 16) -> Column:
