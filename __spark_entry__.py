@@ -103,6 +103,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": lambda s, d: events.events_json_props(_t(s, d, "events")),
         "user_rollup": lambda s, d: events.user_rollup(_t(s, d, "events")),
         "hourly_windows": lambda s, d: events.hourly_windows(_t(s, d, "events")),
+        "funnel_conversion": lambda s, d: events.funnel_conversion(
+            _t(s, d, "events")
+        ),
+        "top_supplier_revenue": lambda s, d: tpch.top_supplier_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "supplier")
+        ),
         # approx sketches are engine-specific — intentionally NO oracle_sql
         # entry (driver records the weaker rows-only check); pytest bounds
         # the estimates against exact answers

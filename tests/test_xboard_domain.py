@@ -199,3 +199,29 @@ def test_approx_cardinality_bounds(spark):
         assert abs(a.approx_users - e.users) <= max(3, 0.06 * e.users), t
         assert abs(a.approx_p50 - e.p50) <= 0.05 * (abs(e.p50) + 1), t
         assert abs(a.approx_p95 - e.p95) <= 0.05 * (abs(e.p95) + 1), t
+
+
+def test_funnel_strict_ordering(spark):
+    """User 1 converts fully in order; user 2's click precedes their view
+    (doesn't count); user 3 purchases without clicking (not counted at the
+    purchase stage)."""
+    from xboard_spark.operators.events import funnel_conversion
+
+    rows = [
+        (1, "2024-01-01T10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01T10:05:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-01T10:10:00", 1, "purchase", 5.0, "{}"),
+        (4, "2024-01-01T10:05:00", 2, "click", 0.0, "{}"),  # before their view
+        (5, "2024-01-01T10:06:00", 2, "view", 0.0, "{}"),
+        (6, "2024-01-01T10:00:00", 3, "view", 0.0, "{}"),
+        (7, "2024-01-01T10:01:00", 3, "purchase", 9.0, "{}"),  # skipped click
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["to_timestamp"]).to_timestamp("ts"))
+    out = funnel_conversion(ev).collect()[0]
+    assert out.n_view_users == 3
+    assert out.n_click_users == 1  # only user 1 clicked after viewing
+    assert out.n_purchase_users == 1

@@ -255,3 +255,52 @@ def approx_cardinality(events: DataFrame, rsd: float = 0.02) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def funnel_conversion(events: DataFrame) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: per user, each stage
+    counts only if it happens STRICTLY after the user's previous stage
+    (first-touch semantics: min event time per stage). Returns one row of
+    stage populations + conversion rates.
+
+    Scale shape: three per-user hash aggregates chained by broadcast-able
+    joins (each stage's survivor set only shrinks), all keyed on user_id —
+    co-partitioned, no global sort. The window-function alternative (one
+    pass, lag over per-user ordered events) trades the joins for a full
+    per-user sort; min-per-stage is the lighter plan when stages are few."""
+    t_view = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t_click = (
+        events.filter(F.col("event_type") == "click")
+        .join(t_view, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t_purchase = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(t_click, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_view = t_view.count()
+    n_click = t_click.count()
+    n_purchase = t_purchase.count()
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_view,
+                n_click,
+                n_purchase,
+                round(n_click / n_view, 6) if n_view else None,
+                round(n_purchase / n_click, 6) if n_click else None,
+            )
+        ],
+        "n_view_users long, n_click_users long, n_purchase_users long, "
+        "view_to_click double, click_to_purchase double",
+    )

@@ -274,3 +274,39 @@ def brand_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+def top_supplier_revenue(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """Max-revenue supplier(s) for a quarter (TPC-H Q15 shape): revenue per
+    supplier over a shipdate range, keep every supplier whose (2-decimal)
+    revenue equals the maximum — the uncorrelated scalar-subquery-in-WHERE
+    pattern, decorrelated by Catalyst into an aggregate + broadcast join.
+    Date filter is pushed to the lineitem scan; the revenue agg shuffles
+    once on l_suppkey; the max is a 1-row broadcast."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end)
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -291,6 +291,50 @@ SELECT doc_id, chunk_id, (chunk_id * {stride})::BIGINT AS start_pos,
 FROM chunks ORDER BY doc_id, chunk_id"""
 
 
+def funnel_conversion_sql() -> str:
+    return """
+WITH tv AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+tc AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN tv ON e.user_id = tv.user_id
+  WHERE e.event_type = 'click' AND e.ts > tv.t_view
+  GROUP BY e.user_id
+),
+tp AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN tc ON e.user_id = tc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > tc.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM tv) AS n_view_users,
+       (SELECT count(*) FROM tc) AS n_click_users,
+       (SELECT count(*) FROM tp) AS n_purchase_users,
+       round((SELECT count(*) FROM tc) / (SELECT count(*) FROM tv)::DOUBLE, 6)
+         AS view_to_click,
+       round((SELECT count(*) FROM tp) / (SELECT count(*) FROM tc)::DOUBLE, 6)
+         AS click_to_purchase"""
+
+
+def top_supplier_revenue_sql(
+    start: str = "1996-01-01", end: str = "1996-04-01"
+) -> str:
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '{start}' AND l_shipdate < '{end}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey"""
+
+
 def prefix_dedup_sql(prefix_len: int = 120) -> str:
     fp = _fp(f"substr({_NORM_TEXT}, 1, {prefix_len})")
     return f"""
@@ -814,6 +858,8 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "doc_chunks_overlapping": doc_chunks_overlapping_sql(),
         "term_cooccurrence": term_cooccurrence_sql(),
         "dedup_prefix": prefix_dedup_sql(),
+        "funnel_conversion": funnel_conversion_sql(),
+        "top_supplier_revenue": top_supplier_revenue_sql(),
         "stratified_sample": stratified_sample_sql(),
         "length_histogram": length_histogram_sql(),
         "knn_ivf": knn_ivf_sql(),
