@@ -225,3 +225,42 @@ def test_funnel_strict_ordering(spark):
     assert out.n_view_users == 3
     assert out.n_click_users == 1  # only user 1 clicked after viewing
     assert out.n_purchase_users == 1
+
+
+def test_merge_upsert_matches_dict_model_property(spark):
+    """Property-based (hypothesis): folding merge_upsert over any sequence
+    of batches with unique keys-per-batch is equivalent to folding Python
+    dict.update — the executable spec of ON CONFLICT DO UPDATE."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    key_st = st.tuples(st.integers(1, 3), st.integers(1, 6))
+    batch_st = st.dictionaries(key_st, st.integers(0, 999), min_size=1, max_size=5)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(batch_st, min_size=1, max_size=4))
+    def run(batches):
+        schema = "tenant_id int, shopify_order_id int, total int"
+
+        def to_df(b):
+            return spark.createDataFrame(
+                [(t, o, v) for (t, o), v in b.items()], schema
+            )
+
+        state = to_df(batches[0])
+        model = dict(batches[0])
+        for b in batches[1:]:
+            state = merge_upsert(
+                state, to_df(b), ["tenant_id", "shopify_order_id"]
+            )
+            model.update(b)
+        got = {
+            (r.tenant_id, r.shopify_order_id): r.total for r in state.collect()
+        }
+        assert got == model
+
+    run()
