@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": lambda s, d: dedup.minhash_dedup_pairs(
             _t(s, d, "documents")
         ),
+        "decontamination": lambda s, d: dedup.decontamination_check(
+            _t(s, d, "documents")
+        ),
         "simhash": lambda s, d: dedup.simhash_fingerprints(_t(s, d, "documents")),
         "curation_stats": lambda s, d: curation.curated_corpus_stats(
             _t(s, d, "documents")

@@ -169,3 +169,35 @@ def test_embedding_neardup_exact_at_high_tau(vecs):
     for r in out:
         assert (r.vec_b - r.vec_a) % 14 == 0, f"non-identical pair {r}"
         assert abs(r.cosine - 1.0) < 1e-6
+
+
+def test_decontamination_flags_cross_split_copies(spark):
+    """Plant identical doc pairs (i, i+100); every pair whose two members
+    hash into different splits must be flagged with full overlap, and no
+    pair of unrelated docs may be flagged."""
+    from xboard_spark.operators.dedup import decontamination_check
+    from xboard_spark.operators.sampling import with_split
+
+    rows = []
+    for i in range(20):
+        body = f"unique snippet {i} " + " ".join(
+            f"tok{i}w{j}" for j in range(12)
+        )
+        rows.append((i, body, "en", "t", len(body)))
+        rows.append((i + 100, body, "en", "t", len(body)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    split = {r.doc_id: r.split for r in with_split(docs, test_pct=50).collect()}
+    expected = set()
+    for i in range(20):
+        a, b = split[i], split[i + 100]
+        if a != b:
+            test_doc = i if a == "test" else i + 100
+            train_doc = i + 100 if a == "test" else i
+            expected.add((test_doc, train_doc))
+    out = decontamination_check(docs, test_pct=50, min_shared=5).collect()
+    got = {(r.test_doc, r.train_doc) for r in out}
+    assert got == expected, (got, expected)
+    for r in out:
+        assert abs(r.overlap - 1.0) < 1e-9  # identical shingle sets

@@ -369,3 +369,53 @@ def prefix_dedup_groups(
         .filter(F.col("n_docs") >= min_size)
         .orderBy("fingerprint")
     )
+
+
+def decontamination_check(
+    documents: DataFrame,
+    test_pct: int = 10,
+    n: int = 3,
+    max_df: int = 100,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Train/test DECONTAMINATION: (test_doc, train_doc) pairs whose
+    filtered shingle sets share >= ``min_shared`` n-grams — the standard
+    n-gram-overlap check run before evaluating on held-out data (cf. the
+    GPT-3 appendix-C / PaLM contamination methodology: benchmark examples
+    sharing enough n-grams with training text are flagged).
+
+    Reuses the engine's own primitives end-to-end: the hash split
+    (``sampling.with_split`` — leakage-stable by construction) and the
+    shared persisted shingle index (``cached_filtered_index``). The
+    cross-split join is keyed on shingle fingerprint, so cost is bounded by
+    per-shingle df (already capped at ``max_df``) times test-side size —
+    at 100 TB the test side is tiny and the join is effectively an
+    index probe of the training corpus."""
+    from xboard_spark.operators.sampling import with_split
+
+    split = with_split(documents, test_pct).select("doc_id", "split")
+    inv = cached_filtered_index(documents, n, max_df).join(split, "doc_id")
+    train = inv.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "shfp"
+    )
+    test = inv.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "shfp"
+    )
+    n_test_sh = test.groupBy("test_doc").agg(F.count("*").alias("n_test_sh"))
+    shared = (
+        train.join(test, "shfp")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        shared.join(n_test_sh, "test_doc")
+        .select(
+            "test_doc",
+            "train_doc",
+            F.col("shared").cast("long").alias("shared"),
+            F.col("n_test_sh").cast("long").alias("n_test_sh"),
+            F.round(F.col("shared") / F.col("n_test_sh"), 6).alias("overlap"),
+        )
+        .orderBy("test_doc", "train_doc")
+    )

@@ -291,6 +291,42 @@ SELECT doc_id, chunk_id, (chunk_id * {stride})::BIGINT AS start_pos,
 FROM chunks ORDER BY doc_id, chunk_id"""
 
 
+def decontamination_sql(
+    test_pct: int = 10,
+    n: int = 3,
+    max_df: int = 100,
+    min_shared: int = 5,
+    salt: str = "split-v1",
+) -> str:
+    fp = _fp(f"concat_ws(':', '{salt}', doc_id)")
+    return f"""
+WITH {_docs_cte(n)},
+{_inv_cte(max_df)},
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {fp} % 100 < {test_pct} THEN 'test' ELSE 'train' END AS split
+  FROM documents
+),
+tr AS (
+  SELECT inv.doc_id AS train_doc, shfp
+  FROM inv JOIN sp USING (doc_id) WHERE split = 'train'
+),
+te AS (
+  SELECT inv.doc_id AS test_doc, shfp
+  FROM inv JOIN sp USING (doc_id) WHERE split = 'test'
+),
+sizes AS (SELECT test_doc, count(*) AS n_test_sh FROM te GROUP BY test_doc),
+shared AS (
+  SELECT test_doc, train_doc, count(*) AS shared
+  FROM tr JOIN te USING (shfp)
+  GROUP BY test_doc, train_doc HAVING count(*) >= {min_shared}
+)
+SELECT test_doc, train_doc, shared, n_test_sh,
+       round(shared / n_test_sh::DOUBLE, 6) AS overlap
+FROM shared JOIN sizes USING (test_doc)
+ORDER BY test_doc, train_doc"""
+
+
 def funnel_conversion_sql() -> str:
     return """
 WITH tv AS (
@@ -859,6 +895,7 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "term_cooccurrence": term_cooccurrence_sql(),
         "dedup_prefix": prefix_dedup_sql(),
         "funnel_conversion": funnel_conversion_sql(),
+        "decontamination": decontamination_sql(),
         "top_supplier_revenue": top_supplier_revenue_sql(),
         "stratified_sample": stratified_sample_sql(),
         "length_histogram": length_histogram_sql(),
