@@ -201,3 +201,35 @@ def test_decontamination_flags_cross_split_copies(spark):
     assert got == expected, (got, expected)
     for r in out:
         assert abs(r.overlap - 1.0) < 1e-9  # identical shingle sets
+
+
+def test_quantization_error_bounds(vecs):
+    """Per-dim error is at most half a quantization step, so per-vector SSE
+    <= 64 * (span/510)^2; and values exactly on the grid (this fixture uses
+    only 0.0/0.3/1.0... not grid-aligned, so just check the bound and
+    positivity structure)."""
+    from xboard_spark.operators.similarity import embedding_quantization_stats
+
+    out = embedding_quantization_stats(vecs).collect()
+    assert sum(r.n_vecs for r in out) == 40
+    # spans here are at most 1.0 -> SSE bound 64 * (1/510)^2 ~ 2.46e-4
+    for r in out:
+        assert 0.0 <= r.max_sse <= 64 * (1.0 / 510) ** 2 + 1e-9
+        assert 0.0 <= r.avg_sse <= r.max_sse + 1e-9
+
+
+def test_quantization_zero_error_on_grid(spark):
+    """A corpus whose per-dim values sit exactly on the 256-step grid
+    reconstructs exactly (lo + q*span/255 == val)."""
+    from xboard_spark.operators.similarity import embedding_quantization_stats
+
+    rows = []
+    for i in range(8):
+        v = [0.0] * 64
+        v[i] = 1.0  # values are exactly lo (0) or hi (1) per dim
+        rows.append((i, v, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = embedding_quantization_stats(emb).collect()
+    assert len(out) == 1 and out[0].avg_sse == 0.0 and out[0].max_sse == 0.0

@@ -387,3 +387,45 @@ def ivf_cell_sizes(embeddings: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
         .agg(F.count("*").alias("n_vecs"))
         .orderBy("cell")
     )
+
+
+def embedding_quantization_stats(embeddings: DataFrame) -> DataFrame:
+    """Int8 scalar-quantization quality report: quantize each dimension to
+    0..255 against the corpus-wide per-dimension min/max, reconstruct, and
+    report per-label reconstruction error — the standard check before
+    shipping a quantized ANN index (4x memory cut vs float32; cf. the SQ8
+    variant in IVF systems).
+
+    Scale shape: per-dim min/max is a 64-group partial+final aggregate
+    (one scan), broadcast back as a tiny dim table; quantize/reconstruct
+    are pure row-form expressions; the error rollup is one hash agg on
+    label. Nothing beyond two scans + two small shuffles at any corpus
+    size."""
+    vd = _vec_dims(embeddings)
+    dim_stats = vd.groupBy("dim").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    span = F.col("hi") - F.col("lo")
+    q = F.round((F.col("val") - F.col("lo")) / span * 255)
+    recon = F.col("lo") + q * span / 255
+    err = (F.col("val") - recon) * (F.col("val") - recon)
+    # constant dimension (span 0): quantization is exact by definition —
+    # guard the division rather than emit NaN/ANSI divide-by-zero
+    err = F.when(span == 0, F.lit(0.0)).otherwise(err)
+    per_vec = (
+        vd.join(F.broadcast(dim_stats), "dim")
+        .select("vec_id", err.alias("sq_err"))
+        .groupBy("vec_id")
+        .agg(F.sum("sq_err").alias("sse"))
+    )
+    return (
+        embeddings.select("vec_id", "label")
+        .join(per_vec, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("sse"), 6).alias("avg_sse"),
+            F.round(F.max("sse"), 6).alias("max_sse"),
+        )
+        .orderBy("label")
+    )

@@ -515,6 +515,28 @@ WHERE list_dot_product(a.v, b.v) / (a.v_norm * b.v_norm) >= {tau}
 ORDER BY vec_a, vec_b"""
 
 
+def embedding_quantization_sql(dim: int = DIM) -> str:
+    return f"""
+WITH vd AS (
+  SELECT vec_id, i AS dim, (embedding[i])::DOUBLE AS val
+  FROM embeddings, generate_series(1, {dim}) s(i)
+),
+ds AS (SELECT dim, min(val) AS lo, max(val) AS hi FROM vd GROUP BY dim),
+err AS (
+  SELECT vec_id,
+         CASE WHEN hi - lo = 0 THEN 0.0 ELSE
+         (val - (lo + round((val - lo) / (hi - lo) * 255) * (hi - lo) / 255))
+         * (val - (lo + round((val - lo) / (hi - lo) * 255) * (hi - lo) / 255))
+         END AS sq_err
+  FROM vd JOIN ds USING (dim)
+),
+sse AS (SELECT vec_id, sum(sq_err) AS sse FROM err GROUP BY vec_id)
+SELECT label, count(*) AS n_vecs,
+       round(avg(sse), 6) AS avg_sse, round(max(sse), 6) AS max_sse
+FROM embeddings JOIN sse USING (vec_id)
+GROUP BY label ORDER BY label"""
+
+
 def _centroid_values_sql(n_cells: int = 8, dim: int = DIM) -> str:
     rows = []
     for c in range(n_cells):
@@ -887,6 +909,7 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "knn_bruteforce": knn_sql(),
         "knn_lsh": knn_lsh_sql(),
         "embedding_neardup": embedding_neardup_sql(),
+        "embedding_quantization": embedding_quantization_sql(),
         "train_test_split": train_test_split_sql(),
         "doc_chunks": doc_chunks_sql(),
         "sequence_packing": sequence_packing_sql(),
