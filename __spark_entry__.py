@@ -106,6 +106,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": lambda s, d: events.funnel_conversion(
             _t(s, d, "events")
         ),
+        "cohort_retention": lambda s, d: events.cohort_retention(
+            _t(s, d, "events")
+        ),
+        "rfm_segments": lambda s, d: window_ops.rfm_segments(
+            _t(s, d, "orders")
+        ),
         "top_supplier_revenue": lambda s, d: tpch.top_supplier_revenue(
             _t(s, d, "lineitem"), _t(s, d, "supplier")
         ),

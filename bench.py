@@ -38,8 +38,14 @@ HEADLINE = [
     "approx_cardinality",
     "minhash_dedup",
     "ngram_jaccard",
+    "dedup_prefix",
+    "decontamination",
     "embedding_neardup",
+    "embedding_quantization",
     "train_test_split",
+    "funnel_conversion",
+    "top_supplier_revenue",
+    "doc_chunks_overlapping",
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",

@@ -304,3 +304,46 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
         "n_view_users long, n_click_users long, n_purchase_users long, "
         "view_to_click double, click_to_purchase double",
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen week
+    (cohort), tracked by distinct-active weeks after — the standard
+    product-analytics rollup the reference's daily revenue endpoint
+    (routes/analytics.js:55-70) grows into.
+
+    Shape: first-seen is one per-user hash agg; (user, week) activity is a
+    dropDuplicates on co-located keys; the matrix is a second agg keyed by
+    (cohort_week, weeks_since) — thousands of groups regardless of corpus
+    size. The cohort-size join broadcasts (one row per week)."""
+    user_week = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).dropDuplicates(["user_id", "week"])
+    first_week = user_week.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    cohort_size = first_week.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    activity = user_week.join(first_week, "user_id").withColumn(
+        "weeks_since",
+        F.floor(
+            (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+            / (7 * 24 * 3600)
+        ).cast("long"),
+    )
+    return (
+        activity.groupBy("cohort_week", "weeks_since")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(cohort_size), "cohort_week")
+        .select(
+            F.to_date("cohort_week").alias("cohort_week"),
+            "weeks_since",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )

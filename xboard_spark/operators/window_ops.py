@@ -226,3 +226,37 @@ def orders_cube(orders: DataFrame) -> DataFrame:
             F.asc_nulls_first("o_orderpriority"),
         )
     )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM segmentation: quartile-bucket every customer on Recency
+    (latest order date), Frequency (order count), and Monetary (total
+    spend), then count customers per (r, f, m) cell — the classic CRM
+    rollup, exercising ntile ranking windows with deterministic tiebreaks.
+
+    Scale note: each ntile is a global ranking — fine here because the
+    ranked relation is ALREADY one row per customer (the heavy fact scan
+    collapsed in the first agg); at extreme customer counts you'd swap
+    ntile for percentile thresholds computed once and broadcast (same
+    output, no global sort)."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+    )
+    from pyspark.sql import Window
+
+    r_w = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    tiled = per_cust.select(
+        "o_custkey",
+        F.ntile(4).over(r_w).alias("r_tile"),
+        F.ntile(4).over(f_w).alias("f_tile"),
+        F.ntile(4).over(m_w).alias("m_tile"),
+    )
+    return (
+        tiled.groupBy("r_tile", "f_tile", "m_tile")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_tile", "f_tile", "m_tile")
+    )

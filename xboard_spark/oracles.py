@@ -327,6 +327,48 @@ FROM shared JOIN sizes USING (test_doc)
 ORDER BY test_doc, train_doc"""
 
 
+def cohort_retention_sql() -> str:
+    return """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+fw AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+cs AS (SELECT cohort_week, count(*) AS cohort_size FROM fw GROUP BY cohort_week),
+act AS (
+  SELECT uw.user_id, fw.cohort_week,
+         ((epoch_us(uw.week) - epoch_us(fw.cohort_week))
+          // 604800000000)::BIGINT AS weeks_since
+  FROM uw JOIN fw USING (user_id)
+),
+mat AS (
+  SELECT cohort_week, weeks_since, count(*) AS n_active
+  FROM act GROUP BY cohort_week, weeks_since
+)
+SELECT cohort_week::DATE AS cohort_week, weeks_since, n_active, cohort_size,
+       round(n_active / cohort_size::DOUBLE, 6) AS retention
+FROM mat JOIN cs USING (cohort_week)
+ORDER BY cohort_week, weeks_since"""
+
+
+def rfm_segments_sql() -> str:
+    return """
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_tile,
+         ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f_tile,
+         ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS m_tile
+  FROM per_cust
+)
+SELECT r_tile, f_tile, m_tile, count(*) AS n_customers
+FROM tiled GROUP BY r_tile, f_tile, m_tile
+ORDER BY r_tile, f_tile, m_tile"""
+
+
 def funnel_conversion_sql() -> str:
     return """
 WITH tv AS (
@@ -919,6 +961,8 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "dedup_prefix": prefix_dedup_sql(),
         "funnel_conversion": funnel_conversion_sql(),
         "decontamination": decontamination_sql(),
+        "cohort_retention": cohort_retention_sql(),
+        "rfm_segments": rfm_segments_sql(),
         "top_supplier_revenue": top_supplier_revenue_sql(),
         "stratified_sample": stratified_sample_sql(),
         "length_histogram": length_histogram_sql(),
