@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantization": lambda s, d: similarity.embedding_quantization_stats(
             _t(s, d, "embeddings")
         ),
+        "pq_quantization": lambda s, d: similarity.pq_quantization_stats(
+            _t(s, d, "embeddings")
+        ),
         "label_centroids": lambda s, d: similarity.label_centroids(
             _t(s, d, "embeddings")
         ),

@@ -233,3 +233,29 @@ def test_quantization_zero_error_on_grid(spark):
     )
     out = embedding_quantization_stats(emb).collect()
     assert len(out) == 1 and out[0].avg_sse == 0.0 and out[0].max_sse == 0.0
+
+
+def test_pq_quantization_zero_error_for_constant_corpus(spark):
+    """All-identical vectors: the Lloyd update makes some centroid exactly
+    the vector, so PQ reconstruction is exact (sse == 0) — pins the
+    join/encode plumbing independent of codebook quality."""
+    from xboard_spark.operators.similarity import pq_quantization_stats
+
+    v = [float((i * 7 % 13) - 6) / 10 for i in range(64)]
+    emb = spark.createDataFrame(
+        [(i, v, 1) for i in range(12)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = pq_quantization_stats(emb).collect()
+    assert len(out) == 1
+    assert out[0].n_vecs == 12
+    assert out[0].avg_sse == 0.0 and out[0].max_sse == 0.0
+
+
+def test_pq_covers_every_vector(vecs):
+    from xboard_spark.operators.similarity import pq_quantization_stats
+
+    out = pq_quantization_stats(vecs).collect()
+    assert sum(r.n_vecs for r in out) == 40
+    for r in out:
+        assert r.avg_sse >= 0.0 and r.max_sse >= r.avg_sse - 1e-12

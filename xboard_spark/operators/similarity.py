@@ -431,3 +431,87 @@ def embedding_quantization_stats(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+N_SUBSPACES = 8  # PQ: 64 dims -> 8 subspaces x 8 dims
+PQ_K = 4  # centroids per subspace codebook
+
+
+def pq_quantization_stats(
+    embeddings: DataFrame, m: int = N_SUBSPACES, k: int = PQ_K, dim: int = DIM
+) -> DataFrame:
+    """Product-quantization quality report (Jégou et al. 2011): split each
+    vector into ``m`` subspaces, learn a ``k``-entry codebook per subspace
+    (one deterministic Lloyd iteration from hash-seeded centroids, the
+    ``knn_ivf`` recipe applied per-subspace), encode each vector as m code
+    ids, and report per-label reconstruction error. Compression:
+    64 float32 -> m log2(k)-bit codes (here 8 x 2 bits vs the SQ8 variant's
+    64 x 8 bits in ``embedding_quantization_stats``).
+
+    Scale shape: everything is row-form (vec_id, subspace, dim, val) joined
+    against broadcast codebooks — two Lloyd passes and the encode pass are
+    each one hash aggregate; nothing depends on corpus size except linearly.
+    """
+    spark = embeddings.sparkSession
+    sub_dim = dim // m
+    vd = _vec_dims(embeddings).withColumn(
+        "s", ((F.col("dim") - 1) / sub_dim).cast("int")
+    ).persist()
+
+    seed_rows = [
+        (s, c, s * sub_dim + d + 1, plane_weight(s * 41 + c, d))
+        for s in range(m)
+        for c in range(k)
+        for d in range(sub_dim)
+    ]
+    c0 = spark.createDataFrame(
+        seed_rows, "s int, c int, dim long, cval double"
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        dist = (
+            vd.join(F.broadcast(centroids), ["s", "dim"])
+            .groupBy("vec_id", "s", "c")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ).alias("dist2")
+            )
+        )
+        return (
+            dist.groupBy("vec_id", "s")
+            .agg(F.min(F.struct("dist2", "c")).alias("best"))
+            .select("vec_id", "s", F.col("best.c").alias("c"))
+        )
+
+    c1 = (
+        vd.join(assign(c0), ["vec_id", "s"])
+        .groupBy("s", "c", "dim")
+        .agg(F.avg("val").alias("cval"))
+        .persist()
+    )
+    codes = assign(c1)
+    err = (
+        vd.join(codes, ["vec_id", "s"])
+        .join(F.broadcast(c1), ["s", "c", "dim"])
+        .select(
+            "vec_id",
+            (
+                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+            ).alias("sq_err"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("sq_err").alias("sse"))
+    )
+    return (
+        embeddings.select("vec_id", "label")
+        .join(err, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("sse"), 6).alias("avg_sse"),
+            F.round(F.max("sse"), 6).alias("max_sse"),
+        )
+        .orderBy("label")
+    )

@@ -579,6 +579,68 @@ FROM embeddings JOIN sse USING (vec_id)
 GROUP BY label ORDER BY label"""
 
 
+def pq_quantization_sql(m: int = 8, k: int = 4, dim: int = DIM) -> str:
+    sub_dim = dim // m
+    seed_rows = ",\n        ".join(
+        f"({s}, {c}, {s * sub_dim + d + 1}, {plane_weight(s * 41 + c, d)!r})"
+        for s in range(m)
+        for c in range(k)
+        for d in range(sub_dim)
+    )
+    return f"""
+WITH vd AS (
+  SELECT vec_id, i AS dim, ((i - 1) // {sub_dim})::INT AS s,
+         (embedding[i])::DOUBLE AS val
+  FROM embeddings, generate_series(1, {dim}) t(i)
+),
+c0 AS (
+  SELECT * FROM (VALUES
+        {seed_rows}
+  ) v(s, c, dim, cval)
+),
+d0 AS (
+  SELECT vd.vec_id, vd.s, c0.c,
+         sum((vd.val - c0.cval) * (vd.val - c0.cval)) AS dist2
+  FROM vd JOIN c0 ON vd.s = c0.s AND vd.dim = c0.dim
+  GROUP BY vd.vec_id, vd.s, c0.c
+),
+a0 AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, c) AS rn
+    FROM d0) WHERE rn = 1
+),
+c1 AS (
+  SELECT vd.s, a0.c, vd.dim, avg(vd.val) AS cval
+  FROM vd JOIN a0 ON vd.vec_id = a0.vec_id AND vd.s = a0.s
+  GROUP BY vd.s, a0.c, vd.dim
+),
+d1 AS (
+  SELECT vd.vec_id, vd.s, c1.c,
+         sum((vd.val - c1.cval) * (vd.val - c1.cval)) AS dist2
+  FROM vd JOIN c1 ON vd.s = c1.s AND vd.dim = c1.dim
+  GROUP BY vd.vec_id, vd.s, c1.c
+),
+codes AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, c) AS rn
+    FROM d1) WHERE rn = 1
+),
+err AS (
+  SELECT vd.vec_id,
+         sum((vd.val - c1.cval) * (vd.val - c1.cval)) AS sse
+  FROM vd
+  JOIN codes ON vd.vec_id = codes.vec_id AND vd.s = codes.s
+  JOIN c1 ON c1.s = codes.s AND c1.c = codes.c AND c1.dim = vd.dim
+  GROUP BY vd.vec_id
+)
+SELECT label, count(*) AS n_vecs,
+       round(avg(sse), 6) AS avg_sse, round(max(sse), 6) AS max_sse
+FROM embeddings JOIN err USING (vec_id)
+GROUP BY label ORDER BY label"""
+
+
 def _centroid_values_sql(n_cells: int = 8, dim: int = DIM) -> str:
     rows = []
     for c in range(n_cells):
@@ -952,6 +1014,7 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "knn_lsh": knn_lsh_sql(),
         "embedding_neardup": embedding_neardup_sql(),
         "embedding_quantization": embedding_quantization_sql(),
+        "pq_quantization": pq_quantization_sql(),
         "train_test_split": train_test_split_sql(),
         "doc_chunks": doc_chunks_sql(),
         "sequence_packing": sequence_packing_sql(),
