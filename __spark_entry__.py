@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings")
         ),
         "knn_ivf": lambda s, d: similarity.knn_ivf(_t(s, d, "embeddings")),
+        "knn_pq": lambda s, d: similarity.knn_pq(_t(s, d, "embeddings")),
         "ivf_cell_sizes": lambda s, d: similarity.ivf_cell_sizes(
             _t(s, d, "embeddings")
         ),

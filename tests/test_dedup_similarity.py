@@ -259,3 +259,36 @@ def test_pq_covers_every_vector(vecs):
     assert sum(r.n_vecs for r in out) == 40
     for r in out:
         assert r.avg_sse >= 0.0 and r.max_sse >= r.avg_sse - 1e-12
+
+
+def test_knn_pq_structure_and_code_equivalence(vecs):
+    """ADC invariants that hold regardless of codebook quality: dense
+    deterministic ranks, sorted distances, and — the PQ-defining property —
+    vectors with IDENTICAL embeddings (i and i+14 in this fixture) get
+    identical codes, hence identical approximate distances to any query.
+    (A recall assertion would be wrong here: 2-bit-per-subspace codebooks
+    are intentionally coarse.)"""
+    from xboard_spark.operators.similarity import knn_pq, pq_index
+
+    out = knn_pq(vecs, n_queries=2, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    for q_id, rows in by_q.items():
+        rows = sorted(rows, key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        dists = [r.adist2 for r in rows]
+        assert dists == sorted(dists)
+    # identical vectors share codes
+    _c1, codes, _vd = pq_index(vecs)
+    code_map = {}
+    for r in codes.collect():
+        code_map.setdefault(r.vec_id, {})[r.s] = r.c
+    for i in range(40 - 14):
+        assert code_map[i] == code_map[i + 14] or (i % 14 != (i + 14) % 14), i
+    for i in range(40):
+        assert len(code_map[i]) == 8  # every subspace encoded
+    # truly identical pairs (i, i+14 share parity and noise dim)
+    for i in range(40 - 14):
+        assert code_map[i] == code_map[i + 14], i

@@ -436,6 +436,63 @@ def embedding_quantization_stats(embeddings: DataFrame) -> DataFrame:
 N_SUBSPACES = 8  # PQ: 64 dims -> 8 subspaces x 8 dims
 PQ_K = 4  # centroids per subspace codebook
 
+# (embeddings semanticHash, m, k) -> (codebooks c1, codes, subspaced vd),
+# all persisted — the PQ index shared by pq_quantization_stats and knn_pq
+# (same build-once rationale as _IVF_CACHE).
+_PQ_CACHE: dict[tuple[int, int, int], tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def pq_index(
+    embeddings: DataFrame, m: int = N_SUBSPACES, k: int = PQ_K, dim: int = DIM
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Learn the PQ index: one Lloyd iteration per subspace from
+    hash-seeded centroids. Returns (codebooks (s, c, dim, cval),
+    codes (vec_id, s, c), subspaced vec dims (vec_id, s, dim, val))."""
+    key = (embeddings.semanticHash(), m, k)
+    if key not in _PQ_CACHE:
+        spark = embeddings.sparkSession
+        sub_dim = dim // m
+        vd = (
+            _vec_dims(embeddings)
+            .withColumn("s", ((F.col("dim") - 1) / sub_dim).cast("int"))
+            .persist()
+        )
+        seed_rows = [
+            (s, c, s * sub_dim + d + 1, plane_weight(s * 41 + c, d))
+            for s in range(m)
+            for c in range(k)
+            for d in range(sub_dim)
+        ]
+        c0 = spark.createDataFrame(
+            seed_rows, "s int, c int, dim long, cval double"
+        )
+
+        def assign(centroids: DataFrame) -> DataFrame:
+            dist = (
+                vd.join(F.broadcast(centroids), ["s", "dim"])
+                .groupBy("vec_id", "s", "c")
+                .agg(
+                    F.sum(
+                        (F.col("val") - F.col("cval"))
+                        * (F.col("val") - F.col("cval"))
+                    ).alias("dist2")
+                )
+            )
+            return (
+                dist.groupBy("vec_id", "s")
+                .agg(F.min(F.struct("dist2", "c")).alias("best"))
+                .select("vec_id", "s", F.col("best.c").alias("c"))
+            )
+
+        c1 = (
+            vd.join(assign(c0), ["vec_id", "s"])
+            .groupBy("s", "c", "dim")
+            .agg(F.avg("val").alias("cval"))
+            .persist()
+        )
+        _PQ_CACHE[key] = (c1, assign(c1).persist(), vd)
+    return _PQ_CACHE[key]
+
 
 def pq_quantization_stats(
     embeddings: DataFrame, m: int = N_SUBSPACES, k: int = PQ_K, dim: int = DIM
@@ -452,46 +509,7 @@ def pq_quantization_stats(
     against broadcast codebooks — two Lloyd passes and the encode pass are
     each one hash aggregate; nothing depends on corpus size except linearly.
     """
-    spark = embeddings.sparkSession
-    sub_dim = dim // m
-    vd = _vec_dims(embeddings).withColumn(
-        "s", ((F.col("dim") - 1) / sub_dim).cast("int")
-    ).persist()
-
-    seed_rows = [
-        (s, c, s * sub_dim + d + 1, plane_weight(s * 41 + c, d))
-        for s in range(m)
-        for c in range(k)
-        for d in range(sub_dim)
-    ]
-    c0 = spark.createDataFrame(
-        seed_rows, "s int, c int, dim long, cval double"
-    )
-
-    def assign(centroids: DataFrame) -> DataFrame:
-        dist = (
-            vd.join(F.broadcast(centroids), ["s", "dim"])
-            .groupBy("vec_id", "s", "c")
-            .agg(
-                F.sum(
-                    (F.col("val") - F.col("cval"))
-                    * (F.col("val") - F.col("cval"))
-                ).alias("dist2")
-            )
-        )
-        return (
-            dist.groupBy("vec_id", "s")
-            .agg(F.min(F.struct("dist2", "c")).alias("best"))
-            .select("vec_id", "s", F.col("best.c").alias("c"))
-        )
-
-    c1 = (
-        vd.join(assign(c0), ["vec_id", "s"])
-        .groupBy("s", "c", "dim")
-        .agg(F.avg("val").alias("cval"))
-        .persist()
-    )
-    codes = assign(c1)
+    c1, codes, vd = pq_index(embeddings, m, k, dim)
     err = (
         vd.join(codes, ["vec_id", "s"])
         .join(F.broadcast(c1), ["s", "c", "dim"])
@@ -514,4 +532,62 @@ def pq_quantization_stats(
             F.round(F.max("sse"), 6).alias("max_sse"),
         )
         .orderBy("label")
+    )
+
+
+def knn_pq(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    m: int = N_SUBSPACES,
+    kc: int = PQ_K,
+    dim: int = DIM,
+) -> DataFrame:
+    """PQ approximate kNN via Asymmetric Distance Computation (ADC, Jégou
+    et al. 2011 §IV): the query stays EXACT; per (query, subspace,
+    codebook-entry) partial distances form a lookup table, and each corpus
+    vector's approximate distance is the sum of m table lookups selected by
+    its stored codes — the scan never touches the original vectors.
+
+    Scale shape: the LUT is n_queries * m * kc rows (tiny, broadcast); the
+    scan is codes ⋈ LUT (broadcast hash join, no shuffle of the corpus)
+    followed by one (q_id, vec_id) hash aggregate and a per-query top-k.
+    This is exactly why PQ wins at 100 TB: the working set is the code
+    table (m bytes/vector), not the float corpus."""
+    c1, codes, _vd = pq_index(embeddings, m, kc, dim)
+    q_dims = (
+        _vec_dims(embeddings.filter(F.col("vec_id") < n_queries))
+        .withColumn("s", ((F.col("dim") - 1) / (dim // m)).cast("int"))
+        .select(F.col("vec_id").alias("q_id"), "s", "dim", "val")
+    )
+    lut = (
+        q_dims.join(F.broadcast(c1), ["s", "dim"])
+        .groupBy("q_id", "s", "c")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+            ).alias("pdist")
+        )
+    )
+    # rank on the ROUNDED distance: vectors sharing all m codes have
+    # identical approximate distances up to summation order, and ranking
+    # on raw doubles would let sub-1e-12 noise pick different winners in
+    # different engines — rounding first makes the vec_id tiebreak decide
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "c"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("pdist"), 6).alias("adist2"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            "adist2",
+        )
+        .orderBy("q_id", "rank")
     )

@@ -579,7 +579,9 @@ FROM embeddings JOIN sse USING (vec_id)
 GROUP BY label ORDER BY label"""
 
 
-def pq_quantization_sql(m: int = 8, k: int = 4, dim: int = DIM) -> str:
+def _pq_stack(m: int = 8, k: int = 4, dim: int = DIM) -> str:
+    """Shared CTE stack for the PQ oracles (mirrors similarity.pq_index):
+    subspaced dims -> seed codebooks -> assign -> Lloyd update -> codes."""
     sub_dim = dim // m
     seed_rows = ",\n        ".join(
         f"({s}, {c}, {s * sub_dim + d + 1}, {plane_weight(s * 41 + c, d)!r})"
@@ -587,8 +589,7 @@ def pq_quantization_sql(m: int = 8, k: int = 4, dim: int = DIM) -> str:
         for c in range(k)
         for d in range(sub_dim)
     )
-    return f"""
-WITH vd AS (
+    return f"""vd AS (
   SELECT vec_id, i AS dim, ((i - 1) // {sub_dim})::INT AS s,
          (embedding[i])::DOUBLE AS val
   FROM embeddings, generate_series(1, {dim}) t(i)
@@ -626,7 +627,12 @@ codes AS (
     SELECT vec_id, s, c,
            row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, c) AS rn
     FROM d1) WHERE rn = 1
-),
+)"""
+
+
+def pq_quantization_sql(m: int = 8, k: int = 4, dim: int = DIM) -> str:
+    return f"""
+WITH {_pq_stack(m, k, dim)},
 err AS (
   SELECT vd.vec_id,
          sum((vd.val - c1.cval) * (vd.val - c1.cval)) AS sse
@@ -639,6 +645,40 @@ SELECT label, count(*) AS n_vecs,
        round(avg(sse), 6) AS avg_sse, round(max(sse), 6) AS max_sse
 FROM embeddings JOIN err USING (vec_id)
 GROUP BY label ORDER BY label"""
+
+
+def knn_pq_sql(
+    n_queries: int = 5, topk: int = 5, m: int = 8, k: int = 4, dim: int = DIM
+) -> str:
+    sub_dim = dim // m
+    return f"""
+WITH {_pq_stack(m, k, dim)},
+qd AS (
+  SELECT vec_id AS q_id, ((i - 1) // {sub_dim})::INT AS s, i AS dim,
+         (embedding[i])::DOUBLE AS val
+  FROM embeddings, generate_series(1, {dim}) t(i)
+  WHERE vec_id < {n_queries}
+),
+lut AS (
+  SELECT qd.q_id, qd.s, c1.c,
+         sum((qd.val - c1.cval) * (qd.val - c1.cval)) AS pdist
+  FROM qd JOIN c1 ON qd.s = c1.s AND qd.dim = c1.dim
+  GROUP BY qd.q_id, qd.s, c1.c
+),
+scored AS (
+  SELECT lut.q_id, codes.vec_id, round(sum(lut.pdist), 6) AS adist2
+  FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
+  GROUP BY lut.q_id, codes.vec_id
+  HAVING codes.vec_id <> lut.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, adist2,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adist2, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, rank::BIGINT AS rank, vec_id, adist2
+FROM ranked WHERE rank <= {topk} ORDER BY q_id, rank"""
 
 
 def _centroid_values_sql(n_cells: int = 8, dim: int = DIM) -> str:
@@ -1015,6 +1055,7 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "embedding_neardup": embedding_neardup_sql(),
         "embedding_quantization": embedding_quantization_sql(),
         "pq_quantization": pq_quantization_sql(),
+        "knn_pq": knn_pq_sql(),
         "train_test_split": train_test_split_sql(),
         "doc_chunks": doc_chunks_sql(),
         "sequence_packing": sequence_packing_sql(),
