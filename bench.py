@@ -49,6 +49,10 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
+    "knn_pq",
+    "pq_quantization",
+    "cohort_retention",
+    "rfm_segments",
     "curation_stats",
     "hourly_windows",
     "purchase_asof_view",
