@@ -144,6 +144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": lambda s, d: sampling.stratified_sample(
             _t(s, d, "documents")
         ),
+        "mixture_rebalance": lambda s, d: sampling.mixture_rebalance(
+            _t(s, d, "documents")
+        ),
         "length_histogram": lambda s, d: sampling.length_histogram(
             _t(s, d, "documents")
         ),

@@ -215,3 +215,36 @@ def test_term_cooccurrence_counts_and_pmi_formula(spark):
         assert r.cnt_a == cnt[r.w_a] and r.cnt_b == cnt[r.w_b]
         want = math.log((r.pair_n / P) / ((r.cnt_a / N) * (r.cnt_b / N)))
         assert abs(r.pmi - want) < 1e-6, (r.w_a, r.w_b)
+
+
+def test_mixture_rebalance_binding_lang_keeps_all(spark):
+    """100 en vs 20 zh with a 50/50 target: zh is the binding lang (keeps
+    everything, rate 1.0) and en downsamples to rate 0.2 so the expected
+    kept mix is 50/50. Rates are exact arithmetic; kept counts are
+    hash-binomial around the expectation."""
+    from xboard_spark.operators import sampling
+
+    rows = [(i, f"text {i}", "en", "s", 10) for i in range(100)]
+    rows += [(1000 + i, f"zh text {i}", "zh", "s", 10) for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        r.lang: r
+        for r in sampling.mixture_rebalance(
+            docs, targets={"en": 0.5, "zh": 0.5}
+        ).collect()
+    }
+    assert set(out) == {"en", "zh"}
+    assert out["zh"].rate == 1.0 and out["zh"].n_kept == 20
+    assert abs(out["en"].rate - 0.2) < 1e-9
+    assert 8 <= out["en"].n_kept <= 32  # 100 hash-draws at p=0.2
+    assert abs(out["en"].kept_share + out["zh"].kept_share - 1.0) < 1e-6
+    # deterministic: same inputs, same result
+    again = {
+        r.lang: r.n_kept
+        for r in sampling.mixture_rebalance(
+            docs, targets={"en": 0.5, "zh": 0.5}
+        ).collect()
+    }
+    assert again == {lg: r.n_kept for lg, r in out.items()}

@@ -146,3 +146,82 @@ def sequence_packing(
         )
         .orderBy("shard", "pack_id")
     )
+
+
+DEFAULT_MIX = {"en": 0.2, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.2}
+
+
+def mixture_rebalance(
+    documents: DataFrame,
+    targets: dict[str, float] | None = None,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Domain/language mixture rebalancing (downsample-only): compute the
+    per-lang keep rate that moves the corpus to the ``targets`` mixture
+    without upsampling — the most-underrepresented lang (relative to its
+    target) keeps 100% and every other lang is hash-downsampled so the
+    kept corpus matches the target proportions in expectation. This is the
+    deterministic core of data-mixing pipelines (cf. DoReMi/Pile-style
+    domain weights), reproducible because membership is a pure hash
+    function (same anti-leakage argument as ``with_split``).
+
+    Entirely plan-side: the share/rate table is a 5-row aggregate
+    cross-joined back (broadcast), the keep decision a per-row expression —
+    no driver collect, no shuffle beyond two tiny aggs at any corpus size.
+
+    Returns per lang: corpus count, share, rate, kept count, kept share."""
+    targets = targets or DEFAULT_MIX
+    target_expr = None
+    for lg, t in sorted(targets.items()):
+        cond = F.when(F.col("lang") == lg, F.lit(float(t)))
+        target_expr = cond if target_expr is None else target_expr.when(
+            F.col("lang") == lg, F.lit(float(t))
+        )
+    target_expr = target_expr.otherwise(F.lit(0.0))
+
+    counts = documents.groupBy("lang").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    shares = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n") / F.col("total"))
+        .withColumn("target", target_expr)
+    )
+    scale = shares.agg(
+        F.min(F.col("share") / F.col("target")).alias("scale")
+    )
+    rates = (
+        shares.crossJoin(F.broadcast(scale))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0), F.col("target") * F.col("scale") / F.col("share")
+            ),
+        )
+        .select("lang", "n", "share", "rate")
+    )
+    fp = fingerprint64(F.concat_ws(":", F.lit(salt), F.col("doc_id")))
+    u = (fp % 1000000) / 1000000.0
+    kept = (
+        documents.join(F.broadcast(rates), "lang")
+        .withColumn("keep", (u < F.col("rate")).cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.round(F.max("share"), 6).alias("share"),
+            F.round(F.max("rate"), 6).alias("rate"),
+            F.sum("keep").alias("n_kept"),
+        )
+    )
+    total_kept = kept.agg(F.sum("n_kept").alias("tk"))
+    return (
+        kept.crossJoin(F.broadcast(total_kept))
+        .select(
+            "lang",
+            "n_docs",
+            "share",
+            "rate",
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.round(F.col("n_kept") / F.col("tk"), 6).alias("kept_share"),
+        )
+        .orderBy("lang")
+    )

@@ -454,6 +454,40 @@ WHERE pair_n >= {min_count}
 ORDER BY pair_n DESC, w_a, w_b LIMIT {k}"""
 
 
+def mixture_rebalance_sql(
+    targets: dict[str, float] | None = None, salt: str = "mix-v1"
+) -> str:
+    targets = targets or {"en": 0.2, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.2}
+    tcase = " ".join(
+        f"WHEN '{lg}' THEN {float(t)!r}" for lg, t in sorted(targets.items())
+    )
+    fp = _fp(f"concat_ws(':', '{salt}', doc_id)")
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+shares AS (
+  SELECT lang, n, n / (SELECT sum(n) FROM counts)::DOUBLE AS share,
+         (CASE lang {tcase} ELSE 0.0 END) AS target
+  FROM counts
+),
+sc AS (SELECT min(share / target) AS scale FROM shares),
+rates AS (
+  SELECT lang, n, share,
+         least(1.0, target * (SELECT scale FROM sc) / share) AS rate
+  FROM shares
+),
+kept AS (
+  SELECT d.lang, max(r.n) AS n_docs,
+         round(max(r.share), 6) AS share, round(max(r.rate), 6) AS rate,
+         sum(CASE WHEN (({fp}) % 1000000) / 1000000.0 < r.rate
+             THEN 1 ELSE 0 END) AS n_kept
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  GROUP BY d.lang
+)
+SELECT lang, n_docs, share, rate, n_kept::BIGINT AS n_kept,
+       round(n_kept / (SELECT sum(n_kept) FROM kept)::DOUBLE, 6) AS kept_share
+FROM kept ORDER BY lang"""
+
+
 def train_test_split_sql(test_pct: int = 10, salt: str = "split-v1") -> str:
     fp = _fp(f"concat_ws(':', '{salt}', doc_id)")
     return f"""
@@ -1069,6 +1103,7 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "rfm_segments": rfm_segments_sql(),
         "top_supplier_revenue": top_supplier_revenue_sql(),
         "stratified_sample": stratified_sample_sql(),
+        "mixture_rebalance": mixture_rebalance_sql(),
         "length_histogram": length_histogram_sql(),
         "knn_ivf": knn_ivf_sql(),
         "ivf_cell_sizes": ivf_cell_sizes_sql(),
