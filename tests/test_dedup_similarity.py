@@ -292,3 +292,19 @@ def test_knn_pq_structure_and_code_equivalence(vecs):
     # truly identical pairs (i, i+14 share parity and noise dim)
     for i in range(40 - 14):
         assert code_map[i] == code_map[i + 14], i
+
+
+def test_clear_index_caches_releases_and_rebuilds(docs, vecs):
+    """After clearing, caches are empty, and queries still produce
+    identical results (rebuild path works)."""
+    import xboard_spark
+    from xboard_spark.operators import dedup, similarity
+
+    before = dedup.minhash_dedup_pairs(docs, tau=0.3).collect()
+    similarity.knn_lsh(vecs, n_queries=1, k=3).collect()
+    released = xboard_spark.clear_index_caches()
+    assert released > 0
+    assert not dedup._INDEX_CACHE and not dedup._PAIRS_CACHE
+    assert not similarity._CORPUS_CACHE
+    after = dedup.minhash_dedup_pairs(docs, tau=0.3).collect()
+    assert after == before

@@ -21,3 +21,29 @@ citations in each operator's docstring) and the public PySpark API.
 """
 
 __version__ = "0.1.0"
+
+
+def clear_index_caches() -> int:
+    """Unpersist and drop every in-session shared index artifact (shingle
+    index, LSH-verified pair set, LSH corpus, IVF and PQ indexes). The
+    caches make repeated queries cheap (the indexes ARE the product —
+    built once, consumed many times); this is the explicit release valve
+    for long-lived sessions that move on to a different corpus. Returns
+    the number of artifacts released."""
+    from xboard_spark.operators import dedup, similarity
+
+    n = 0
+    for cache in (
+        dedup._INDEX_CACHE,
+        dedup._PAIRS_CACHE,
+        similarity._CORPUS_CACHE,
+        similarity._IVF_CACHE,
+        similarity._PQ_CACHE,
+    ):
+        for entry in cache.values():
+            frames = entry if isinstance(entry, tuple) else (entry,)
+            for df in frames:
+                df.unpersist()
+                n += 1
+        cache.clear()
+    return n
