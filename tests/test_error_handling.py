@@ -50,3 +50,26 @@ def test_user_value_trend_slope(spark):
     assert abs(out[1].slope_per_hour - 1.0) < 1e-6
     assert abs(out[2].slope_per_hour) < 1e-9
     assert out[1].n_events == 4
+
+
+def test_read_evolving_merges_added_columns(spark, tmp_path):
+    """Old files (2 cols) + new files (3 cols) in one table: merged read
+    exposes the union schema with NULLs where history predates the column,
+    and per-file data is intact."""
+    from pyspark.sql import functions as F
+    from xboard_spark.io import read_evolving
+
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, total double"
+    ).write.mode("overwrite").parquet(out)
+    spark.createDataFrame(
+        [(3, 30.0, "USD")], "id long, total double, currency string"
+    ).write.mode("append").parquet(out)
+
+    df = read_evolving(spark, out)
+    assert set(df.columns) == {"id", "total", "currency"}
+    rows = {r.id: (r.total, r.currency) for r in df.collect()}
+    assert rows == {1: (10.0, None), 2: (20.0, None), 3: (30.0, "USD")}
+    # old-file rows are selectable by the new column's nullness
+    assert df.filter(F.col("currency").isNull()).count() == 2

@@ -105,3 +105,14 @@ def read_silver(spark: SparkSession, path: str) -> DataFrame:
     """Read a silver table written by ``write_silver`` (partition columns
     come back via partition discovery)."""
     return spark.read.parquet(path)
+
+
+def read_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table whose files were written under EVOLVING schemas
+    (columns added over time — the normal life of a silver table at scale):
+    ``mergeSchema`` unions the per-file schemas at footer-read time, and
+    files missing a column surface NULLs for it. Cheap relative to the
+    scan for append-style evolution (footer reads parallelize); the
+    alternative — rewriting history on every added column — is exactly
+    what does not fly at 100 TB."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
