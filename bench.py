@@ -43,6 +43,7 @@ HEADLINE = [
     "embedding_neardup",
     "embedding_quantization",
     "train_test_split",
+    "mixture_rebalance",
     "funnel_conversion",
     "top_supplier_revenue",
     "doc_chunks_overlapping",
