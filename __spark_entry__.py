@@ -42,7 +42,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict ORDER is deliberate: the round-1 driver checked exactly the
+    first 50 entries, so the 20 queries that never got a driver correctness
+    row (the whole similarity family, temporal joins, and the window_ops
+    extensions) come FIRST this round, followed by every query whose plan
+    changed since round 1; the untouched queries proven green in
+    CORRECTNESS_r01.json come last. Across rounds this rotation gives every
+    registered query a recorded driver row.
+    """
     return {
+        # --- never driver-checked in r1: similarity search family ---
+        "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(
+            _t(s, d, "embeddings")
+        ),
+        "knn_lsh": lambda s, d: similarity.knn_lsh(_t(s, d, "embeddings")),
+        "embedding_neardup": lambda s, d: similarity.embedding_neardup(
+            _t(s, d, "embeddings")
+        ),
+        "knn_ivf": lambda s, d: similarity.knn_ivf(_t(s, d, "embeddings")),
+        "knn_pq": lambda s, d: similarity.knn_pq(_t(s, d, "embeddings")),
+        "ivf_cell_sizes": lambda s, d: similarity.ivf_cell_sizes(
+            _t(s, d, "embeddings")
+        ),
+        "embedding_stats": lambda s, d: similarity.embedding_stats(
+            _t(s, d, "embeddings")
+        ),
+        "embedding_quantization": lambda s, d: similarity.embedding_quantization_stats(
+            _t(s, d, "embeddings")
+        ),
+        "pq_quantization": lambda s, d: similarity.pq_quantization_stats(
+            _t(s, d, "embeddings")
+        ),
+        "label_centroids": lambda s, d: similarity.label_centroids(
+            _t(s, d, "embeddings")
+        ),
+        # --- never driver-checked in r1: temporal joins (as-of, range) ---
+        "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(
+            _t(s, d, "events")
+        ),
+        "views_before_purchase": lambda s, d: temporal.views_before_purchase(
+            _t(s, d, "events")
+        ),
+        # --- never driver-checked in r1: window_ops extensions ---
+        "status_distinct_aggs": lambda s, d: window_ops.status_distinct_aggs(
+            _t(s, d, "orders")
+        ),
+        "revenue_rollup": lambda s, d: window_ops.revenue_rollup(
+            _t(s, d, "lineitem")
+        ),
+        "value_percentiles": lambda s, d: window_ops.value_percentiles(
+            _t(s, d, "events")
+        ),
+        "daily_type_pivot": lambda s, d: window_ops.daily_type_pivot(
+            _t(s, d, "events")
+        ),
+        "customers_without_orders": lambda s, d: window_ops.customers_without_orders(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "nation")
+        ),
+        "rolling_revenue": lambda s, d: window_ops.rolling_revenue(
+            _t(s, d, "orders")
+        ),
+        "customer_order_gaps": lambda s, d: window_ops.customer_order_gaps(
+            _t(s, d, "orders"), _t(s, d, "customer")
+        ),
+        "orders_cube": lambda s, d: window_ops.orders_cube(_t(s, d, "orders")),
+        # --- plans changed in round 2: need fresh driver rows ---
+        "doc_stats": lambda s, d: text.doc_stats(_t(s, d, "documents")),
+        "session_stats": lambda s, d: events.session_stats(_t(s, d, "events")),
+        "rfm_segments": lambda s, d: window_ops.rfm_segments(
+            _t(s, d, "orders")
+        ),
+        "funnel_conversion": lambda s, d: events.funnel_conversion(
+            _t(s, d, "events")
+        ),
+        "term_cooccurrence": lambda s, d: text.term_cooccurrence(
+            _t(s, d, "documents")
+        ),
         # --- XBoard reference surface (SURVEY.md §2, routes/analytics.js) ---
         "overview": lambda s, d: analytics.overview(
             _t(s, d, "customer"), _t(s, d, "orders")
@@ -99,18 +174,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- streaming-shaped batch analogs (SURVEY.md §2.7) ---
         "events_dedup": lambda s, d: events.events_dedup_summary(_t(s, d, "events")),
         "events_daily": lambda s, d: events.events_daily(_t(s, d, "events")),
-        "session_stats": lambda s, d: events.session_stats(_t(s, d, "events")),
         "events_json": lambda s, d: events.events_json_props(_t(s, d, "events")),
         "user_rollup": lambda s, d: events.user_rollup(_t(s, d, "events")),
         "hourly_windows": lambda s, d: events.hourly_windows(_t(s, d, "events")),
-        "funnel_conversion": lambda s, d: events.funnel_conversion(
-            _t(s, d, "events")
-        ),
         "cohort_retention": lambda s, d: events.cohort_retention(
             _t(s, d, "events")
-        ),
-        "rfm_segments": lambda s, d: window_ops.rfm_segments(
-            _t(s, d, "orders")
         ),
         "top_supplier_revenue": lambda s, d: tpch.top_supplier_revenue(
             _t(s, d, "lineitem"), _t(s, d, "supplier")
@@ -122,7 +190,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events")
         ),
         # --- text analysis / training-data pipeline ---
-        "doc_stats": lambda s, d: text.doc_stats(_t(s, d, "documents")),
         "quality_scores": lambda s, d: text.quality_scores(_t(s, d, "documents")),
         "language_id": lambda s, d: text.language_id(_t(s, d, "documents")),
         "doc_fingerprints": lambda s, d: text.doc_fingerprints(
@@ -133,9 +200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "doc_chunks": lambda s, d: text.doc_chunks(_t(s, d, "documents")),
         "doc_chunks_overlapping": lambda s, d: text.doc_chunks_overlapping(
-            _t(s, d, "documents")
-        ),
-        "term_cooccurrence": lambda s, d: text.term_cooccurrence(
             _t(s, d, "documents")
         ),
         "train_test_split": lambda s, d: sampling.train_test_split_stats(
@@ -177,60 +241,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "segment_setops": lambda s, d: window_ops.segment_setops(
             _t(s, d, "customer"), _t(s, d, "orders")
-        ),
-        "status_distinct_aggs": lambda s, d: window_ops.status_distinct_aggs(
-            _t(s, d, "orders")
-        ),
-        "revenue_rollup": lambda s, d: window_ops.revenue_rollup(
-            _t(s, d, "lineitem")
-        ),
-        "value_percentiles": lambda s, d: window_ops.value_percentiles(
-            _t(s, d, "events")
-        ),
-        "daily_type_pivot": lambda s, d: window_ops.daily_type_pivot(
-            _t(s, d, "events")
-        ),
-        "customers_without_orders": lambda s, d: window_ops.customers_without_orders(
-            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "nation")
-        ),
-        "rolling_revenue": lambda s, d: window_ops.rolling_revenue(
-            _t(s, d, "orders")
-        ),
-        "customer_order_gaps": lambda s, d: window_ops.customer_order_gaps(
-            _t(s, d, "orders"), _t(s, d, "customer")
-        ),
-        "orders_cube": lambda s, d: window_ops.orders_cube(_t(s, d, "orders")),
-        # --- temporal joins (as-of, bounded range) ---
-        "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(
-            _t(s, d, "events")
-        ),
-        "views_before_purchase": lambda s, d: temporal.views_before_purchase(
-            _t(s, d, "events")
-        ),
-        # --- similarity search ---
-        "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(
-            _t(s, d, "embeddings")
-        ),
-        "knn_lsh": lambda s, d: similarity.knn_lsh(_t(s, d, "embeddings")),
-        "embedding_neardup": lambda s, d: similarity.embedding_neardup(
-            _t(s, d, "embeddings")
-        ),
-        "knn_ivf": lambda s, d: similarity.knn_ivf(_t(s, d, "embeddings")),
-        "knn_pq": lambda s, d: similarity.knn_pq(_t(s, d, "embeddings")),
-        "ivf_cell_sizes": lambda s, d: similarity.ivf_cell_sizes(
-            _t(s, d, "embeddings")
-        ),
-        "embedding_stats": lambda s, d: similarity.embedding_stats(
-            _t(s, d, "embeddings")
-        ),
-        "embedding_quantization": lambda s, d: similarity.embedding_quantization_stats(
-            _t(s, d, "embeddings")
-        ),
-        "pq_quantization": lambda s, d: similarity.pq_quantization_stats(
-            _t(s, d, "embeddings")
-        ),
-        "label_centroids": lambda s, d: similarity.label_centroids(
-            _t(s, d, "embeddings")
         ),
     }
 

@@ -119,7 +119,8 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     The mean duration is computed from EXACT integer microseconds
     (sum(long)/count, divided once) — averaging per-session rounded doubles
     is order-dependent at the last ulp and flipped a round(.,3) boundary
-    between engines at sf0.1."""
+    between engines at sf0.1. The final value is cast DECIMAL(18,3) so the
+    compared representation is exact, not IEEE (round-1 driver hash fix)."""
     return (
         sessionize(events, gap_minutes)
         .groupBy("user_id")
@@ -128,7 +129,7 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.sum("n_events").alias("n_events"),
             F.round(
                 (F.sum("duration_us") / F.count("*")) / 1e6, 3
-            ).alias("avg_session_sec"),
+            ).cast("decimal(18,3)").alias("avg_session_sec"),
         )
         .orderBy("user_id")
     )

@@ -34,7 +34,12 @@ def token_count_col(text: Column) -> Column:
 
 def doc_stats(documents: DataFrame) -> DataFrame:
     """Per (lang, source) corpus stats: doc counts, char/token moments.
-    One scan + one partial/final hash agg — the 100 TB shape is identical."""
+    One scan + one partial/final hash agg — the 100 TB shape is identical.
+
+    The averages are rounded AND cast to DECIMAL(18,6): the rounded double
+    is bit-identical across engines here, but a decimal compares exactly in
+    any harness, while an IEEE double can differ at the last ulp purely in
+    its hashed representation (the round-1 driver hash failure)."""
     toks = token_count_col(F.col("text"))
     return (
         documents.withColumn("n_tokens", toks)
@@ -42,9 +47,9 @@ def doc_stats(documents: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.avg("n_chars"), 6).cast("decimal(18,6)").alias("avg_chars"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.round(F.avg("n_tokens"), 6).cast("decimal(18,6)").alias("avg_tokens"),
         )
         .orderBy("lang", "source")
     )

@@ -1045,7 +1045,8 @@ per AS (
   FROM sess GROUP BY 1, 2
 )
 SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
-       round((sum(duration_us) / count(*)) / 1e6, 3) AS avg_session_sec
+       round((sum(duration_us) / count(*)) / 1e6, 3)::DECIMAL(18,3)
+         AS avg_session_sec
 FROM per GROUP BY 1 ORDER BY user_id""",
         "events_json": """
 SELECT event_type,
@@ -1064,9 +1065,9 @@ FROM events GROUP BY 1 ORDER BY user_id""",
         "doc_stats": f"""
 SELECT lang, source, count(*) AS n_docs,
        sum(n_chars) AS total_chars,
-       round(avg(n_chars), 6) AS avg_chars,
+       round(avg(n_chars), 6)::DECIMAL(18,6) AS avg_chars,
        sum(n_tokens) AS total_tokens,
-       round(avg(n_tokens), 6) AS avg_tokens
+       round(avg(n_tokens), 6)::DECIMAL(18,6) AS avg_tokens
 FROM (SELECT *, len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT
              AS n_tokens
       FROM documents)
