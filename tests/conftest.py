@@ -28,6 +28,18 @@ def spark():
     yield s
 
 
+import os
+
+_TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
+
 @pytest.fixture(scope="session")
 def sf_dir():
-    return "/root/testdata/sf0.001"
+    return f"{_TESTDATA_ROOT}/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def sf_dir_mid():
+    """sf0.01 — for tests whose statistical bounds need more rows than
+    sf0.001 provides (HLL/t-digest accuracy)."""
+    return f"{_TESTDATA_ROOT}/sf0.01"

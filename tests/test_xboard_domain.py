@@ -173,15 +173,14 @@ def test_recent_orders_deterministic_tiebreak(spark, sf_dir):
     assert seq == sorted(seq, reverse=True)
 
 
-def test_approx_cardinality_bounds(spark):
+def test_approx_cardinality_bounds(spark, sf_dir_mid):
     """HLL distinct-user estimates within 3x rsd of exact; t-digest
     percentiles within the value span of neighboring exact quantiles."""
     from xboard_spark.io import read_table
     from xboard_spark.operators.events import approx_cardinality
     from pyspark.sql import functions as F
 
-    sf = "/root/testdata/sf0.01"
-    ev = read_table(spark, sf, "events")
+    ev = read_table(spark, sf_dir_mid, "events")
     approx = {r.event_type: r for r in approx_cardinality(ev, rsd=0.02).collect()}
     exact = {
         r.event_type: r
@@ -225,6 +224,31 @@ def test_funnel_strict_ordering(spark):
     assert out.n_view_users == 3
     assert out.n_click_users == 1  # only user 1 clicked after viewing
     assert out.n_purchase_users == 1
+
+
+def test_global_ntile_matches_native_ntile(spark):
+    """global_ntile (range-partitioned exact ntile, no single-partition
+    sort) must be bit-identical to F.ntile over a global window — checked
+    on a frame with n % 4 != 0 AND duplicate sort values (tiebreak path),
+    for several tile counts."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from xboard_spark.operators.window_ops import global_ntile
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 20), round(rng.uniform(0, 100), 2)) for i in range(1, 404)]
+    df = spark.createDataFrame(rows, "k long, dups long, v double")
+    for n_tiles in (3, 4, 7):
+        order = [F.desc("dups"), F.asc("k")]
+        expected = df.select(
+            "k", F.ntile(n_tiles).over(Window.orderBy(*order)).alias("t")
+        )
+        got = global_ntile(df, n_tiles, order, "t").select("k", "t")
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
 
 
 def test_merge_upsert_matches_dict_model_property(spark):

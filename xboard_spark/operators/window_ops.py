@@ -228,32 +228,82 @@ def orders_cube(orders: DataFrame) -> DataFrame:
     )
 
 
+def global_ntile(df: DataFrame, n_tiles: int, sort_cols: list, out_col: str) -> DataFrame:
+    """Distributed exact ntile over a total order — same output as
+    ``F.ntile(n).over(Window.orderBy(*sort_cols))`` (tiebreaks included)
+    WITHOUT the single-partition global sort that makes unpartitioned
+    ranking windows a scale-killer.
+
+    Shape: range-repartition on the ordering (each partition holds a
+    contiguous key range), rank within each partition, add the per-partition
+    row-count offsets (one row per shuffle partition — tiny grain, joined
+    back via broadcast, never collected to the driver), and bucket the
+    resulting global rank with ntile's closed-form tile sizes
+    (first ``n % k`` tiles get ``n/k + 1`` rows, the rest ``n/k``).
+
+    Output ranks are invariant to where repartitionByRange draws its sampled
+    bounds — only contiguity matters — so the result is deterministic. The
+    range exchange appears once (counts and ranks reuse it via
+    ReusedExchange). The cumulative offsets are a broadcast triangular
+    self-join on the counts frame (<= spark.sql.shuffle.partitions rows,
+    bounded by cluster config, not data) — NOT an unpartitioned window, so
+    nothing here ever plans a single-partition sort.
+    """
+    ranged = df.repartitionByRange(*sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    in_part = Window.partitionBy("__pid").orderBy(*sort_cols)
+    ranked = ranged.withColumn("__rn", F.row_number().over(in_part))
+    counts = ranged.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    a = counts.select(F.col("__pid"))
+    b = counts.select(
+        F.col("__pid").alias("__pid_b"), F.col("__cnt").alias("__cnt_b")
+    )
+    offsets = (
+        a.join(F.broadcast(b), F.col("__pid_b") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__cnt_b"), F.lit(0)).alias("__off"))
+    )
+    total = counts.agg(F.sum("__cnt").alias("__n"))
+    rank = F.col("__rn") + F.col("__off")
+    base = F.floor(F.col("__n") / n_tiles)
+    rem = F.col("__n") % n_tiles
+    head = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+    tile = F.when(rank <= head, F.ceil(rank / (base + 1))).otherwise(
+        rem + F.ceil((rank - head) / base)
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn(out_col, tile.cast("int"))
+        .drop("__pid", "__rn", "__off", "__n")
+    )
+
+
 def rfm_segments(orders: DataFrame) -> DataFrame:
     """RFM segmentation: quartile-bucket every customer on Recency
     (latest order date), Frequency (order count), and Monetary (total
     spend), then count customers per (r, f, m) cell — the classic CRM
-    rollup, exercising ntile ranking windows with deterministic tiebreaks.
+    rollup, with deterministic tiebreaks.
 
-    Scale note: each ntile is a global ranking — fine here because the
-    ranked relation is ALREADY one row per customer (the heavy fact scan
-    collapsed in the first agg); at extreme customer counts you'd swap
-    ntile for percentile thresholds computed once and broadcast (same
-    output, no global sort)."""
+    Scale note: the ranked relation is one row per customer — hundreds of
+    millions at 100 TB — so a global ``ntile`` window (single-partition
+    sort) is a scale-killer. Each quartile is instead computed by
+    ``global_ntile``: bit-identical output to ntile, one range exchange per
+    dimension, no unpartitioned window anywhere."""
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("spend"),
     )
-    from pyspark.sql import Window
-
-    r_w = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
-    tiled = per_cust.select(
-        "o_custkey",
-        F.ntile(4).over(r_w).alias("r_tile"),
-        F.ntile(4).over(f_w).alias("f_tile"),
-        F.ntile(4).over(m_w).alias("m_tile"),
+    tiled = global_ntile(
+        per_cust, 4, [F.desc("last_order"), F.asc("o_custkey")], "r_tile"
+    )
+    tiled = global_ntile(
+        tiled, 4, [F.desc("n_orders"), F.asc("o_custkey")], "f_tile"
+    )
+    tiled = global_ntile(
+        tiled, 4, [F.desc("spend"), F.asc("o_custkey")], "m_tile"
     )
     return (
         tiled.groupBy("r_tile", "f_tile", "m_tile")
