@@ -63,3 +63,25 @@ def test_no_python_udf_in_hot_paths(spark, sf_dir, qs):
 def test_point_lookup_is_shuffle_free(spark, sf_dir, qs):
     r = _report(spark, qs, "customer_lookup", sf_dir)
     assert r["n_exchanges"] == 0  # filter + broadcast chain, no shuffle
+
+
+def test_no_collect_in_registered_query_paths():
+    """Static gate: no registered query path may pull rows to the driver.
+
+    Every ``queries()`` entry resolves to functions in the operator modules;
+    a ``.collect()`` there means the operator isn't distributed. Scalar plan
+    constants must instead be one-row aggregates joined back via broadcast
+    crossJoin (the ``mixture_rebalance`` / ``term_cooccurrence`` pattern).
+    Orchestration modules (ingest registration/backfill, streaming batch
+    barriers) are deliberately exempt — they are metadata paths.
+    """
+    import pathlib
+
+    ops_dir = pathlib.Path(__file__).resolve().parent.parent / "xboard_spark" / "operators"
+    offenders = []
+    for py in sorted(ops_dir.glob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ".collect()" in code:
+                offenders.append(f"{py.name}:{i}")
+    assert offenders == [], f"driver-side collect in operator modules: {offenders}"

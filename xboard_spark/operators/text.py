@@ -291,14 +291,17 @@ def term_cooccurrence(
     O(tokens * window) rows hash-joined on co-located keys, never a
     quadratic-within-document self-join. Counts are partial+final hash
     aggregates; the PMI arithmetic divides BEFORE multiplying so both
-    engines evaluate the identical IEEE expression tree."""
+    engines evaluate the identical IEEE expression tree. The corpus totals
+    (token count, pair count) stay IN the plan as one-row aggregates joined
+    back via broadcast crossJoin — no driver-side collect/count actions, so
+    the whole query is a single action."""
     tok = documents.select(
         "doc_id",
         F.posexplode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
         ).alias("pos", "word"),
     ).persist()
-    n_tokens = tok.count()  # plan constant (one pass, reused by PMI)
+    token_total = tok.agg(F.count("*").cast("double").alias("__n_tokens"))
     left = tok.select(
         "doc_id",
         F.col("word").alias("w_a"),
@@ -313,21 +316,24 @@ def term_cooccurrence(
         ["doc_id", "pos_b"],
     )
     pair_counts = pairs.groupBy("w_a", "w_b").agg(F.count("*").alias("pair_n"))
-    n_pairs_row = pair_counts.agg(F.sum("pair_n").alias("s")).collect()
-    n_pairs = int(n_pairs_row[0]["s"])
+    pair_total = pair_counts.agg(
+        F.sum("pair_n").cast("double").alias("__n_pairs")
+    )
     uni = tok.groupBy("word").agg(F.count("*").alias("cnt"))
     scored = (
         pair_counts.filter(F.col("pair_n") >= min_count)
         .join(uni.select(F.col("word").alias("w_a"), F.col("cnt").alias("cnt_a")), "w_a")
         .join(uni.select(F.col("word").alias("w_b"), F.col("cnt").alias("cnt_b")), "w_b")
+        .crossJoin(F.broadcast(token_total))
+        .crossJoin(F.broadcast(pair_total))
         .withColumn(
             "pmi",
             F.round(
                 F.log(
-                    (F.col("pair_n") / F.lit(float(n_pairs)))
+                    (F.col("pair_n") / F.col("__n_pairs"))
                     / (
-                        (F.col("cnt_a") / F.lit(float(n_tokens)))
-                        * (F.col("cnt_b") / F.lit(float(n_tokens)))
+                        (F.col("cnt_a") / F.col("__n_tokens"))
+                        * (F.col("cnt_b") / F.col("__n_tokens"))
                     )
                 ),
                 6,

@@ -43,11 +43,26 @@ class IncrementalDedupIndex:
         self.path = path
         self.tau = tau
         self.max_df = max_df
+        self._live: list[DataFrame] = []  # persisted frames of the last batch
 
     def _read(self, name: str) -> DataFrame | None:
+        """Read the index SNAPSHOTTED to the concrete part files present now.
+
+        Reading the directory would make the plan re-list files on any
+        recompute — and this class appends to that directory mid-batch, so a
+        cascade-unpersist recompute would see its own batch in the "old"
+        index and anti-join the batch's documents away. Explicit file paths
+        pin the input set; recompute is deterministic no matter when it runs.
+        """
         p = os.path.join(self.path, name)
         if os.path.exists(p):
-            return self.spark.read.parquet(p)
+            files = sorted(
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+            if files:
+                return self.spark.read.parquet(*files)
         return None
 
     def _append(self, df: DataFrame, name: str) -> None:
@@ -83,6 +98,13 @@ class IncrementalDedupIndex:
         the index are dropped up front (anti join), so a replayed batch —
         checkpoint loss, at-least-once source — is a no-op instead of
         double-counting its shingles in every future Jaccard."""
+        # Release the previous batch's persisted frames now (NOT at the end
+        # of this call): Spark cascade-unpersists dependent cached plans, so
+        # unpersisting inv_new before the caller consumes `pairs` would
+        # silently drop the pairs cache too.
+        for df in self._live:
+            df.unpersist()
+        self._live = []
         inv_old = self._read("inv")
         if inv_old is not None:
             documents = documents.join(
@@ -137,16 +159,24 @@ class IncrementalDedupIndex:
                 ),
             )
             .filter(F.col("jaccard") >= self.tau)
-            .select("doc_a", "doc_b", "jaccard")
+            .select(
+                F.col("doc_a").cast("long").alias("doc_a"),
+                F.col("doc_b").cast("long").alias("doc_b"),
+                F.col("jaccard").cast("double").alias("jaccard"),
+            )
+            .persist()
         )
-        result = pairs.orderBy("doc_a", "doc_b").collect()
-        # persist index growth AFTER computing pairs (idempotent re-run of a
-        # failed batch re-derives the same pairs before re-appending)
+        # Materialize pairs (count barrier, no row transfer to the driver)
+        # BEFORE growing the index, so an idempotent re-run of a failed batch
+        # re-derives the same pairs before re-appending. The sink then writes
+        # straight from this persisted plan — pair rows never visit the
+        # driver, which is what keeps a hot (many-collision) batch from
+        # OOM-ing the coordinator at scale.
+        pairs.count()
         self._append(bands_new, "bands")
         self._append(inv_new, "inv")
-        return self.spark.createDataFrame(
-            result or [], "doc_a long, doc_b long, jaccard double"
-        )
+        self._live = [bands_new, inv_new, pairs]
+        return pairs
 
 
 def start_dedup_stream(
@@ -162,8 +192,8 @@ def start_dedup_stream(
     schema = "doc_id long, text string, lang string, source string"
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        pairs = index.add_batch(batch)
-        if pairs.count() > 0:
+        pairs = index.add_batch(batch)  # persisted, already materialized
+        if not pairs.isEmpty():
             pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
                 "append"
             ).parquet(pairs_out)
