@@ -88,16 +88,48 @@ def main() -> None:
     # shared dedup/IVF indexes are persistent artifacts by design — at scale
     # they are tables on disk, built once) and JIT/GC noise; the min is the
     # steady-state figure and is far more stable run-to-run (single-pass
-    # totals swing ~2x with machine load).
-    timings: dict[str, float] = {}
+    # totals swing ~2x with machine load). Both passes are reported
+    # separately so the index-build cost stays visible: for index-consumer
+    # queries pass 1 includes the shared build, pass 2 measures the
+    # cache-warm steady state — the min is NOT a claim that the build is
+    # free, and pass1_total is the end-to-end cold figure.
+    passes: list[dict[str, float]] = []
     for _ in range(2):
+        pass_t: dict[str, float] = {}
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.time()
             fn(spark, sf_dir).collect()
-            dt = round(time.time() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            pass_t[name] = round(time.time() - t0, 3)
+        passes.append(pass_t)
+    timings = {
+        name: min(p[name] for p in passes) for name in HEADLINE
+    }
+
+    # per-query regression gate vs the recorded baseline (BASELINE_BENCH.json
+    # = round-1 numbers, same metric, same sf): a query is flagged when it is
+    # BOTH >2x its baseline AND >1s absolute above it. The absolute floor is
+    # set from measurement, not taste: identical plans swing 1.3s..2.9s warm
+    # on this host run-to-run (shared machine), so sub-second-baseline
+    # queries would trip a tighter gate on pure scheduler noise — a 0.5s
+    # floor false-positived 3 queries in one loaded run. Real regressions
+    # (the kind worth failing a round for) show up as multiples of seconds.
+    ratios: dict[str, float] = {}
+    regressions: list[str] = []
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_BENCH.json")
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            baseline = json.load(fh)
+        if baseline.get("sf") == sf:
+            for name, dt in timings.items():
+                b = baseline["queries"].get(name)
+                if not b:
+                    continue
+                ratios[name] = round(dt / b, 2)
+                if dt > 2.0 * b and dt - b > 1.0:
+                    regressions.append(f"{name}: {dt}s vs baseline {b}s "
+                                       f"({dt / b:.1f}x)")
 
     total = round(sum(timings.values()), 3)
     print(
@@ -108,9 +140,21 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "pass1_total": round(sum(passes[0].values()), 3),
+                "pass2_total": round(sum(passes[1].values()), 3),
+                "pass1": passes[0],
+                "vs_baseline": ratios,
+                "regressions": regressions,
             }
         )
     )
+    if regressions:
+        print(
+            "BENCH REGRESSION (>2x per-query vs BASELINE_BENCH.json):\n  "
+            + "\n  ".join(regressions),
+            file=sys.stderr,
+        )
+        sys.exit(3)
 
 
 if __name__ == "__main__":

@@ -29,7 +29,15 @@ def clear_index_caches() -> int:
     caches make repeated queries cheap (the indexes ARE the product —
     built once, consumed many times); this is the explicit release valve
     for long-lived sessions that move on to a different corpus. Returns
-    the number of artifacts released."""
+    the number of artifacts released.
+
+    Caveat: cache keys are ``DataFrame.semanticHash()`` of the source plan
+    (plus the index parameters). The hash identifies the PLAN, not the
+    bytes behind it — if files at the same path are overwritten mid-session
+    the cache serves the stale persisted index; call this function after
+    any in-place rewrite. (At scale the index is a persisted table whose
+    freshness is owned by the pipeline, so the in-session analogue keeps
+    the same contract: explicit invalidation, not mtime-watching.)"""
     from xboard_spark.operators import dedup, similarity
 
     n = 0

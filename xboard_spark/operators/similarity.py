@@ -48,18 +48,20 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-# embeddings semanticHash -> persisted norm+bucket-annotated corpus. The
-# annotated corpus IS the LSH index: knn_bruteforce, knn_lsh, and
-# embedding_neardup all consume it, and the bucket assignment costs
+# (embeddings semanticHash, n_planes) -> persisted norm+bucket-annotated
+# corpus. The annotated corpus IS the LSH index: knn_bruteforce, knn_lsh,
+# and embedding_neardup all consume it, and the bucket assignment costs
 # n_planes interpreted dot products per row — the expensive, reusable
 # artifact (same rationale as dedup._INDEX_CACHE; at scale it's the
-# corpus written partitioned by bucket).
-_CORPUS_CACHE: dict[int, DataFrame] = {}
+# corpus written partitioned by bucket). n_planes is part of the key:
+# buckets built with a different plane count are a DIFFERENT index, and
+# serving them silently would corrupt candidate sets.
+_CORPUS_CACHE: dict[tuple[int, int], DataFrame] = {}
 
 
 def lsh_corpus(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """(vec_id, v double[], v_norm, bucket), persisted + cached."""
-    key = embeddings.semanticHash()
+    key = (embeddings.semanticHash(), n_planes)
     if key not in _CORPUS_CACHE:
         _CORPUS_CACHE[key] = (
             embeddings.select(
@@ -283,12 +285,13 @@ def _update(vec_dims: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
-# (embeddings semanticHash, n_cells) -> (centroids c1, final assignment),
-# both persisted. The learned index is the expensive shared artifact —
-# knn_ivf and ivf_cell_sizes both need it, and production would build it
-# once offline and store it; the in-session cache plays that role (same
-# rationale as dedup._INDEX_CACHE).
-_IVF_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
+# (embeddings semanticHash, n_cells) -> (centroids c1, final assignment,
+# row-form vec dims), all persisted — vd is tracked IN the entry so
+# clear_index_caches() releases it with the rest. The learned index is the
+# expensive shared artifact — knn_ivf and ivf_cell_sizes both need it, and
+# production would build it once offline and store it; the in-session
+# cache plays that role (same rationale as dedup._INDEX_CACHE).
+_IVF_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 
 def ivf_index(
@@ -303,8 +306,8 @@ def ivf_index(
         vd = _vec_dims(embeddings).persist()
         c0 = initial_centroids(spark, n_cells)
         c1 = _update(vd, _assign(vd, c0)).persist()
-        _IVF_CACHE[key] = (c1, _assign(vd, c1).persist())
-    return _IVF_CACHE[key]
+        _IVF_CACHE[key] = (c1, _assign(vd, c1).persist(), vd)
+    return _IVF_CACHE[key][:2]
 
 
 def knn_ivf(
@@ -436,10 +439,14 @@ def embedding_quantization_stats(embeddings: DataFrame) -> DataFrame:
 N_SUBSPACES = 8  # PQ: 64 dims -> 8 subspaces x 8 dims
 PQ_K = 4  # centroids per subspace codebook
 
-# (embeddings semanticHash, m, k) -> (codebooks c1, codes, subspaced vd),
-# all persisted — the PQ index shared by pq_quantization_stats and knn_pq
-# (same build-once rationale as _IVF_CACHE).
-_PQ_CACHE: dict[tuple[int, int, int], tuple[DataFrame, DataFrame, DataFrame]] = {}
+# (embeddings semanticHash, m, k, dim) -> (codebooks c1, codes, subspaced
+# vd), all persisted — the PQ index shared by pq_quantization_stats and
+# knn_pq (same build-once rationale as _IVF_CACHE). dim is part of the key:
+# the subspace split depends on it, so codes built for one dim are invalid
+# for another.
+_PQ_CACHE: dict[
+    tuple[int, int, int, int], tuple[DataFrame, DataFrame, DataFrame]
+] = {}
 
 
 def pq_index(
@@ -448,7 +455,7 @@ def pq_index(
     """Learn the PQ index: one Lloyd iteration per subspace from
     hash-seeded centroids. Returns (codebooks (s, c, dim, cval),
     codes (vec_id, s, c), subspaced vec dims (vec_id, s, dim, val))."""
-    key = (embeddings.semanticHash(), m, k)
+    key = (embeddings.semanticHash(), m, k, dim)
     if key not in _PQ_CACHE:
         spark = embeddings.sparkSession
         sub_dim = dim // m
