@@ -288,22 +288,93 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
 
     Scale note: the ranked relation is one row per customer — hundreds of
     millions at 100 TB — so a global ``ntile`` window (single-partition
-    sort) is a scale-killer. Each quartile is instead computed by
-    ``global_ntile``: bit-identical output to ntile, one range exchange per
-    dimension, no unpartitioned window anywhere."""
+    sort) is a scale-killer. All three quartiles are instead computed by
+    ONE ``global_ntile``-shaped pass over a long-form frame — one row per
+    (customer, dimension) with each DESC ordering folded into an ASC
+    numeric key — range-partitioned on (dim, key, custkey). Contiguity in
+    that compound order means every earlier partition's rows of the same
+    dim precede this partition's, so per-(partition, dim) ranks + offsets
+    reconstruct each dimension's exact global rank; ntile's closed-form
+    tile sizes then bucket it. Bit-identical to three ntile windows, one
+    range exchange total, no unpartitioned window anywhere. (Measured
+    alternative: percentile_approx bucket boundaries instead of the range
+    exchange save the sampling pass but cost more than they save at every
+    tested SF — the sketch build dominates; repartitionByRange also
+    splits heavy key ties across partitions for free since custkey is in
+    its sort key.)"""
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("spend"),
     )
-    tiled = global_ntile(
-        per_cust, 4, [F.desc("last_order"), F.asc("o_custkey")], "r_tile"
+    # DESC orderings become ASC keys by negation: dates via epoch-day,
+    # counts exactly representable as double, spend a 2-dp positive double.
+    long = per_cust.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("dim"),
+                    # exact integer micros (< 2^53, lossless as double);
+                    # NTZ->LTZ cast is monotone under the fixed-offset
+                    # session tz (Etc/UTC — no DST folds)
+                    (-F.unix_micros(F.col("last_order").cast("timestamp_ltz")))
+                    .cast("double")
+                    .alias("key"),
+                ),
+                F.struct(
+                    F.lit("f").alias("dim"),
+                    (-F.col("n_orders")).cast("double").alias("key"),
+                ),
+                F.struct(
+                    F.lit("m").alias("dim"),
+                    (-F.col("spend")).cast("double").alias("key"),
+                ),
+            )
+        ).alias("dk"),
+    ).select("o_custkey", F.col("dk.dim").alias("dim"), F.col("dk.key").alias("key"))
+    ranged = long.repartitionByRange("dim", "key", "o_custkey").withColumn(
+        "__pid", F.spark_partition_id()
     )
-    tiled = global_ntile(
-        tiled, 4, [F.desc("n_orders"), F.asc("o_custkey")], "f_tile"
+    in_part = Window.partitionBy("__pid", "dim").orderBy("key", "o_custkey")
+    ranked = ranged.withColumn("__rn", F.row_number().over(in_part))
+    counts = ranged.groupBy("__pid", "dim").agg(F.count("*").alias("__cnt"))
+    # cumulative offset + per-dim total over the tiny counts frame
+    # (<= shuffle.partitions * 3 rows — bounded by config, not data).
+    # These windows are PARTITIONED (by dim) so nothing here plans a
+    # single-partition sort, and keeping them in-plan (instead of a
+    # broadcast triangular join) keeps the whole query one job: AQE
+    # broadcasts the tiny offsets side of the final join on its own.
+    w_dim = Window.partitionBy("dim").orderBy("__pid")
+    offsets = counts.select(
+        "__pid",
+        "dim",
+        F.coalesce(
+            F.sum("__cnt").over(w_dim.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__off"),
+        F.sum("__cnt")
+        .over(w_dim.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("__n"),
     )
-    tiled = global_ntile(
-        tiled, 4, [F.desc("spend"), F.asc("o_custkey")], "m_tile"
+    rank = F.col("__rn") + F.col("__off")
+    base = F.floor(F.col("__n") / 4)
+    rem = F.col("__n") % 4
+    head = rem * (base + 1)
+    tile = (
+        F.when(rank <= head, F.ceil(rank / (base + 1)))
+        .otherwise(rem + F.ceil((rank - head) / base))
+        .cast("int")
+    )
+    tiled = (
+        ranked.join(offsets, ["__pid", "dim"])
+        .withColumn("__tile", tile)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("dim") == "r", F.col("__tile"))).alias("r_tile"),
+            F.max(F.when(F.col("dim") == "f", F.col("__tile"))).alias("f_tile"),
+            F.max(F.when(F.col("dim") == "m", F.col("__tile"))).alias("m_tile"),
+        )
     )
     return (
         tiled.groupBy("r_tile", "f_tile", "m_tile")
