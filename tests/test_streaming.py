@@ -124,6 +124,64 @@ def test_bronze_to_silver_idempotent_rerun(spark, tmp_path):
     assert len(out) == 1
 
 
+def test_late_redelivery_past_watermark_hits_merge_backstop(spark, tmp_path):
+    """SURVEY §7 hard part 2: a redelivery that arrives AFTER the dedup
+    state for its delivery_hash has been watermark-evicted is NOT caught by
+    ``dropDuplicates`` — it must fall through to the idempotent merge
+    backstop. Three availableNow runs over ONE checkpoint:
+
+    1. order h1 @10:00 lands in silver;
+    2. an unrelated event @13:00 advances the watermark to 12:50, which
+       evicts h1's dedup state (10:00 < 12:50);
+    3. h1 is redelivered @13:05 with a changed payload — it PASSES dedup
+       (state gone), reaches the sink, and the key-merge keeps one row.
+
+    The changed total_price proves the redelivery really flowed through
+    (dedup did not drop it); the single row proves the backstop absorbed it.
+    """
+    src = str(tmp_path / "late" / "in")
+    silver = str(tmp_path / "late" / "orders")
+    ckpt = str(tmp_path / "late" / "ckpt")
+    order = lambda price, ts, hash_: {  # noqa: E731
+        "tenant_id": 1,
+        "topic": "orders/create",
+        "shop_domain": "a.example",
+        "received_at": ts,
+        "delivery_hash": hash_,
+        "raw_payload": json.dumps(
+            {"id": 100, "total_price": price, "currency": "USD",
+             "created_at": "2024-01-01T09:59:00Z"}
+        ),
+    }
+    stream_fn = lambda: webhook.parse_order_events(  # noqa: E731
+        webhook.deduped_stream(webhook.read_webhook_stream(spark, src))
+    )
+
+    def run_once() -> None:
+        q = webhook.start_bronze_to_silver(
+            stream_fn(), silver, ckpt, keys=["tenant_id", "shopify_order_id"]
+        )
+        q.awaitTermination(120)
+
+    _write_jsonl(os.path.join(src, "b0.json"),
+                 [order("10.00", "2024-01-01T10:00:00Z", "h1")])
+    run_once()
+    assert [r.total_price for r in spark.read.parquet(silver).collect()] == [
+        __import__("decimal").Decimal("10.00")
+    ]
+    # watermark advance: unrelated hash, 3h later (>> 10-minute delay)
+    _write_jsonl(os.path.join(src, "b1.json"),
+                 [order("55.00", "2024-01-01T13:00:00Z", "h9") | {"topic": "other/x"}])
+    run_once()
+    # redelivery of h1 past its evicted state, with changed payload
+    _write_jsonl(os.path.join(src, "b2.json"),
+                 [order("99.00", "2024-01-01T13:05:00Z", "h1")])
+    run_once()
+    out = spark.read.parquet(silver).collect()
+    assert len(out) == 1  # merge backstop: still one row per order key
+    assert str(out[0].total_price) == "99.00"  # and the redelivery got through
+
+
 def test_tumbling_daily_counts(spark, tmp_path):
     src = _mk_webhooks(tmp_path, "tumble", WH)
     orders = webhook.parse_order_events(webhook.read_webhook_stream(spark, src))

@@ -111,10 +111,20 @@ def read_webhooks_with_errors(spark: SparkSession, path: str) -> DataFrame:
 def deduped_stream(
     webhook: DataFrame, watermark_delay: str = "10 minutes"
 ) -> DataFrame:
-    """ST2: exactly-once dedup on delivery_hash with bounded state."""
-    return webhook.withWatermark("received_at", watermark_delay).dropDuplicates(
-        ["delivery_hash"]
-    )
+    """ST2: exactly-once dedup on delivery_hash with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` — NOT plain ``dropDuplicates`` —
+    because the plain form only watermark-evicts state when the event-time
+    column is part of the dedup keys; keyed on delivery_hash alone it
+    accumulates one state row per hash FOREVER (unbounded state, the
+    100 TB killer). The WithinWatermark form guarantees dedup of
+    redeliveries arriving within ``watermark_delay`` of each other and
+    evicts older state; a redelivery later than that falls through to the
+    idempotent merge backstop in ``start_bronze_to_silver`` (tested by
+    ``test_late_redelivery_past_watermark_hits_merge_backstop``)."""
+    return webhook.withWatermark(
+        "received_at", watermark_delay
+    ).dropDuplicatesWithinWatermark(["delivery_hash"])
 
 
 def parse_order_events(webhook: DataFrame) -> DataFrame:
