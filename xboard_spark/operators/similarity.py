@@ -7,11 +7,13 @@ Scale design:
   slice of the corpus once and keeps a per-query top-k heap (window +
   row_number over rank — Catalyst turns the filter into a partial top-k).
   Cost O(|corpus| * |queries|), embarrassingly parallel, no corpus shuffle.
-- LSH (random hyperplanes, Charikar 2002): 8 deterministic hyperplanes give a
-  256-bucket partition of the corpus; queries only meet candidates in their
-  own bucket — the 100 TB path where scanning the full corpus per query is
-  off the table. Hyperplane weights come from a hash, not an RNG, so the
-  oracle reproduces them exactly.
+- LSH (random hyperplanes, Charikar 2002): N_TABLES independent tables of
+  N_PLANES deterministic hyperplanes each (256 buckets/table, mean-centered
+  signs); queries only meet candidates sharing a bucket in SOME table — the
+  100 TB path where scanning the full corpus per query is off the table,
+  with table count as the recall knob. Hyperplane weights come from a
+  full-avalanche integer hash, not an RNG, so the oracle reproduces them
+  exactly (and planes are actually near-orthogonal — see plane_weight).
 
 All vector math is array expressions (zip_with/aggregate) — JVM-side, no
 Python, vectorizable; embeddings are cast float->double before any
@@ -24,14 +26,31 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_PLANES = 8
+N_TABLES = 4  # independent LSH tables (the recall knob; see lsh_corpus)
 DIM = 64
+
+
+_M = (1 << 64) - 1
 
 
 def plane_weight(p: int, d: int) -> float:
     """Deterministic pseudo-random weight in [-1, 1) for hyperplane p, dim d
-    (integer-hash based — reproducible in plain SQL)."""
-    h = ((p * 131 + d) * 2654435761 + 12345) % 2001
-    return (h - 1000) / 1000.0
+    (splitmix64-finalizer hash; the oracle embeds the resulting literals, so
+    SQL reproducibility is by construction).
+
+    The mixer matters: the previous affine hash ((p*131 + d) * C mod 2001)
+    made every plane a small SHIFT of one base sequence — adjacent planes
+    were 0.91-cosine near-parallel, so all 8 sign bits agreed on ~40% of an
+    ISOTROPIC corpus and the 0/255 mega-buckets made per-bucket self-join
+    fan-out quadratic. Full-avalanche mixing gives planes pairwise
+    |cosine| < 0.1 and balanced buckets."""
+    x = (p * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) & _M
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _M
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _M
+    x ^= x >> 31
+    return ((x % 2001) - 1000) / 1000.0
 
 
 def _as_double(col: Column) -> Column:
@@ -48,30 +67,88 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-# (embeddings semanticHash, n_planes) -> persisted norm+bucket-annotated
-# corpus. The annotated corpus IS the LSH index: knn_bruteforce, knn_lsh,
-# and embedding_neardup all consume it, and the bucket assignment costs
-# n_planes interpreted dot products per row — the expensive, reusable
-# artifact (same rationale as dedup._INDEX_CACHE; at scale it's the
-# corpus written partitioned by bucket). n_planes is part of the key:
-# buckets built with a different plane count are a DIFFERENT index, and
-# serving them silently would corrupt candidate sets.
-_CORPUS_CACHE: dict[tuple[int, int], DataFrame] = {}
+# (embeddings semanticHash, n_planes, n_tables) -> persisted
+# norm+bucket-annotated corpus. The annotated corpus IS the LSH index:
+# knn_bruteforce, knn_lsh, and embedding_neardup all consume it, and the
+# bucket assignment costs n_planes * n_tables interpreted dot products per
+# row — the expensive, reusable artifact (same rationale as
+# dedup._INDEX_CACHE; at scale it's the corpus written partitioned by
+# bucket). The build params are part of the key: buckets built with a
+# different plane/table count are a DIFFERENT index, and serving them
+# silently would corrupt candidate sets.
+_CORPUS_CACHE: dict[tuple[int, int, int], DataFrame] = {}
 
 
-def lsh_corpus(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """(vec_id, v double[], v_norm, bucket), persisted + cached."""
-    key = (embeddings.semanticHash(), n_planes)
+def lsh_corpus(
+    embeddings: DataFrame,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """(vec_id, v double[], v_norm, bucket_0..bucket_{T-1}), persisted +
+    cached.
+
+    Buckets are MEAN-CENTERED: table t's bit j is
+    sign(dot(v - mean, plane_{t*n_planes+j})). Centering guards non-centered
+    corpora against the all-signs-equal mega-buckets (implementation:
+    sign(dot(v - mean, p)) == dot(v, p) >= dot(mean, p), so only scalar
+    offsets are needed — computed in-plan as avg(dot(v, p)), rounded to
+    4 dp so the last-ulp summation-order difference between engines can't
+    flip a boundary sign, and broadcast onto the corpus).
+
+    ``n_tables`` independent 2^n_planes-bucket tables (columns
+    ``bucket_0..bucket_{T-1}``) are the standard sign-LSH recall knob
+    (Indyk-Motwani / Charikar): a pair is a candidate if it collides in ANY
+    table, so recall is 1 - (1 - p^n_planes)^T for per-bit agreement
+    probability p = 1 - angle/pi. At 100 TB each table is the corpus
+    written partitioned by its bucket column — T copies, the classic
+    space-for-recall trade."""
+    key = (embeddings.semanticHash(), n_planes, n_tables)
     if key not in _CORPUS_CACHE:
-        _CORPUS_CACHE[key] = (
-            embeddings.select(
-                "vec_id", _as_double(F.col("embedding")).alias("v")
-            )
-            .withColumn("v_norm", _norm(F.col("v")))
-            .withColumn("bucket", _bucket(F.col("v"), n_planes))
-            .persist()
+        n_total = n_planes * n_tables
+        vecs = embeddings.select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
         )
+        offs = vecs.agg(
+            *[
+                F.round(F.avg(_dot(F.col("v"), _plane_array(p))), 4).alias(
+                    f"o_{p}"
+                )
+                for p in range(n_total)
+            ]
+        )
+        out = (
+            vecs.crossJoin(F.broadcast(offs))
+            .withColumn("v_norm", _norm(F.col("v")))
+        )
+        for t in range(n_tables):
+            out = out.withColumn(f"bucket_{t}", _bucket(F.col("v"), t, n_planes))
+        _CORPUS_CACHE[key] = out.drop(
+            *[f"o_{p}" for p in range(n_total)]
+        ).persist()
     return _CORPUS_CACHE[key]
+
+
+def lsh_corpus_long(
+    embeddings: DataFrame,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """(vec_id, t, bucket) — the wide corpus unpivoted for candidate joins
+    keyed on (t, bucket)."""
+    corpus = lsh_corpus(embeddings, n_planes, n_tables)
+    return corpus.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"bucket_{t}").alias("bucket")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
 
 
 def knn_bruteforce(
@@ -108,13 +185,23 @@ def knn_bruteforce(
     )
 
 
-def _bucket(v: Column, n_planes: int = N_PLANES, dim: int = DIM) -> Column:
-    """LSH bucket id: bit p = sign of dot(v, plane_p)."""
+def _plane_array(p: int, dim: int = DIM) -> Column:
+    return F.array(*[F.lit(plane_weight(p, d)) for d in range(dim)])
+
+
+def _bucket(
+    v: Column, t: int, n_planes: int = N_PLANES, dim: int = DIM
+) -> Column:
+    """Table t's LSH bucket id: bit j = sign of dot(v - mean, plane_p) for
+    global plane p = t*n_planes + j, expressed as dot(v, plane_p) >= o_p
+    against the broadcast centering offsets (see ``lsh_corpus``)."""
     bucket = F.lit(0)
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(plane_weight(p, d)) for d in range(dim)])
-        dp = _dot(v, plane)
-        bucket = bucket + F.when(dp >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    for j in range(n_planes):
+        p = t * n_planes + j
+        dp = _dot(v, _plane_array(p, dim))
+        bucket = bucket + F.when(dp >= F.col(f"o_{p}"), F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
     return bucket
 
 
@@ -123,23 +210,40 @@ def knn_lsh(
     n_queries: int = 5,
     k: int = 5,
     n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
 ) -> DataFrame:
-    """Approximate cosine top-k: candidates restricted to the query's LSH
-    bucket. Same output shape as ``knn_bruteforce``; recall < 1 by design.
-    At scale the corpus is written bucketed/partitioned by ``bucket`` so a
-    query touches one partition (the IVF idea with hash cells)."""
-    corpus = lsh_corpus(embeddings, n_planes)
+    """Approximate cosine top-k: candidates restricted to vectors sharing
+    ANY of the query's ``n_tables`` LSH buckets. Same output shape as
+    ``knn_bruteforce``; recall < 1 by design and tuned by (n_planes,
+    n_tables) — for a neighbor at angle θ it is 1-(1-p^n_planes)^n_tables,
+    p = 1-θ/π, so sign-LSH earns its keep for HIGH-similarity neighbors
+    (cos ≥ ~0.8); for moderate-similarity regimes use ``knn_ivf`` (learned
+    cells track the actual data layout) or ``knn_bruteforce``. At scale
+    each table is the corpus partitioned by its bucket column, so a query
+    touches n_tables partitions."""
+    corpus = lsh_corpus(embeddings, n_planes, n_tables)
+    longc = lsh_corpus_long(embeddings, n_planes, n_tables)
+    q_long = longc.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "t", "bucket"
+    )
+    cand = (
+        longc.join(F.broadcast(q_long), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
     queries = corpus.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q"),
         F.col("v_norm").alias("q_norm"),
-        F.col("bucket").alias("q_bucket"),
     )
-    scored = corpus.join(
-        F.broadcast(queries), F.col("bucket") == F.col("q_bucket")
-    ).filter(F.col("vec_id") != F.col("q_id"))
-    scored = scored.withColumn(
-        "cosine", _dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm"))
+    scored = (
+        cand.join(corpus.select("vec_id", "v", "v_norm"), "vec_id")
+        .join(F.broadcast(queries), "q_id")
+        .withColumn(
+            "cosine",
+            _dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm")),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -156,33 +260,53 @@ def knn_lsh(
 
 
 def embedding_neardup(
-    embeddings: DataFrame, tau: float = 0.35, n_planes: int = N_PLANES
+    embeddings: DataFrame,
+    tau: float = 0.35,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (the dedup use of the vector
     index, vs the top-k retrieval of ``knn_*``): all (vec_a < vec_b) with
-    cosine >= ``tau``, candidates blocked by LSH bucket so the self-join is
-    per-bucket, never |corpus|^2. At 100 TB the corpus is written
-    partitioned by ``bucket`` and each partition self-joins locally — the
-    shuffle key is the bucket id, and pair fan-out is bounded by
-    sum(bucket_size^2), controlled by adding hyperplanes (each plane halves
-    expected bucket size). Same recall/precision trade as SemDeDup-style
-    embedding dedup (cf. MinHash banding in ``operators.dedup``)."""
-    corpus = lsh_corpus(embeddings, n_planes)
-    a = corpus.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("v_norm").alias("na"),
-        "bucket",
-    )
-    b = corpus.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("v_norm").alias("nb"),
-        "bucket",
+    cosine >= ``tau`` among candidates colliding in ANY of ``n_tables``
+    LSH buckets — the self-join is per-(table, bucket), never |corpus|^2.
+    At 100 TB each table is the corpus partitioned by its bucket column
+    and self-joins locally; pair fan-out is bounded by
+    n_tables * sum(bucket_size^2), controlled by n_planes (each plane
+    halves expected bucket size) while n_tables buys recall
+    (1-(1-p^n_planes)^n_tables per pair). Same recall/precision trade as
+    SemDeDup-style embedding dedup (cf. MinHash banding in
+    ``operators.dedup``, whose bands ARE this construction over minhashes).
+    Like all sign-LSH it targets true near-duplicates (cos >= ~0.8); a low
+    ``tau`` over weakly-similar data wants IVF-cell blocking instead."""
+    corpus = lsh_corpus(embeddings, n_planes, n_tables)
+    longc = lsh_corpus_long(embeddings, n_planes, n_tables)
+    cand = (
+        longc.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
+        .join(
+            longc.select(F.col("vec_id").alias("vec_b"), "t", "bucket"),
+            ["t", "bucket"],
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
     pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(
+            corpus.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("v").alias("va"),
+                F.col("v_norm").alias("na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            corpus.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("v").alias("vb"),
+                F.col("v_norm").alias("nb"),
+            ),
+            "vec_b",
+        )
         .withColumn(
             "cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )

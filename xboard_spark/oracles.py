@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from xboard_spark.functions.portable_hash import MINHASH_P, _X_MASK, minhash_params
 from xboard_spark.operators.dedup import N_BANDS, N_PERMS
-from xboard_spark.operators.similarity import DIM, N_PLANES, plane_weight
+from xboard_spark.operators.similarity import DIM, N_PLANES, N_TABLES, plane_weight
 from xboard_spark.operators.text import LANG_STOPWORDS
 
 # ---------------------------------------------------------------- helpers
@@ -210,30 +210,69 @@ SELECT q_id, rank::BIGINT AS rank, vec_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {k} ORDER BY q_id, rank"""
 
 
-def knn_lsh_sql(n_queries: int = 5, k: int = 5, n_planes: int = N_PLANES) -> str:
-    bucket_terms = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {_plane_sql_array(p)}) >= 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p in range(n_planes)
+def _offs_sql(n_total: int) -> str:
+    """Mean-centering offsets CTE body — mirrors ``similarity.lsh_corpus``:
+    o_p = round(avg(dot(v, plane_p)), 4) over ALL n_planes*n_tables
+    planes."""
+    return ", ".join(
+        f"round(avg(list_dot_product(v, {_plane_sql_array(p)})), 4) AS o_{p}"
+        for p in range(n_total)
     )
-    return f"""
-WITH corpus AS (
+
+
+def _bucket_terms_sql(t: int, n_planes: int) -> str:
+    """Table t's bucket id: bit j from global plane p = t*n_planes + j."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql_array(t * n_planes + j)})"
+        f" >= o_{t * n_planes + j} THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+
+
+def _lsh_norms_sql(n_planes: int, n_tables: int) -> str:
+    """Shared CTE stack: corpus -> centering offsets -> per-table buckets ->
+    long (vec_id, t, bucket) form. Mirrors similarity.lsh_corpus[_long]."""
+    buckets = ",\n         ".join(
+        f"({_bucket_terms_sql(t, n_planes)}) AS bucket_{t}"
+        for t in range(n_tables)
+    )
+    long_union = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS t, bucket_{t} AS bucket FROM norms"
+        for t in range(n_tables)
+    )
+    return f"""corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+offs AS (
+  SELECT {_offs_sql(n_planes * n_tables)} FROM corpus
 ),
 norms AS (
   SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS v_norm,
-         ({bucket_terms}) AS bucket
-  FROM corpus
+         {buckets}
+  FROM corpus, offs
 ),
-queries AS (
-  SELECT vec_id AS q_id, v AS q, v_norm AS q_norm, bucket AS q_bucket
-  FROM norms WHERE vec_id < {n_queries}
+long AS (
+  {long_union}
+)"""
+
+
+def knn_lsh_sql(
+    n_queries: int = 5, k: int = 5,
+    n_planes: int = N_PLANES, n_tables: int = N_TABLES,
+) -> str:
+    return f"""
+WITH {_lsh_norms_sql(n_planes, n_tables)},
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+  FROM long q JOIN long c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
 ),
 scored AS (
-  SELECT q_id, vec_id,
-         list_dot_product(n.v, queries.q) / (n.v_norm * queries.q_norm) AS cosine
-  FROM norms n JOIN queries ON n.bucket = queries.q_bucket
-  WHERE vec_id <> q_id
+  SELECT q_id, cand.vec_id,
+         list_dot_product(n.v, nq.v) / (n.v_norm * nq.v_norm) AS cosine
+  FROM cand
+  JOIN norms n ON cand.vec_id = n.vec_id
+  JOIN norms nq ON cand.q_id = nq.vec_id
 ),
 ranked AS (
   SELECT q_id, vec_id, cosine,
@@ -569,25 +608,22 @@ SELECT shard, pack_id, count(*) AS n_docs,
 FROM packed GROUP BY shard, pack_id ORDER BY shard, pack_id"""
 
 
-def embedding_neardup_sql(tau: float = 0.35, n_planes: int = N_PLANES) -> str:
-    bucket_terms = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {_plane_sql_array(p)}) >= 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p in range(n_planes)
-    )
+def embedding_neardup_sql(
+    tau: float = 0.35, n_planes: int = N_PLANES, n_tables: int = N_TABLES
+) -> str:
     return f"""
-WITH corpus AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-),
-norms AS (
-  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS v_norm,
-         ({bucket_terms}) AS bucket
-  FROM corpus
+WITH {_lsh_norms_sql(n_planes, n_tables)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM long a JOIN long b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.v, b.v) / (a.v_norm * b.v_norm), 6) AS cosine
-FROM norms a JOIN norms b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (a.v_norm * b.v_norm) >= {tau}
+SELECT vec_a, vec_b,
+       round(list_dot_product(na.v, nb.v) / (na.v_norm * nb.v_norm), 6) AS cosine
+FROM cand
+JOIN norms na ON cand.vec_a = na.vec_id
+JOIN norms nb ON cand.vec_b = nb.vec_id
+WHERE list_dot_product(na.v, nb.v) / (na.v_norm * nb.v_norm) >= {tau}
 ORDER BY vec_a, vec_b"""
 
 
