@@ -129,3 +129,41 @@ def test_full_pipeline(spark, payload_dir):
     ).collect()
     assert top[0].name == "Alice A"
     assert top[0].spent == Decimal("104.99")
+
+
+def test_paginated_capture_overlap(spark, tmp_path):
+    """S2 + SURVEY §2.10.3: a 3-page capture with boundary overlaps — the
+    engine must see every entity exactly once, with the LATEST page's
+    version winning where a row was re-served mid-sweep (the reference
+    truncates at one 250-row page; this is the engine-side replacement)."""
+    d = tmp_path / "pages"
+    os.makedirs(d)
+    pages = {
+        1: [{"id": 1, "email": "a@x.com", "first_name": "Alice",
+             "last_name": "A", "created_at": "2024-01-01T00:00:00Z"},
+            {"id": 2, "email": "old@x.com", "first_name": "Bob",
+             "last_name": "B", "created_at": "2024-01-02T00:00:00Z"}],
+        # cursor re-serves id 2 (updated mid-sweep) + new id 3
+        2: [{"id": 2, "email": "new@x.com", "first_name": "Bob",
+             "last_name": "B", "created_at": "2024-01-02T00:00:00Z"},
+            {"id": 3, "email": "c@x.com", "first_name": "Cara",
+             "last_name": "C", "created_at": "2024-01-03T00:00:00Z"}],
+        # re-serves id 3 unchanged + new id 4
+        3: [{"id": 3, "email": "c@x.com", "first_name": "Cara",
+             "last_name": "C", "created_at": "2024-01-03T00:00:00Z"},
+            {"id": 4, "email": "d@x.com", "first_name": "Dan",
+             "last_name": "D", "created_at": "2024-01-04T00:00:00Z"}],
+    }
+    for n, rows in pages.items():
+        with open(d / f"page-{n}.json", "w") as f:
+            json.dump({"customers": rows}, f)
+    raw = ingest.ingest_entity_pages(
+        spark, str(d), ingest.CUSTOMER_PAYLOAD, "customers"
+    )
+    got = {r.id: r for r in raw.collect()}
+    assert sorted(got) == [1, 2, 3, 4]  # no truncation, no duplicates
+    assert got[2].email == "new@x.com"  # page 2 beat page 1 for id 2
+    # and the page-merged frame flows through the normal normalize path
+    silver = ingest.normalize_customers(raw, tenant_id=9)
+    assert silver.count() == 4
+    assert {r.email for r in silver.collect()} >= {"new@x.com", "d@x.com"}

@@ -12,6 +12,8 @@ merge key — the Delta-free MERGE (SURVEY.md §7 hard part 1).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -139,6 +141,42 @@ def ingest_entity_json(
     env = T.StructType([T.StructField(envelope_field, T.ArrayType(schema))])
     raw = spark.read.schema(env).json(path)
     return raw.select(F.explode(F.col(envelope_field)).alias("e")).select("e.*")
+
+
+def ingest_entity_pages(
+    spark: SparkSession, dir_path: str, schema: T.StructType, envelope_field: str
+) -> DataFrame:
+    """Multi-page capture ingestion: ``{dir}/page-<N>.json`` files -> ONE
+    DataFrame, one row per entity, later pages winning on id conflict.
+
+    This is the engine-side fix for the reference's pagination defect
+    (SURVEY.md §2.10.3, ``services/shopifyApi.js:35-45``): its REST fetch
+    reads a single ``limit=250`` page and silently truncates every tenant
+    with more rows. Here the capture step (driver-side, out of engine
+    scope) may write as many pages as the API serves; the engine reads the
+    whole directory in one distributed scan — page files are just input
+    splits, so 10 pages or 10 million cost the same plan.
+
+    Overlap semantics: cursor pagination re-serves boundary rows, and a
+    row updated mid-sweep can appear on two pages in different versions —
+    so pages carry authority order. The page number is extracted from the
+    FILE PATH (``_metadata.file_path``, no driver-side listing) and the
+    highest page wins per entity id (``merge_upsert``'s window, keyed and
+    partitioned on id — one shuffle, no global ordering anywhere)."""
+    env = T.StructType([T.StructField(envelope_field, T.ArrayType(schema))])
+    raw = spark.read.schema(env).json(os.path.join(dir_path, "page-*.json"))
+    rows = raw.select(
+        F.regexp_extract(F.col("_metadata.file_path"), r"page-(\d+)\.json", 1)
+        .cast("long")
+        .alias("_page"),
+        F.explode(F.col(envelope_field)).alias("e"),
+    ).select("_page", "e.*")
+    w = Window.partitionBy("id").orderBy(F.desc("_page"))
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_page")
+    )
 
 
 def ingest_tenant_data(
