@@ -51,8 +51,57 @@ def test_media_summary_dedup_by_hash(media):
     assert summary["video"].n_media == 1
 
 
-def test_real_decoder_is_explicit_stub(media):
-    with pytest.raises(NotImplementedError):
-        mm.extract_features(media, decoder="real")
+def test_real_decoder_wav_ppm_end_to_end(spark):
+    """decoder="real" actually decodes in this container: a generated
+    RIFF/PCM WAV (audio) and a PPM P6 raster (image) go through the same
+    mapInPandas plumbing and come back with physically-correct features."""
+    import math
+    import struct as st
+
+    rate, dur, amp = 8000, 0.5, 0.5
+    n = int(rate * dur)
+    pcm = b"".join(
+        st.pack("<h", int(amp * 32767 * math.sin(2 * math.pi * 440 * i / rate)))
+        for i in range(n)
+    )
+    fmt = st.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    wav = (
+        b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+        + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        + b"data" + st.pack("<I", len(pcm)) + pcm
+    )
+    ppm = b"P6\n# test raster\n4 2\n255\n" + bytes([255, 0, 0]) * 8  # all red
+    rows = [
+        (10, "audio", wav, "audio/wav", None, None, 500),
+        (11, "image", ppm, "image/x-portable-pixmap", 4, 2, None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in mm.extract_features(media, decoder="real").collect()
+    }
+    f = out[10].features
+    assert abs(f[0] - dur) < 1e-6                      # duration_s
+    assert abs(f[1] - rate / 48000.0) < 1e-6           # sample rate
+    assert f[2] == 1.0                                 # mono
+    assert abs(f[3] - amp / math.sqrt(2)) < 0.01       # sine rms = A/sqrt(2)
+    assert abs(f[4] - amp) < 0.01                      # peak = A
+    g = out[11].features
+    assert abs(g[2] - 2.0) < 1e-6                      # aspect = 4/2
+    assert abs(g[3] - 1.0) < 0.01 and g[4] < 0.01      # mean R=1, G=0
+    assert len(f) == len(g) == mm.FEATURE_DIM
+
+
+def test_real_decoder_gates_stay_explicit(spark, media):
+    """Kinds/formats without a dependency-free codec still fail loudly at
+    the documented integration point (video -> ffmpeg; non-WAV audio)."""
+    with pytest.raises(Exception, match="ffmpeg"):
+        mm.extract_features(
+            media.filter("kind = 'video'"), decoder="real"
+        ).collect()
+    with pytest.raises(Exception, match="WAV|ffmpeg"):  # fake RIFF bytes
+        mm.extract_features(
+            media.filter("kind = 'audio'"), decoder="real"
+        ).collect()
     with pytest.raises(NotImplementedError):
         mm.sample_frames(media, decoder="real")
