@@ -1,0 +1,110 @@
+"""Live REST capture against a local paginated HTTP server: the fetch loop
+follows Link-header cursors to exhaustion (the reference's client read one
+limit=250 page and truncated — ``services/shopifyApi.js:35-45``), writes
+page-N.json capture files, and the engine ingests them distributed with
+overlap resolution."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from xboard_spark import ingest
+from xboard_spark.sources import rest
+
+CUSTOMERS = [
+    {"id": i, "email": f"u{i}@x.com", "first_name": f"U{i}", "last_name": "T",
+     "created_at": f"2024-01-{i:02d}T00:00:00Z"}
+    for i in range(1, 8)  # 7 rows -> 3 pages at limit=3: the truncation case
+]
+
+
+class _PagedShopify(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # quiet
+        pass
+
+    def do_GET(self):
+        if self.headers.get("X-Shopify-Access-Token") != "tok-123":
+            self.send_response(401)
+            self.end_headers()
+            return
+        u = urlparse(self.path)
+        q = parse_qs(u.query)
+        limit = int(q.get("limit", ["250"])[0])
+        since = int(q.get("since_id", ["0"])[0])
+        rows = [c for c in CUSTOMERS if c["id"] > since][:limit]
+        body = json.dumps({"customers": rows}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        if rows and rows[-1]["id"] < CUSTOMERS[-1]["id"]:
+            nxt = (f"http://{self.headers['Host']}{u.path}"
+                   f"?limit={limit}&since_id={rows[-1]['id']}")
+            self.send_header("Link", f'<{nxt}>; rel="next"')
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _PagedShopify)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_parse_next_link():
+    assert rest.parse_next_link(
+        '<https://a/x?page_info=abc>; rel="next"') == "https://a/x?page_info=abc"
+    assert rest.parse_next_link(
+        '<https://a/p>; rel="previous", <https://a/n>; rel="next"') == "https://a/n"
+    assert rest.parse_next_link('<https://a/p>; rel="previous"') is None
+    assert rest.parse_next_link(None) is None
+
+
+def test_clean_domain():
+    assert rest.clean_domain("https://shop.example.com") == "shop.example.com"
+    assert rest.clean_domain("shop.example.com") == "shop.example.com"
+
+
+def test_fetch_follows_cursor_chain(server, tmp_path, spark):
+    d = str(tmp_path / "cap" / "customers")
+    written = rest.fetch_entity_pages(
+        server, "customers.json", "tok-123", d, "customers", limit=3
+    )
+    assert len(written) == 3  # 7 rows / limit 3 -> pages of 3,3,1
+    raw = ingest.ingest_entity_pages(
+        spark, d, ingest.CUSTOMER_PAYLOAD, "customers"
+    )
+    assert sorted(r.id for r in raw.collect()) == [1, 2, 3, 4, 5, 6, 7]
+    # the reference's behavior would have been: one page, 3 of 7 rows
+
+    silver = ingest.ingest_tenant_capture(spark, 5, {"customers": d})["customers"]
+    got = silver.collect()
+    assert len(got) == 7
+    assert all(r.tenant_id == 5 for r in got)
+
+
+def test_fetch_rejects_bad_token(server, tmp_path):
+    with pytest.raises(Exception):  # urllib raises HTTPError(401)
+        rest.fetch_entity_pages(
+            server, "customers.json", "WRONG", str(tmp_path / "x"), "customers"
+        )
+
+
+def test_fetch_loop_guard(tmp_path):
+    """A server whose next-link points at itself must raise, not truncate
+    silently or loop forever."""
+    def transport(url, headers):
+        return (json.dumps({"customers": [{"id": 1}]}).encode(),
+                {"Link": f'<{url}>; rel="next"'})
+
+    with pytest.raises(RuntimeError, match="max_pages"):
+        rest.fetch_entity_pages(
+            "http://x", "customers.json", "t", str(tmp_path / "loop"),
+            "customers", max_pages=5, transport=transport,
+        )

@@ -202,6 +202,27 @@ def ingest_tenant_data(
     return out
 
 
+def ingest_tenant_capture(
+    spark: SparkSession, tenant_id: int, capture_dirs: dict[str, str]
+) -> dict[str, DataFrame]:
+    """S12 over a PAGINATED capture (``sources.rest.capture_tenant``
+    output): entity -> page-directory, each read by
+    ``ingest_entity_pages`` (distributed scan + overlap resolution) and
+    normalized into the typed silver frame."""
+    norm = {
+        "customers": (CUSTOMER_PAYLOAD, normalize_customers),
+        "orders": (ORDER_PAYLOAD, normalize_orders),
+        "products": (PRODUCT_PAYLOAD, normalize_products),
+    }
+    out: dict[str, DataFrame] = {}
+    for entity, d in capture_dirs.items():
+        schema, normalize = norm[entity]
+        out[entity] = normalize(
+            ingest_entity_pages(spark, d, schema, entity), tenant_id
+        )
+    return out
+
+
 def orders_upsert_demo(orders: DataFrame) -> DataFrame:
     """Oracle-checkable demonstration of merge semantics on the testdata
     ``orders`` table: a synthetic update batch (every 100th order gets a 10%

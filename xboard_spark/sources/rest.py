@@ -1,0 +1,138 @@
+"""Shopify-shaped REST capture client (S5 + the S2-S4 fetch side).
+
+The reference's client (``/root/reference/services/shopifyApi.js:17-45``)
+issues ONE ``limit=250`` GET per entity and silently truncates every tenant
+with more rows — it never follows the API's ``Link: <...>; rel="next"``
+cursor header. This client is the corrected capture step: it walks the
+cursor chain to exhaustion, writing each response body verbatim to
+``page-<N>.json`` files.
+
+Engine boundary (why this is driver-side code in a Spark repo): the fetch
+loop is sequential metadata-scale I/O against a rate-limited API — there is
+nothing to distribute, and Shopify cursors are inherently serial. The DATA
+path is ``ingest.ingest_entity_pages``: one distributed scan over the whole
+capture directory, page files as input splits, overlap resolution as a
+keyed window. Capture cost grows with the API's page count; engine cost
+grows with cluster size. (At real scale the capture step runs as many
+independent per-tenant/per-entity loops — parallelism across tenants, not
+within a cursor chain.)
+
+Stdlib-only (urllib) so it runs in this container; the transport is
+injectable for tests and for swapping in a pooled HTTP client.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import urllib.request
+from collections.abc import Callable
+
+# reference parity: the "CRITICAL FIX" prefix strip (shopifyApi.js:10-13),
+# generalized to both schemes
+_SCHEME_RE = re.compile(r"^https?://")
+
+
+def clean_domain(shop_domain: str) -> str:
+    """F9: strip a scheme prefix from a stored shop domain."""
+    return _SCHEME_RE.sub("", shop_domain)
+
+
+def _default_transport(url: str, headers: dict[str, str]) -> tuple[bytes, dict]:
+    """GET ``url`` -> (body bytes, response headers). Swap via the
+    ``transport=`` parameter (tests use a local HTTP server; production
+    wants a pooled client with retry/backoff)."""
+    req = urllib.request.Request(url, headers=headers)
+    with urllib.request.urlopen(req) as resp:  # noqa: S310 - caller-built URL
+        return resp.read(), dict(resp.headers)
+
+
+_NEXT_LINK_RE = re.compile(r'<([^>]+)>;\s*rel="next"')
+
+
+def parse_next_link(link_header: str | None) -> str | None:
+    """Extract the rel="next" URL from a Link header (the cursor the
+    reference never follows)."""
+    if not link_header:
+        return None
+    m = _NEXT_LINK_RE.search(link_header)
+    return m.group(1) if m else None
+
+
+def fetch_entity_pages(
+    base_url: str,
+    endpoint: str,
+    access_token: str,
+    out_dir: str,
+    entity: str,
+    limit: int = 250,
+    max_pages: int = 10_000,
+    transport: Callable[[str, dict[str, str]], tuple[bytes, dict]] | None = None,
+) -> list[str]:
+    """Walk ``{base_url}/{endpoint}?limit={limit}`` through its Link-header
+    cursor chain, writing each page body to ``{out_dir}/page-<N>.json``.
+    Returns the written paths. Stops on: no next link, an empty entity
+    array, or ``max_pages`` (a loop guard against a server that links to
+    itself — hitting it raises, because silent truncation is exactly the
+    defect this exists to fix)."""
+    transport = transport or _default_transport
+    headers = {
+        "X-Shopify-Access-Token": access_token,
+        "Content-Type": "application/json",
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    sep = "&" if "?" in endpoint else "?"
+    url: str | None = f"{base_url.rstrip('/')}/{endpoint}{sep}limit={limit}"
+    written: list[str] = []
+    page = 1
+    while url:
+        if page > max_pages:
+            raise RuntimeError(
+                f"pagination exceeded max_pages={max_pages} at {url!r}; "
+                "refusing to truncate silently"
+            )
+        body, resp_headers = transport(url, headers)
+        rows = json.loads(body).get(entity, [])
+        if not rows and written:
+            break  # trailing empty page ends the chain
+        path = os.path.join(out_dir, f"page-{page}.json")
+        with open(path, "wb") as f:
+            f.write(body)
+        written.append(path)
+        link = next(
+            (v for k, v in resp_headers.items() if k.lower() == "link"), None
+        )
+        url = parse_next_link(link)
+        page += 1
+    return written
+
+
+ENTITY_ENDPOINTS = {
+    # entity -> endpoint (orders needs status=any, shopifyApi.js:41)
+    "customers": "customers.json",
+    "orders": "orders.json?status=any",
+    "products": "products.json",
+}
+
+
+def capture_tenant(
+    shop_domain: str,
+    access_token: str,
+    out_root: str,
+    limit: int = 250,
+    transport: Callable[[str, dict[str, str]], tuple[bytes, dict]] | None = None,
+    scheme: str = "https",
+) -> dict[str, str]:
+    """S12's fetch half: capture customers/orders/products for one tenant
+    into ``{out_root}/{entity}/page-N.json`` directories. Returns
+    entity -> capture dir, ready for ``ingest.ingest_tenant_capture``."""
+    base = f"{scheme}://{clean_domain(shop_domain)}/admin/api/2023-10"
+    out: dict[str, str] = {}
+    for entity, endpoint in ENTITY_ENDPOINTS.items():
+        d = os.path.join(out_root, entity)
+        fetch_entity_pages(
+            base, endpoint, access_token, d, entity, limit, transport=transport
+        )
+        out[entity] = d
+    return out
