@@ -106,6 +106,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "orders"), _t(s, d, "customer")
         ),
         "orders_cube": lambda s, d: window_ops.orders_cube(_t(s, d, "orders")),
+        # --- new in round 2: need first driver rows ---
+        "repetition_stats": lambda s, d: text.repetition_stats(
+            _t(s, d, "documents")
+        ),
+        "pii_scan": lambda s, d: text.pii_scan(_t(s, d, "documents")),
         # --- plans changed in round 2: need fresh driver rows ---
         "doc_stats": lambda s, d: text.doc_stats(_t(s, d, "documents")),
         "session_stats": lambda s, d: events.session_stats(_t(s, d, "events")),

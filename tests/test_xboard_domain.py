@@ -288,3 +288,43 @@ def test_merge_upsert_matches_dict_model_property(spark):
         assert got == model
 
     run()
+
+
+def test_pii_redact_and_scan(spark):
+    """Planted-PII coverage for the scrub pass (the testdata corpus is
+    PII-free, so pii_scan's driver row is all zeros — this is where the
+    patterns are actually exercised)."""
+    from xboard_spark.operators import text
+
+    rows = [
+        (1, "contact me at bob@x-corp.io or +1 (415) 555-0199 today", "en", "s1", 54),
+        (2, "no pii here just words", "en", "s2", 22),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    red = {r.doc_id: r.text for r in text.redact_pii(docs).collect()}
+    assert "[EMAIL]" in red[1] and "[PHONE]" in red[1]
+    assert "bob@" not in red[1] and "555" not in red[1]
+    assert red[2] == "no pii here just words"
+    scan = {r.source: r for r in text.pii_scan(docs).collect()}
+    assert scan["s1"].total_emails == 1 and scan["s1"].docs_with_phone == 1
+    assert scan["s2"].total_emails == 0 and scan["s2"].total_phones == 0
+
+
+def test_repetition_stats_detects_repeats(spark):
+    """A doc that is one phrase looped must score near-1 duplicate-3-gram
+    fraction and low distinct ratio; fresh text scores 0 dup grams."""
+    from xboard_spark.operators import text
+
+    looped = " ".join(["the quick brown fox"] * 10)
+    fresh = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, looped, "en", "s", len(looped)), (2, fresh, "en", "s", len(fresh))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    assert float(got[1].dup_3gram_frac) == 1.0  # every 3-gram recurs
+    assert float(got[1].distinct_ratio) == 0.1  # 4 distinct / 40 tokens
+    assert float(got[2].dup_3gram_frac) == 0.0
+    assert float(got[2].distinct_ratio) == 1.0

@@ -352,3 +352,117 @@ def term_cooccurrence(
             "pmi",
         )
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Per-document repetition signals (the Gopher/C4 quality-filter
+    family: Rae et al. 2021 §A1.1 "repetition" rules): distinct-token
+    ratio, most-frequent-token fraction, and duplicate-3-gram fraction
+    (fraction of 3-gram OCCURRENCES whose gram appears more than once in
+    the doc). High repetition = TEMPLATE/SPAM signal; a curation pipeline
+    thresholds these next to ``quality_scores``.
+
+    Scale shape: two exploded hash aggregates keyed on (doc_id, term) —
+    partial aggregation absorbs the fan-out map-side; nothing is ever
+    per-corpus global, so the plan is one scan + bounded shuffles at any
+    corpus size."""
+    toks = documents.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0).alias(
+            "toks"
+        ),
+    )
+    tc = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tstats = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 3,
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    gstats = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total_g"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_g"),
+        )
+    )
+    return (
+        tstats.join(gstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6)
+            .cast("decimal(18,6)")
+            .alias("distinct_ratio"),
+            F.round(F.col("top_c") / F.col("n_tokens"), 6)
+            .cast("decimal(18,6)")
+            .alias("top_token_frac"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("total_g"), F.lit(0)) > 0,
+                    F.col("dup_g") / F.col("total_g"),
+                ).otherwise(0.0),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("dup_3gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# PII patterns restricted to the Java-regex/RE2 common subset (module
+# docstring): these are the SCAN patterns of a compliance pass, not a
+# claim of exhaustive PII coverage — the operator shape (regexp_count +
+# regexp_replace, all JVM-side) is what scales; patterns are pluggable.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9() .-]{6,}[0-9]"
+
+
+def pii_scan(documents: DataFrame) -> DataFrame:
+    """Per-source PII exposure report: how many docs/matches of
+    email/phone shape each source contributes — the audit half of a
+    scrub pass (one scan, one tiny rollup; the 100 TB shape)."""
+    emails = F.regexp_count(F.col("text"), F.lit(EMAIL_RE))
+    phones = F.regexp_count(F.col("text"), F.lit(PHONE_RE))
+    return (
+        documents.select("source", emails.alias("ne"), phones.alias("np"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("ne") > 0, 1).otherwise(0)).alias("docs_with_email"),
+            F.sum(F.when(F.col("np") > 0, 1).otherwise(0)).alias("docs_with_phone"),
+            F.sum("ne").alias("total_emails"),
+            F.sum("np").alias("total_phones"),
+        )
+        .orderBy("source")
+    )
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """The scrub half: emails/phones replaced by typed placeholder tokens,
+    all other columns passed through. Pure regexp_replace — JVM-side,
+    streaming-friendly, no UDF."""
+    out = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]"),
+        PHONE_RE,
+        "[PHONE]",
+    )
+    return documents.withColumn("text", out)

@@ -16,7 +16,7 @@ from __future__ import annotations
 from xboard_spark.functions.portable_hash import MINHASH_P, _X_MASK, minhash_params
 from xboard_spark.operators.dedup import N_BANDS, N_PERMS
 from xboard_spark.operators.similarity import DIM, N_PLANES, N_TABLES, plane_weight
-from xboard_spark.operators.text import LANG_STOPWORDS
+from xboard_spark.operators.text import EMAIL_RE, LANG_STOPWORDS, PHONE_RE
 
 # ---------------------------------------------------------------- helpers
 
@@ -889,6 +889,64 @@ SELECT doc_id, lang, n_chars_m,
 FROM base ORDER BY doc_id"""
 
 
+def repetition_stats_sql() -> str:
+    """Mirrors text.repetition_stats: token counts + duplicate-3-gram
+    occurrence fraction, decimal-cast like every rounded ratio."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS words
+  FROM documents
+),
+tc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(words) AS tok FROM toks) GROUP BY 1, 2
+),
+tstats AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+         max(c)::BIGINT AS top_c
+  FROM tc GROUP BY 1
+),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(words) >= 3
+      THEN list_transform(generate_series(1, len(words) - 2),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+      ELSE [] END) AS gram
+  FROM toks
+),
+gstats AS (
+  SELECT doc_id, sum(c)::BIGINT AS total_g,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup_g
+  FROM (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT t.doc_id, n_tokens,
+       round(n_distinct / n_tokens::DOUBLE, 6)::DECIMAL(18,6) AS distinct_ratio,
+       round(top_c / n_tokens::DOUBLE, 6)::DECIMAL(18,6) AS top_token_frac,
+       round(CASE WHEN coalesce(total_g, 0) > 0
+             THEN dup_g / total_g::DOUBLE ELSE 0 END, 6)::DECIMAL(18,6)
+         AS dup_3gram_frac
+FROM tstats t LEFT JOIN gstats g ON t.doc_id = g.doc_id
+ORDER BY t.doc_id"""
+
+
+def pii_scan_sql() -> str:
+    """Mirrors text.pii_scan (patterns from the same constants)."""
+    return f"""
+WITH counts AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{EMAIL_RE}')) AS ne,
+         len(regexp_extract_all(text, '{PHONE_RE}')) AS np
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_email,
+       sum(CASE WHEN np > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_phone,
+       sum(ne)::BIGINT AS total_emails,
+       sum(np)::BIGINT AS total_phones
+FROM counts GROUP BY source ORDER BY source"""
+
+
 # ------------------------------------------------------- static oracle SQL
 
 EVENTS_TS = "ts::TIMESTAMP"
@@ -1117,6 +1175,8 @@ FROM (SELECT doc_id, {_fp(_NORM_TEXT)} AS fingerprint FROM documents)
 GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "quality_scores": quality_scores_sql(),
         "language_id": language_id_sql(),
+        "repetition_stats": repetition_stats_sql(),
+        "pii_scan": pii_scan_sql(),
         "ngram_jaccard": ngram_jaccard_sql(),
         "curation_stats": curation_sql(),
         "minhash_dedup": minhash_sql(),
