@@ -114,6 +114,11 @@ def main() -> None:
     # queries would trip a tighter gate on pure scheduler noise — a 0.5s
     # floor false-positived 3 queries in one loaded run. Real regressions
     # (the kind worth failing a round for) show up as multiples of seconds.
+    # "rebaselined" entries override the r1 number WITH a recorded reason —
+    # used when a plan was deliberately rewritten (e.g. a scale-broken
+    # single-partition sort replaced by a distributed plan, or a broken
+    # LSH hash fixed) so the old wall time measures a plan that no longer
+    # exists; the gate then tracks regressions against the corrected plan.
     ratios: dict[str, float] = {}
     regressions: list[str] = []
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -121,9 +126,12 @@ def main() -> None:
     if os.path.exists(base_path):
         with open(base_path) as fh:
             baseline = json.load(fh)
+        rebase = baseline.get("rebaselined", {})
         if baseline.get("sf") == sf:
             for name, dt in timings.items():
-                b = baseline["queries"].get(name)
+                b = rebase.get(name, {}).get("value") or baseline[
+                    "queries"
+                ].get(name)
                 if not b:
                     continue
                 ratios[name] = round(dt / b, 2)

@@ -222,28 +222,39 @@ def knn_lsh(
     each table is the corpus partitioned by its bucket column, so a query
     touches n_tables partitions."""
     corpus = lsh_corpus(embeddings, n_planes, n_tables)
-    longc = lsh_corpus_long(embeddings, n_planes, n_tables)
-    q_long = longc.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), "t", "bucket"
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), F.col(f"bucket_{t}").alias("bucket"))
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("tb")
+    longv = corpus.select("vec_id", "v", "v_norm", tb).select(
+        "vec_id", "v", "v_norm", "tb.t", "tb.bucket"
     )
-    cand = (
-        longc.join(F.broadcast(q_long), ["t", "bucket"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id")
-        .distinct()
+    q_long = (
+        corpus.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("q"),
+            F.col("v_norm").alias("q_norm"),
+            tb,
+        )
+        .select("q_id", "q", "q_norm", "tb.t", "tb.bucket")
     )
-    queries = corpus.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("q"),
-        F.col("v_norm").alias("q_norm"),
-    )
+    # score on the (t, bucket) collision join itself and dedup multi-table
+    # collisions with max() — the cosine is table-independent, so this is
+    # exactly DISTINCT-then-score with two joins and a shuffle fewer
     scored = (
-        cand.join(corpus.select("vec_id", "v", "v_norm"), "vec_id")
-        .join(F.broadcast(queries), "q_id")
+        longv.join(F.broadcast(q_long), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
         .withColumn(
-            "cosine",
+            "c",
             _dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm")),
         )
+        .groupBy("q_id", "vec_id")
+        .agg(F.max("c").alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
