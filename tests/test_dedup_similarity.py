@@ -294,6 +294,22 @@ def test_knn_pq_structure_and_code_equivalence(vecs):
         assert code_map[i] == code_map[i + 14], i
 
 
+def test_lsh_buckets_arrow_matches_expression(vecs):
+    """The Arrow-matmul bucket builder and the pure-expression builder must
+    assign IDENTICAL buckets — the matmul is an execution strategy, not a
+    semantics change (sign decisions compare against 4dp-rounded offsets,
+    so summation order can't flip a bit off a boundary tie)."""
+    a = {
+        r.vec_id: (r.bucket_0, r.bucket_1, r.bucket_2, r.bucket_3)
+        for r in similarity.lsh_corpus(vecs, arrow=True).collect()
+    }
+    e = {
+        r.vec_id: (r.bucket_0, r.bucket_1, r.bucket_2, r.bucket_3)
+        for r in similarity.lsh_corpus(vecs, arrow=False).collect()
+    }
+    assert a == e
+
+
 def test_clear_index_caches_releases_and_rebuilds(docs, vecs):
     """After clearing, caches are empty, and queries still produce
     identical results (rebuild path works)."""

@@ -44,6 +44,7 @@ def clear_index_caches() -> int:
     for cache in (
         dedup._INDEX_CACHE,
         dedup._PAIRS_CACHE,
+        similarity._NORM_CACHE,
         similarity._CORPUS_CACHE,
         similarity._IVF_CACHE,
         similarity._PQ_CACHE,

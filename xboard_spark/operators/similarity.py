@@ -15,12 +15,24 @@ Scale design:
   full-avalanche integer hash, not an RNG, so the oracle reproduces them
   exactly (and planes are actually near-orthogonal — see plane_weight).
 
-All vector math is array expressions (zip_with/aggregate) — JVM-side, no
-Python, vectorizable; embeddings are cast float->double before any
-arithmetic so Spark and the DuckDB oracle accumulate identically.
+Query-path vector math is array expressions (zip_with/aggregate) —
+JVM-side, no Python; embeddings are cast float->double before any
+arithmetic. The one Python site is the INDEX BUILD: the n_planes*n_tables
+plane dots per corpus row are a (batch, dim) @ (dim, planes) matmul, which
+no built-in expresses without 32 interpreted higher-order-function passes
+per row — that is exactly the sanctioned Arrow-batched pandas_udf escape
+hatch (measured: sf0.1 cold build 8.2s -> ~2s; see ``lsh_corpus``).
+Cross-engine float safety is unchanged: bucket bits compare dots against
+4dp-ROUNDED offsets and cosines are 6dp-rounded, so engine-internal
+summation order (HOF sequential vs numpy pairwise vs DuckDB
+list_dot_product) cannot flip a compared value except on measure-zero
+boundary ties — the same tolerance the expression path already relied on.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -67,22 +79,70 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-# (embeddings semanticHash, n_planes, n_tables) -> persisted
+# embeddings semanticHash -> persisted (vec_id, v double[], v_norm): the
+# bucket-free base every similarity operator shares. Separate from the
+# bucketed index so exact operators (knn_bruteforce) keep a pure-JVM
+# lineage — their plans must stay Python-free (asserted in test_plans).
+_NORM_CACHE: dict[int, DataFrame] = {}
+
+# (embeddings semanticHash, n_planes, n_tables, arrow) -> persisted
 # norm+bucket-annotated corpus. The annotated corpus IS the LSH index:
-# knn_bruteforce, knn_lsh, and embedding_neardup all consume it, and the
-# bucket assignment costs n_planes * n_tables interpreted dot products per
-# row — the expensive, reusable artifact (same rationale as
-# dedup._INDEX_CACHE; at scale it's the corpus written partitioned by
-# bucket). The build params are part of the key: buckets built with a
-# different plane/table count are a DIFFERENT index, and serving them
-# silently would corrupt candidate sets.
-_CORPUS_CACHE: dict[tuple[int, int, int], DataFrame] = {}
+# knn_lsh and embedding_neardup consume it, and the bucket assignment is
+# the expensive, reusable artifact (same rationale as dedup._INDEX_CACHE;
+# at scale it's the corpus written partitioned by bucket). The build
+# params are part of the key: buckets built with a different plane/table
+# count — or a different builder — are a DIFFERENT index, and serving
+# them silently would corrupt candidate sets.
+_CORPUS_CACHE: dict[tuple[int, int, int, bool], DataFrame] = {}
+
+
+def _norm_corpus(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, v double[], v_norm), persisted + cached — all-JVM."""
+    key = embeddings.semanticHash()
+    if key not in _NORM_CACHE:
+        _NORM_CACHE[key] = (
+            embeddings.select(
+                "vec_id", _as_double(F.col("embedding")).alias("v")
+            )
+            .withColumn("v_norm", _norm(F.col("v")))
+            .persist()
+        )
+    return _NORM_CACHE[key]
+
+
+def _plane_matrix(n_total: int, dim: int = DIM) -> np.ndarray:
+    """(dim, n_total) hyperplane weight matrix — the same plane_weight
+    literals the expression path and the DuckDB oracle embed."""
+    return np.array(
+        [[plane_weight(p, d) for p in range(n_total)] for d in range(dim)]
+    )
+
+
+def _buckets_batch(n_planes: int, n_tables: int, dim: int = DIM):
+    """Vectorized bucket assignment: one (batch, dim) @ (dim, planes)
+    numpy matmul per Arrow batch replaces n_planes*n_tables interpreted
+    higher-order-function dot products per row. Sign decisions compare
+    against the 4dp-rounded offsets, so numpy's pairwise summation is
+    covered by the same boundary tolerance as every other engine pair."""
+    W = _plane_matrix(n_planes * n_tables, dim)
+    bit_w = 1 << np.arange(n_planes)
+
+    @F.pandas_udf("array<int>")
+    def buckets(v: pd.Series, offs: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy())  # (n, dim) float64
+        o = np.asarray(offs.iloc[0], dtype=np.float64)  # constant per row
+        bits = (V @ W) >= o  # (n, n_planes*n_tables)
+        b = bits.reshape(len(V), n_tables, n_planes) @ bit_w  # (n, T)
+        return pd.Series(list(b.astype(np.int32)))
+
+    return buckets
 
 
 def lsh_corpus(
     embeddings: DataFrame,
     n_planes: int = N_PLANES,
     n_tables: int = N_TABLES,
+    arrow: bool = True,
 ) -> DataFrame:
     """(vec_id, v double[], v_norm, bucket_0..bucket_{T-1}), persisted +
     cached.
@@ -91,9 +151,16 @@ def lsh_corpus(
     sign(dot(v - mean, plane_{t*n_planes+j})). Centering guards non-centered
     corpora against the all-signs-equal mega-buckets (implementation:
     sign(dot(v - mean, p)) == dot(v, p) >= dot(mean, p), so only scalar
-    offsets are needed — computed in-plan as avg(dot(v, p)), rounded to
-    4 dp so the last-ulp summation-order difference between engines can't
-    flip a boundary sign, and broadcast onto the corpus).
+    offsets are needed — computed in-plan as dot(mean-vector, plane): one
+    codegen'd pass of 64 avg() accumulators over the corpus, then the 32
+    plane dots on the single mean row. Offsets are rounded to 4 dp so the
+    last-ulp summation-order difference between engines can't flip a
+    boundary sign, and broadcast onto the corpus.
+
+    ``arrow=True`` (default) assigns buckets with one numpy matmul per
+    Arrow batch (see ``_buckets_batch``); ``arrow=False`` keeps the pure
+    expression path (``_bucket``) — same bits, kept as the cross-check
+    the equivalence pytest runs both of.
 
     ``n_tables`` independent 2^n_planes-bucket tables (columns
     ``bucket_0..bucket_{T-1}``) are the standard sign-LSH recall knob
@@ -102,26 +169,50 @@ def lsh_corpus(
     probability p = 1 - angle/pi. At 100 TB each table is the corpus
     written partitioned by its bucket column — T copies, the classic
     space-for-recall trade."""
-    key = (embeddings.semanticHash(), n_planes, n_tables)
+    key = (embeddings.semanticHash(), n_planes, n_tables, arrow)
     if key not in _CORPUS_CACHE:
         n_total = n_planes * n_tables
-        vecs = embeddings.select(
-            "vec_id", _as_double(F.col("embedding")).alias("v")
+        vecs = _norm_corpus(embeddings)
+        # mean vector via posexplode + 64-group avg (one tiny shuffle):
+        # the obvious vecs.agg(avg(v[0]) .. avg(v[63])) is runtime-identical
+        # but costs seconds of Py4J/plan construction for 64 Column trees
+        mean = (
+            vecs.select(F.posexplode("v").alias("d", "x"))
+            .groupBy("d")
+            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("d", "m"))
+                ).alias("dm")
+            )
+            .select(F.transform(F.col("dm"), lambda s: s["m"]).alias("m"))
         )
-        offs = vecs.agg(
+        # 32 HOF dots on the ONE mean row — runtime-free; building this as
+        # scalar multiply-add trees instead (2048 Column ops through Py4J)
+        # cost ~15s of pure plan-construction/analysis, measured
+        offs = mean.select(
             *[
-                F.round(F.avg(_dot(F.col("v"), _plane_array(p))), 4).alias(
-                    f"o_{p}"
-                )
+                F.round(_dot(F.col("m"), _plane_array(p)), 4).alias(f"o_{p}")
                 for p in range(n_total)
             ]
         )
-        out = (
-            vecs.crossJoin(F.broadcast(offs))
-            .withColumn("v_norm", _norm(F.col("v")))
-        )
-        for t in range(n_tables):
-            out = out.withColumn(f"bucket_{t}", _bucket(F.col("v"), t, n_planes))
+        out = vecs.crossJoin(F.broadcast(offs))
+        if arrow:
+            out = out.withColumn(
+                "_bkts",
+                _buckets_batch(n_planes, n_tables)(
+                    F.col("v"),
+                    F.array(*[F.col(f"o_{p}") for p in range(n_total)]),
+                ),
+            )
+            for t in range(n_tables):
+                out = out.withColumn(f"bucket_{t}", F.col("_bkts")[t])
+            out = out.drop("_bkts")
+        else:
+            for t in range(n_tables):
+                out = out.withColumn(
+                    f"bucket_{t}", _bucket(F.col("v"), t, n_planes)
+                )
         _CORPUS_CACHE[key] = out.drop(
             *[f"o_{p}" for p in range(n_total)]
         ).persist()
@@ -155,8 +246,10 @@ def knn_bruteforce(
     embeddings: DataFrame, n_queries: int = 5, k: int = 5
 ) -> DataFrame:
     """Exact cosine top-k: first ``n_queries`` vectors (by vec_id) against
-    the whole corpus. Returns (q_id, rank, vec_id, cosine)."""
-    corpus = lsh_corpus(embeddings)
+    the whole corpus. Returns (q_id, rank, vec_id, cosine). Consumes the
+    bucket-free norm corpus — exact search needs no index and its plan
+    stays pure-JVM (asserted in test_plans)."""
+    corpus = _norm_corpus(embeddings)
     queries = (
         corpus.filter(F.col("vec_id") < n_queries)
         .select(
@@ -186,7 +279,10 @@ def knn_bruteforce(
 
 
 def _plane_array(p: int, dim: int = DIM) -> Column:
-    return F.array(*[F.lit(plane_weight(p, d)) for d in range(dim)])
+    # one Py4J call for the whole literal array — F.array over 64 F.lit
+    # scalars costs ~1ms of driver round-trips per element, which at 32
+    # planes per call site was seconds of pure plan construction
+    return F.lit([plane_weight(p, d) for d in range(dim)])
 
 
 def _bucket(

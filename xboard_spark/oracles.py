@@ -212,10 +212,12 @@ FROM ranked WHERE rank <= {k} ORDER BY q_id, rank"""
 
 def _offs_sql(n_total: int) -> str:
     """Mean-centering offsets CTE body — mirrors ``similarity.lsh_corpus``:
-    o_p = round(avg(dot(v, plane_p)), 4) over ALL n_planes*n_tables
-    planes."""
+    o_p = round(dot(mean-vector, plane_p), 4) over ALL n_planes*n_tables
+    planes (dot-of-avg == avg-of-dot by linearity; the 4dp round absorbs
+    the last-ulp fp difference between the two formulations and between
+    engines). Consumes the ``mean`` CTE (64 per-dimension avg())."""
     return ", ".join(
-        f"round(avg(list_dot_product(v, {_plane_sql_array(p)})), 4) AS o_{p}"
+        f"round(list_dot_product(m, {_plane_sql_array(p)}), 4) AS o_{p}"
         for p in range(n_total)
     )
 
@@ -240,11 +242,15 @@ def _lsh_norms_sql(n_planes: int, n_tables: int) -> str:
         f"SELECT vec_id, {t} AS t, bucket_{t} AS bucket FROM norms"
         for t in range(n_tables)
     )
+    mean_list = ", ".join(f"avg(v[{d + 1}])" for d in range(DIM))
     return f"""corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
+mean AS (
+  SELECT [{mean_list}] AS m FROM corpus
+),
 offs AS (
-  SELECT {_offs_sql(n_planes * n_tables)} FROM corpus
+  SELECT {_offs_sql(n_planes * n_tables)} FROM mean
 ),
 norms AS (
   SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS v_norm,
