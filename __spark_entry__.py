@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "pii_scan": lambda s, d: text.pii_scan(_t(s, d, "documents")),
+        "dedup_clusters": lambda s, d: dedup.dedup_clusters(
+            _t(s, d, "documents")
+        ),
         # --- plans changed in round 2: need fresh driver rows ---
         "doc_stats": lambda s, d: text.doc_stats(_t(s, d, "documents")),
         "session_stats": lambda s, d: events.session_stats(_t(s, d, "events")),

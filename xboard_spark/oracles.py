@@ -89,13 +89,14 @@ shared AS (
 {_pair_jaccard_sql('shared', tau)}"""
 
 
-def minhash_sql(
+def _minhash_stack(
     n: int = 3,
     n_perms: int = N_PERMS,
     n_bands: int = N_BANDS,
-    tau: float = 0.5,
     max_df: int = 100,
 ) -> str:
+    """The full MinHash CTE stack through the tau-independent verified
+    ``pairs`` CTE — shared by ``minhash_sql`` and ``dedup_clusters_sql``."""
     params = minhash_params(n_perms)
     rows_per_band = n_perms // n_bands
     sig_exprs = ",\n  ".join(
@@ -128,11 +129,52 @@ shared AS (
   JOIN inv b ON b.doc_id = c.doc_b AND b.shfp = a.shfp
   GROUP BY 1, 2
 ),{_pairs_cte('shared')}"""
+    return stack
+
+
+def minhash_sql(
+    n: int = 3,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    tau: float = 0.5,
+    max_df: int = 100,
+) -> str:
     return f"""
-WITH {stack}
+WITH {_minhash_stack(n, n_perms, n_bands, max_df)}
 SELECT doc_a, doc_b, shared, n_a, n_b, jaccard
 FROM pairs WHERE jaccard >= {tau}
 ORDER BY doc_a, doc_b"""
+
+
+def dedup_clusters_sql(
+    n: int = 3,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    tau: float = 0.5,
+    max_df: int = 100,
+) -> str:
+    """Connected components over the verified minhash pairs — mirrors
+    ``dedup.dedup_clusters``: recursive reachability, component label =
+    min reachable doc_id (the recursive CTE computes the same fixpoint the
+    Spark side reaches by bounded min-label propagation)."""
+    return f"""
+WITH RECURSIVE {_minhash_stack(n, n_perms, n_bands, max_df)},
+dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {tau}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM dup
+  UNION ALL
+  SELECT doc_b, doc_a FROM dup
+),
+reach(v, m) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT r.v, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+lab AS (SELECT v AS doc_id, min(m) AS cluster_id FROM reach GROUP BY v)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+ORDER BY doc_id"""
 
 
 def curation_sql(min_tokens: int = 40, tau: float = 0.5) -> str:
@@ -1186,6 +1228,7 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "ngram_jaccard": ngram_jaccard_sql(),
         "curation_stats": curation_sql(),
         "minhash_dedup": minhash_sql(),
+        "dedup_clusters": dedup_clusters_sql(),
         "simhash": simhash_sql(),
         "knn_bruteforce": knn_sql(),
         "knn_lsh": knn_lsh_sql(),
