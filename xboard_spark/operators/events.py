@@ -117,19 +117,24 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     correctness gate): per-user session count + event totals.
 
     The mean duration is computed from EXACT integer microseconds
-    (sum(long)/count, divided once) — averaging per-session rounded doubles
-    is order-dependent at the last ulp and flipped a round(.,3) boundary
-    between engines at sf0.1. The final value is cast DECIMAL(18,3) so the
-    compared representation is exact, not IEEE (round-1 driver hash fix)."""
+    (sum(long)/count, then /1e6, fixed association on both sides) and
+    emitted as a PLAIN DOUBLE with no round() and no decimal cast. The
+    round-2 DECIMAL(18,3) cast hash-failed in the driver gate: pandas
+    conversion is dtype-asymmetric (Spark toPandas → decimal.Decimal
+    objects, DuckDB .df() → float64), so decimal outputs can never hash
+    equal. Deterministic IEEE divisions of exact integers are bit-identical
+    across engines; skipping round() also removes the rounding-boundary
+    edge that flipped a round(.,3) digit between engines at sf0.1."""
     return (
         sessionize(events, gap_minutes)
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_sessions"),
             F.sum("n_events").alias("n_events"),
-            F.round(
-                (F.sum("duration_us") / F.count("*")) / 1e6, 3
-            ).cast("decimal(18,3)").alias("avg_session_sec"),
+            (
+                (F.sum("duration_us").cast("double") / F.count("*"))
+                / F.lit(1e6)
+            ).alias("avg_session_sec"),
         )
         .orderBy("user_id")
     )

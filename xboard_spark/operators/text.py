@@ -36,10 +36,17 @@ def doc_stats(documents: DataFrame) -> DataFrame:
     """Per (lang, source) corpus stats: doc counts, char/token moments.
     One scan + one partial/final hash agg — the 100 TB shape is identical.
 
-    The averages are rounded AND cast to DECIMAL(18,6): the rounded double
-    is bit-identical across engines here, but a decimal compares exactly in
-    any harness, while an IEEE double can differ at the last ulp purely in
-    its hashed representation (the round-1 driver hash failure)."""
+    Averages are emitted as PLAIN DOUBLES computed as one IEEE division of
+    an exact integer sum by an exact count — no round(), no decimal cast.
+    Why: the round-2 DECIMAL(18,6) outputs hash-failed in the driver gate
+    because pandas conversion is dtype-asymmetric (Spark toPandas keeps
+    DecimalType as decimal.Decimal objects; DuckDB's .df() converts DECIMAL
+    to float64), so the compared representations can never agree. A single
+    division of exact integers is bit-identical across engines under ANY
+    deterministic canonicalization, and skipping round() removes the
+    half-even/half-up boundary edge that differs between Spark's
+    BigDecimal rounding and DuckDB's scaled-double rounding (the round-1
+    failure mode)."""
     toks = token_count_col(F.col("text"))
     return (
         documents.withColumn("n_tokens", toks)
@@ -47,9 +54,9 @@ def doc_stats(documents: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("n_chars"), 6).cast("decimal(18,6)").alias("avg_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("n_tokens"), 6).cast("decimal(18,6)").alias("avg_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
         )
         .orderBy("lang", "source")
     )
@@ -403,25 +410,26 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_g"),
         )
     )
+    # Ratios are plain doubles: one IEEE division of exact integer counts,
+    # no round()/decimal — bit-identical across engines and dtype-stable
+    # through pandas conversion (see doc_stats docstring for the full
+    # driver-hash rationale).
     return (
         tstats.join(gstats, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
-            F.round(F.col("n_distinct") / F.col("n_tokens"), 6)
-            .cast("decimal(18,6)")
-            .alias("distinct_ratio"),
-            F.round(F.col("top_c") / F.col("n_tokens"), 6)
-            .cast("decimal(18,6)")
-            .alias("top_token_frac"),
-            F.round(
-                F.when(
-                    F.coalesce(F.col("total_g"), F.lit(0)) > 0,
-                    F.col("dup_g") / F.col("total_g"),
-                ).otherwise(0.0),
-                6,
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+                "distinct_ratio"
+            ),
+            (F.col("top_c").cast("double") / F.col("n_tokens")).alias(
+                "top_token_frac"
+            ),
+            F.when(
+                F.coalesce(F.col("total_g"), F.lit(0)) > 0,
+                F.col("dup_g").cast("double") / F.col("total_g"),
             )
-            .cast("decimal(18,6)")
+            .otherwise(F.lit(0.0))
             .alias("dup_3gram_frac"),
         )
         .orderBy("doc_id")
