@@ -324,3 +324,31 @@ def test_clear_index_caches_releases_and_rebuilds(docs, vecs):
     assert not similarity._CORPUS_CACHE
     after = dedup.minhash_dedup_pairs(docs, tau=0.3).collect()
     assert after == before
+
+
+def test_min_label_components_converges_on_diameter6_chain(spark):
+    """Round-3 verdict item: a chain-shaped component of diameter > 4 got
+    non-minimal cluster ids under the old ``max_iters=4`` default with no
+    error. Plant an explicit path 1-2-3-4-5-6-7 (diameter 6) and assert
+    the default bound labels every node with the component minimum —
+    matching what the recursive-CTE oracle ``dedup_clusters_sql``
+    computes for the same edges."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "doc_a long, doc_b long"
+    )
+    rows = dedup.min_label_components(pairs).collect()
+    assert {r.doc_id for r in rows} == set(range(1, 8))
+    assert all(r.cluster_id == 1 for r in rows)
+    assert all(r.cluster_size == 7 for r in rows)
+
+
+def test_min_label_components_insufficient_iters_detectable(spark):
+    """Regression guard for the guard: with max_iters=4 the same chain
+    must NOT fully converge — proving the planted graph actually
+    exercises the diameter bound (if this starts passing, the chain no
+    longer covers the invariant and the test above is vacuous)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "doc_a long, doc_b long"
+    )
+    rows = dedup.min_label_components(pairs, max_iters=4).collect()
+    assert any(r.cluster_id != 1 for r in rows)

@@ -167,3 +167,31 @@ def test_paginated_capture_overlap(spark, tmp_path):
     silver = ingest.normalize_customers(raw, tenant_id=9)
     assert silver.count() == 4
     assert {r.email for r in silver.collect()} >= {"new@x.com", "d@x.com"}
+
+
+def test_paginated_capture_duplicate_id_within_page(spark, tmp_path):
+    """Round-3 verdict item: the same id served TWICE in one page tied on
+    ``desc(_page)`` and the winner was shuffle-luck. The envelope-array
+    position is now the secondary authority key — the later-listed
+    version must win, deterministically."""
+    d = tmp_path / "pages"
+    os.makedirs(d)
+    rows = [
+        {"id": 7, "email": "stale@x.com", "first_name": "Eve",
+         "last_name": "E", "created_at": "2024-02-01T00:00:00Z"},
+        {"id": 8, "email": "f@x.com", "first_name": "Fay",
+         "last_name": "F", "created_at": "2024-02-02T00:00:00Z"},
+        # id 7 re-listed later in the SAME page with an updated email
+        {"id": 7, "email": "fresh@x.com", "first_name": "Eve",
+         "last_name": "E", "created_at": "2024-02-01T00:00:00Z"},
+    ]
+    with open(d / "page-1.json", "w") as f:
+        json.dump({"customers": rows}, f)
+    got = {
+        r.id: r
+        for r in ingest.ingest_entity_pages(
+            spark, str(d), ingest.CUSTOMER_PAYLOAD, "customers"
+        ).collect()
+    }
+    assert sorted(got) == [7, 8]
+    assert got[7].email == "fresh@x.com"  # later array position won

@@ -85,3 +85,38 @@ def test_no_collect_in_registered_query_paths():
             if ".collect()" in code:
                 offenders.append(f"{py.name}:{i}")
     assert offenders == [], f"driver-side collect in operator modules: {offenders}"
+
+
+def test_global_ntile_reuses_range_exchange(spark, sf_dir, qs):
+    """global_ntile's correctness INVARIANT (window_ops.py): the
+    per-partition counts/offsets and the in-partition ranks must read the
+    SAME range exchange — if Spark re-executed the range repartition for
+    each branch, sampled bounds could differ between the two reads and the
+    global ranks would be silently wrong.
+
+    AQE marks stage reuse only in the EXECUTED adaptive plan, so run the
+    query first, then assert the final plan (the section before ``Initial
+    Plan``) contains a ReusedExchange whose target operator is the
+    rangepartitioning exchange."""
+    import re
+
+    df = qs["rfm_segments"](spark, sf_dir)
+    df.collect()
+    full = explain_str(df, "formatted")
+    # formatted layout: final tree, then "== Initial Plan ==" tree, then
+    # per-operator details — the reuse target id lives in the DETAILS
+    final_tree = full.split("== Initial Plan ==")[0]
+    reuse_nodes = re.findall(r"ReusedExchange \((\d+)\)", final_tree)
+    assert reuse_nodes, final_tree
+    targets = set(
+        re.findall(r"ReusedExchange \[Reuses operator id: (\d+)\]", full)
+    )
+    range_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"\((\d+)\) Exchange\n[^()]*?rangepartitioning[^\n]*"
+            r"REPARTITION_BY_COL",
+            full,
+        )
+    }
+    assert targets & range_ids, (targets, range_ids, full)

@@ -312,6 +312,30 @@ def test_pii_redact_and_scan(spark):
     assert scan["s2"].total_emails == 0 and scan["s2"].total_phones == 0
 
 
+def test_pii_phone_pattern_ignores_dates_and_ids(spark):
+    """Round-3 verdict item: the old PHONE_RE digit-run matched ISO dates
+    and order ids, so redact_pii destructively rewrote non-PII text.
+    Dates, datetimes, epoch millis, and dashed order ids must survive
+    redaction untouched; real phone shapes must still be caught."""
+    from xboard_spark.operators import text
+
+    rows = [
+        (1, "shipped 2026-08-13 at 2026-08-13 20:54:57 order ORD-2026-12345", "en", "s1", 62),
+        (2, "epoch 1700000000000 invoice 123456789 ref 2024.01.15", "en", "s1", 52),
+        (3, "call 415-555-0199 or +14155550199 or (415) 555-0199", "en", "s2", 51),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    red = {r.doc_id: r.text for r in text.redact_pii(docs).collect()}
+    assert red[1] == rows[0][1]  # dates/order ids untouched
+    assert red[2] == rows[1][1]  # epoch/plain ids untouched
+    assert "[PHONE]" in red[3] and "0199" not in red[3] and "+1415" not in red[3]
+    scan = {r.source: r for r in text.pii_scan(docs).collect()}
+    assert scan["s1"].total_phones == 0
+    assert scan["s2"].total_phones == 3
+
+
 def test_repetition_stats_detects_repeats(spark):
     """A doc that is one phrase looped must score near-1 duplicate-3-gram
     fraction and low distinct ratio; fresh text scores 0 dup grams."""

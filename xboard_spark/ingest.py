@@ -162,20 +162,24 @@ def ingest_entity_pages(
     so pages carry authority order. The page number is extracted from the
     FILE PATH (``_metadata.file_path``, no driver-side listing) and the
     highest page wins per entity id (``merge_upsert``'s window, keyed and
-    partitioned on id — one shuffle, no global ordering anywhere)."""
+    partitioned on id — one shuffle, no global ordering anywhere). Within
+    one page the envelope-array POSITION is the secondary authority key
+    (posexplode): if an API serves the same id twice in one page the
+    later-listed version wins deterministically, instead of tying on
+    ``desc(_page)`` and letting the shuffle pick."""
     env = T.StructType([T.StructField(envelope_field, T.ArrayType(schema))])
     raw = spark.read.schema(env).json(os.path.join(dir_path, "page-*.json"))
     rows = raw.select(
         F.regexp_extract(F.col("_metadata.file_path"), r"page-(\d+)\.json", 1)
         .cast("long")
         .alias("_page"),
-        F.explode(F.col(envelope_field)).alias("e"),
-    ).select("_page", "e.*")
-    w = Window.partitionBy("id").orderBy(F.desc("_page"))
+        F.posexplode(F.col(envelope_field)).alias("_pos", "e"),
+    ).select("_page", "_pos", "e.*")
+    w = Window.partitionBy("id").orderBy(F.desc("_page"), F.desc("_pos"))
     return (
         rows.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_page")
+        .drop("_rn", "_page", "_pos")
     )
 
 

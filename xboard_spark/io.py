@@ -44,16 +44,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (layout: ``{sf_dir}/{name}.parquet``).
 
-    Spark 4 rejects parquet TIMESTAMP(NANOS) outright; the ``events`` table
-    stores nanos, so we read nanos as long (runtime-settable legacy conf)
-    and rebuild a microsecond TimestampType with integer division —
-    ``timestamp_micros(ts div 1000)`` — the same truncation DuckDB applies
-    casting TIMESTAMP_NS -> TIMESTAMP, keeping the oracle aligned.
+    Timestamp-layout tolerance: a real parquet lake mixes writers, so the
+    ``events.ts`` column is normalized to session-zoned ``TimestampType``
+    whatever physical layout the file uses:
+
+    * ``timestamp[ns]`` — Spark 4 rejects parquet TIMESTAMP(NANOS)
+      outright, so we read nanos as long (runtime-settable legacy conf)
+      and rebuild microseconds with integer division —
+      ``timestamp_micros(ts div 1000)`` — the same truncation DuckDB
+      applies casting TIMESTAMP_NS -> TIMESTAMP.
+    * ``timestamp[us]`` with no timezone — Spark reads TIMESTAMP_NTZ,
+      which ``unix_micros``/windowed range frames reject; cast to
+      ``timestamp``. The session TZ is UTC so the cast is
+      value-preserving and stays aligned with the DuckDB oracle's
+      ``ts::TIMESTAMP``.
+    * ``timestamp[us, UTC]`` — already TimestampType, no-op.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

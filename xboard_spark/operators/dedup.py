@@ -428,7 +428,7 @@ def dedup_clusters(
     n_bands: int = N_BANDS,
     tau: float = 0.5,
     max_df: int = 100,
-    max_iters: int = 4,
+    max_iters: int = 8,
 ) -> DataFrame:
     """Connected components over the verified MinHash near-dup pairs:
     (doc_id, cluster_id, cluster_size) for every document in at least one
@@ -461,6 +461,16 @@ def dedup_clusters(
     pairs = minhash_dedup_pairs(
         documents, n, n_perms, n_bands, tau, max_df
     ).select("doc_a", "doc_b")
+    return min_label_components(pairs, max_iters)
+
+
+def min_label_components(pairs: DataFrame, max_iters: int = 8) -> DataFrame:
+    """Min-label propagation over an undirected pair graph — the
+    clustering core of ``dedup_clusters``, factored out so the
+    convergence bound (exact for component diameter <= ``max_iters``) is
+    directly testable on a planted edge list. Input: ``(doc_a, doc_b)``
+    pairs; output: ``(doc_id, cluster_id, cluster_size)`` with
+    ``cluster_id`` = MIN doc_id of the component."""
     edges = pairs.union(
         pairs.select(F.col("doc_b"), F.col("doc_a"))
     ).toDF("s", "d")

@@ -441,7 +441,17 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
 # claim of exhaustive PII coverage — the operator shape (regexp_count +
 # regexp_replace, all JVM-side) is what scales; patterns are pluggable.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+?[0-9][0-9() .-]{6,}[0-9]"
+# Phone shapes only — NOT the generic digit-run of rounds 1-3, which also
+# matched ISO dates (2026-08-13) and order ids and made redact_pii
+# destructive. Two alternatives, both in the Java-regex/RE2 common subset
+# (no lookaround): bare international (+ then 8-15 digits), or a
+# separator-structured 3-3-4 with optional country code / parens. ISO
+# dates are 4-2-2 digit runs and epoch/order ids lack the separators, so
+# neither alternative can match them.
+PHONE_RE = (
+    r"\+[0-9]{8,15}"
+    r"|(\+[0-9]{1,3}[ .-]?)?(\([0-9]{3}\)|[0-9]{3})[ .-][0-9]{3}[ .-][0-9]{4}"
+)
 
 
 def pii_scan(documents: DataFrame) -> DataFrame:

@@ -939,7 +939,9 @@ FROM base ORDER BY doc_id"""
 
 def repetition_stats_sql() -> str:
     """Mirrors text.repetition_stats: token counts + duplicate-3-gram
-    occurrence fraction, decimal-cast like every rounded ratio."""
+    occurrence fraction. Ratios are the IDENTICAL plain-double division
+    the Spark side emits (cast-numerator-then-divide, no round, no
+    decimal) so the exact value hash matches."""
     return f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS words
@@ -969,11 +971,10 @@ gstats AS (
   GROUP BY 1
 )
 SELECT t.doc_id, n_tokens,
-       round(n_distinct / n_tokens::DOUBLE, 6)::DECIMAL(18,6) AS distinct_ratio,
-       round(top_c / n_tokens::DOUBLE, 6)::DECIMAL(18,6) AS top_token_frac,
-       round(CASE WHEN coalesce(total_g, 0) > 0
-             THEN dup_g / total_g::DOUBLE ELSE 0 END, 6)::DECIMAL(18,6)
-         AS dup_3gram_frac
+       n_distinct::DOUBLE / n_tokens AS distinct_ratio,
+       top_c::DOUBLE / n_tokens AS top_token_frac,
+       CASE WHEN coalesce(total_g, 0) > 0
+            THEN dup_g::DOUBLE / total_g ELSE 0.0 END AS dup_3gram_frac
 FROM tstats t LEFT JOIN gstats g ON t.doc_id = g.doc_id
 ORDER BY t.doc_id"""
 
@@ -1187,8 +1188,7 @@ per AS (
   FROM sess GROUP BY 1, 2
 )
 SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
-       round((sum(duration_us) / count(*)) / 1e6, 3)::DECIMAL(18,3)
-         AS avg_session_sec
+       (sum(duration_us)::DOUBLE / count(*)) / 1e6 AS avg_session_sec
 FROM per GROUP BY 1 ORDER BY user_id""",
         "events_json": """
 SELECT event_type,
@@ -1207,9 +1207,9 @@ FROM events GROUP BY 1 ORDER BY user_id""",
         "doc_stats": f"""
 SELECT lang, source, count(*) AS n_docs,
        sum(n_chars) AS total_chars,
-       round(avg(n_chars), 6)::DECIMAL(18,6) AS avg_chars,
+       sum(n_chars)::DOUBLE / count(*) AS avg_chars,
        sum(n_tokens) AS total_tokens,
-       round(avg(n_tokens), 6)::DECIMAL(18,6) AS avg_tokens
+       sum(n_tokens)::DOUBLE / count(*) AS avg_tokens
 FROM (SELECT *, len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT
              AS n_tokens
       FROM documents)
