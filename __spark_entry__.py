@@ -2,8 +2,12 @@
 
 ``queries()`` registers every implemented operator from SURVEY.md §2 plus
 the training-data-pipeline extensions; ``oracle_sql()`` provides the DuckDB
-twin for each (see ``xboard_spark/oracles.py`` — generated from the same
-constants as the Spark operators, so they cannot drift).
+twin for each (see ``xboard_spark/oracles.py``). The hash/LSH/kNN oracles
+are generated from the same constants the Spark operators import; the
+hand-written SQL twins CAN drift (round 3's doc_stats decimal-vs-double
+failure was exactly that), so ``tests/test_oracle_dtype_drift.py`` pins
+dtype+value agreement for the ratio-emitting queries and
+``tools/check_oracle.py`` is the full pre-round gate.
 """
 
 from __future__ import annotations

@@ -470,10 +470,21 @@ def min_label_components(pairs: DataFrame, max_iters: int = 8) -> DataFrame:
     convergence bound (exact for component diameter <= ``max_iters``) is
     directly testable on a planted edge list. Input: ``(doc_a, doc_b)``
     pairs; output: ``(doc_id, cluster_id, cluster_size)`` with
-    ``cluster_id`` = MIN doc_id of the component."""
+    ``cluster_id`` = MIN doc_id of the component.
+
+    The edge list is lineage-truncated (``localCheckpoint``) before the
+    loop: without it every unrolled round re-embeds the FULL upstream
+    plan (for ``dedup_clusters``, the whole MinHash pipeline — the plan
+    audit counted 877 static Exchange nodes at ``max_iters=8``, and
+    Catalyst re-optimized all of them every round). Checkpointed, each
+    round's join references a materialized leaf, so plan size — and
+    optimizer time — is O(1) per round. This is the standard iterative-
+    algorithm pattern (GraphX checkpoints the same way); at cluster scale
+    swap ``localCheckpoint`` (executor-local storage, lost on executor
+    failure) for ``checkpoint()`` against reliable storage."""
     edges = pairs.union(
         pairs.select(F.col("doc_b"), F.col("doc_a"))
-    ).toDF("s", "d")
+    ).toDF("s", "d").localCheckpoint(eager=True)
     nodes = edges.select(F.col("s").alias("node")).distinct()
     labels = nodes.withColumn("lbl", F.col("node"))
     edges_self = edges.union(nodes.select("node", "node"))
