@@ -93,9 +93,9 @@ def test_real_decoder_wav_ppm_end_to_end(spark):
 
 
 def test_real_decoder_gates_stay_explicit(spark, media):
-    """Kinds/formats without a dependency-free codec still fail loudly at
-    the documented integration point (video -> ffmpeg; non-WAV audio)."""
-    with pytest.raises(Exception, match="ffmpeg"):
+    """Formats without a dependency-free codec still fail loudly at the
+    documented integration point (mp4 video -> ffmpeg; non-WAV audio)."""
+    with pytest.raises(Exception, match="ffmpeg"):  # fake mp4 bytes
         mm.extract_features(
             media.filter("kind = 'video'"), decoder="real"
         ).collect()
@@ -103,5 +103,47 @@ def test_real_decoder_gates_stay_explicit(spark, media):
         mm.extract_features(
             media.filter("kind = 'audio'"), decoder="real"
         ).collect()
-    with pytest.raises(NotImplementedError):
-        mm.sample_frames(media, decoder="real")
+    with pytest.raises(Exception, match="YUV4MPEG2|ffmpeg"):  # mp4 frames
+        mm.sample_frames(media, decoder="real").collect()
+
+
+def _y4m(w=4, h=2, fps=10, n_frames=5):
+    """Minimal valid YUV4MPEG2 stream: C420, luma plane = frame index
+    everywhere (so consecutive-frame motion is exactly 1/255)."""
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420jpeg\n".encode()
+    chroma = (w // 2) * (h // 2)
+    frames = b"".join(
+        b"FRAME\n" + bytes([i]) * (w * h) + b"\x80" * (2 * chroma)
+        for i in range(n_frames)
+    )
+    return head + frames
+
+
+def test_real_video_decoder_y4m(spark):
+    """decoder="real" decodes y4m video in this container: geometry, fps,
+    luma stats, and the frame-to-frame motion proxy all come from the
+    actual planes, and frame sampling emits true frame indexes/hashes."""
+    import hashlib
+
+    payload = _y4m(w=4, h=2, fps=10, n_frames=5)
+    media = spark.createDataFrame(
+        [(9, "video", payload, "video/x-yuv4mpeg", 4, 2, 500)],
+        mm.MEDIA_SCHEMA,
+    )
+    feats = mm.extract_features(media, decoder="real").collect()[0].features
+    assert feats[0] == pytest.approx(4 / 1000)  # width
+    assert feats[1] == pytest.approx(2 / 1000)  # height
+    assert feats[3] == pytest.approx(5 / 100)  # n_frames
+    assert feats[4] == pytest.approx(10 / 60)  # fps
+    assert feats[5] == pytest.approx(0.5)  # duration s
+    assert feats[6] == pytest.approx((0 + 1 + 2 + 3 + 4) / 5 / 255)  # luma mean
+    assert feats[8] == pytest.approx(1 / 255)  # motion: +1 luma per frame
+
+    # sample every 200ms at 10fps -> every 2nd frame: 0, 2, 4
+    frames = sorted(
+        mm.sample_frames(media, every_ms=200, decoder="real").collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in frames] == [0, 2, 4]
+    assert [r.frame_ms for r in frames] == [0, 200, 400]
+    assert frames[1].frame_sha == hashlib.sha256(bytes([2]) * 8).hexdigest()[:16]

@@ -8,11 +8,14 @@ Decode modes (choose with ``decoder=``):
   UDF signature) is real and testable end-to-end regardless of codecs.
 - ``"real"``  — dependency-free decoders that run in THIS container:
   WAV (RIFF header + PCM via struct/numpy: duration, rms, peak,
-  zero-crossings, windowed energy) for ``audio`` rows and PPM P6 (header +
-  pixel stats: mean RGB, luma moments, luma histogram) for ``image`` rows.
-  ``video`` (and non-WAV/PPM payloads) still raise ``NotImplementedError``
-  naming the ffmpeg/PIL integration point — honest gates, not stubs: the
-  decode dispatch in ``_real_features`` is where a full codec slots in.
+  zero-crossings, windowed energy) for ``audio`` rows, PPM P6 (header +
+  pixel stats: mean RGB, luma moments, luma histogram) for ``image`` rows,
+  and YUV4MPEG2/y4m (header + planar YUV frames: geometry, fps, luma
+  moments, frame-to-frame motion proxy, luma histogram; true per-frame
+  sampling in ``sample_frames``) for ``video`` rows. Payloads in OTHER
+  containers (mp4/jpeg/mp3...) raise ``NotImplementedError`` naming the
+  ffmpeg/PIL integration point — honest gates, not stubs: the decode
+  dispatch in ``_real_features`` is where a full codec slots in.
 
 Scale design: ``mapInPandas`` streams Arrow record batches through Python —
 memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -167,6 +170,94 @@ def _ppm_features(content: bytes) -> list[float]:
     ]
 
 
+_Y4M_PLANE_RATIO = {  # chroma bytes per luma byte, by colorspace tag prefix
+    "420": 0.5,  # U+V each W/2 x H/2
+    "422": 1.0,  # U+V each W/2 x H
+    "444": 2.0,  # U+V each W x H
+    "mono": 0.0,
+}
+
+
+def _y4m_parse(content: bytes):
+    """Parse a YUV4MPEG2 (y4m) stream — the dependency-free video format
+    (uncompressed planar YUV + an ASCII header; what ffmpeg pipes emit).
+    Returns (width, height, fps, colorspace, [Y-plane bytes per frame]).
+    Raster formats beyond y4m need a real codec — that integration point
+    stays a NotImplementedError in ``_real_features``."""
+    if not content.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "video decoder: only YUV4MPEG2 (y4m) is decodable without "
+            "ffmpeg; plug a full codec into _real_features for containers"
+        )
+    nl = content.index(b"\n")
+    w = h = 0
+    fps = 25.0
+    cs = "420"
+    for tok in content[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps = int(num) / max(int(den), 1)
+        elif tag == "C":
+            for pref in _Y4M_PLANE_RATIO:
+                if val.startswith(pref):
+                    cs = pref
+                    break
+            else:
+                raise NotImplementedError(f"y4m colorspace {val!r} unsupported")
+    if w <= 0 or h <= 0:
+        raise NotImplementedError("y4m header missing W/H")
+    y_size = w * h
+    frame_size = y_size + int(y_size * _Y4M_PLANE_RATIO[cs])
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(content):
+        if content[pos : pos + 5] != b"FRAME":
+            raise NotImplementedError(f"y4m: bad FRAME marker at byte {pos}")
+        fnl = content.index(b"\n", pos)  # FRAME line may carry params
+        body = content[fnl + 1 : fnl + 1 + frame_size]
+        if len(body) < frame_size:
+            raise NotImplementedError("y4m: truncated frame payload")
+        frames.append(body[:y_size])  # luma plane only — stats + sampling
+        pos = fnl + 1 + frame_size
+    return w, h, fps, cs, frames
+
+
+def _y4m_features(content: bytes) -> list[float]:
+    """Real video decode for y4m: header + per-frame luma planes ->
+    FEATURE_DIM floats: [width/1k, height/1k, aspect, n_frames/100,
+    fps/60, duration_s, luma mean, luma std, mean abs frame-to-frame luma
+    delta (motion proxy), 7 luma-histogram bins]."""
+    w, h, fps, _cs, frames = _y4m_parse(content)
+    lumas = [np.frombuffer(f, dtype=np.uint8).astype(np.float64) / 255.0 for f in frames]
+    all_luma = np.concatenate(lumas) if lumas else np.zeros(1)
+    motion = (
+        float(np.mean([np.mean(np.abs(b - a)) for a, b in zip(lumas, lumas[1:])]))
+        if len(lumas) > 1
+        else 0.0
+    )
+    hist, _ = np.histogram(all_luma, bins=FEATURE_DIM - 9, range=(0.0, 1.0))
+    hist = hist / all_luma.size
+    return [
+        w / 1000.0,
+        h / 1000.0,
+        w / float(h),
+        len(frames) / 100.0,
+        fps / 60.0,
+        len(frames) / fps if fps else 0.0,
+        float(all_luma.mean()),
+        float(all_luma.std()),
+        motion,
+        *[float(v) for v in hist],
+    ]
+
+
 def _real_features(kind: str, content: bytes) -> list[float]:
     """Dispatch per media kind — THE integration point for full codecs
     (PIL/ffmpeg/librosa): add branches here, the Spark plumbing in
@@ -175,8 +266,10 @@ def _real_features(kind: str, content: bytes) -> list[float]:
         return _wav_features(content)
     if kind == "image":
         return _ppm_features(content)
+    if kind == "video":
+        return _y4m_features(content)
     raise NotImplementedError(
-        f"no dependency-free decoder for kind={kind!r} (video needs ffmpeg); "
+        f"no dependency-free decoder for kind={kind!r}; "
         "wire it into _real_features"
     )
 
@@ -219,13 +312,15 @@ def sample_frames(
     media: DataFrame, every_ms: int = 1000, decoder: str = "fake"
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame (a 1->N
-    mapInPandas — the UDF yields more rows than it consumes, exactly how a
-    real ffmpeg frame extractor plugs in)."""
-    if decoder == "real":
-        raise NotImplementedError(
-            "real frame extraction needs ffmpeg; the fan-out plumbing below "
-            "is the integration point"
-        )
+    mapInPandas — the UDF yields more rows than it consumes).
+
+    ``decoder="real"`` decodes y4m payloads and samples ACTUAL frames:
+    every ``every_ms`` of stream time (by the header fps), emitting the
+    true frame index, its timestamp, and the sha of its decoded luma
+    plane — the exact row shape an ffmpeg-backed extractor produces, so
+    swapping the codec never touches the plan. ``"fake"`` keeps the
+    codec-less content-hash stand-in driven by the ``duration_ms``
+    metadata column."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -238,8 +333,19 @@ def sample_frames(
             for _, row in pdf.iterrows():
                 if row["kind"] != "video":
                     continue
-                duration = int(row["duration_ms"] or 0)
                 content = row["content"] or b""
+                if decoder == "real":
+                    w, h, fps, _cs, frames = _y4m_parse(content)
+                    step = max(int(round(fps * every_ms / 1000.0)), 1)
+                    for idx in range(0, len(frames), step):
+                        out["media_id"].append(row["media_id"])
+                        out["frame_idx"].append(idx)
+                        out["frame_ms"].append(int(idx / fps * 1000.0))
+                        out["frame_sha"].append(
+                            hashlib.sha256(frames[idx]).hexdigest()[:16]
+                        )
+                    continue
+                duration = int(row["duration_ms"] or 0)
                 for idx, ms in enumerate(range(0, max(duration, 1), every_ms)):
                     frame_seed = content + ms.to_bytes(8, "little")
                     out["media_id"].append(row["media_id"])
@@ -250,6 +356,8 @@ def sample_frames(
                     )
             yield pd.DataFrame(out)
 
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
     return media.mapInPandas(run, schema=FRAMES_SCHEMA)
 
 

@@ -537,8 +537,49 @@ def ivf_index(
         vd = _vec_dims(embeddings).persist()
         c0 = initial_centroids(spark, n_cells)
         c1 = _update(vd, _assign(vd, c0)).persist()
-        _IVF_CACHE[key] = (c1, _assign(vd, c1).persist(), vd)
+        assign = _assign(vd, c1).persist()
+        # the probe-ready corpus (normalized vectors + cell assignment) is
+        # part of the index artifact: knn_ivf used to persist() a FRESH
+        # copy per call and never release it, so every invocation leaked a
+        # cached corpus into the storage layer (eviction churn showed up
+        # as bimodal bench timings). Built once here, released by
+        # clear_index_caches() with the rest of the entry.
+        corpus = (
+            embeddings.select(
+                "vec_id", _as_double(F.col("embedding")).alias("v")
+            )
+            .withColumn("v_norm", _norm(F.col("v")))
+            .join(assign, "vec_id")
+            .persist()
+        )
+        # centroids pivoted to array form (cell, cvec): lets the query
+        # side rank cells with one broadcast nested-loop join +
+        # zip_with/aggregate instead of explode -> join -> groupBy (the
+        # row-form path re-scanned parquet and cost ~4 extra stages per
+        # call for a 5x64 literal-sized table)
+        c1_arr = (
+            c1.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("sc"))
+            .select("cell", F.expr("transform(sc, x -> x.cval)").alias("cvec"))
+            .persist()
+        )
+        _IVF_CACHE[key] = (c1, assign, vd, corpus, c1_arr)
     return _IVF_CACHE[key][:2]
+
+
+def ivf_corpus(embeddings: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+    """The persisted probe-ready corpus (vec_id, v, v_norm, cell) from the
+    shared IVF index entry — see ivf_index for why it lives in the cache."""
+    ivf_index(embeddings, n_cells)
+    return _IVF_CACHE[(embeddings.semanticHash(), n_cells)][3]
+
+
+def ivf_centroid_vectors(
+    embeddings: DataFrame, n_cells: int = N_CELLS
+) -> DataFrame:
+    """(cell, cvec array<double>) from the shared IVF index entry."""
+    ivf_index(embeddings, n_cells)
+    return _IVF_CACHE[(embeddings.semanticHash(), n_cells)][4]
 
 
 def knn_ivf(
@@ -558,31 +599,29 @@ def knn_ivf(
     oracle; production would iterate to convergence offline and store the
     centroids (the structure of every step is identical).
     """
-    c1, final_assign = ivf_index(embeddings, n_cells)
-
-    corpus = (
-        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-        .withColumn("v_norm", _norm(F.col("v")))
-        .join(final_assign, "vec_id")
-        .persist()
-    )
+    ivf_index(embeddings, n_cells)
+    corpus = ivf_corpus(embeddings, n_cells)
     queries = corpus.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q"),
         F.col("v_norm").alias("q_norm"),
     )
-    # probe cells: rank cells by centroid distance per query
-    q_dims = _vec_dims(embeddings.filter(F.col("vec_id") < n_queries)).select(
-        F.col("vec_id").alias("q_id"), "dim", "val"
-    )
-    q_cell = (
-        q_dims.join(F.broadcast(c1), "dim")
-        .groupBy("q_id", "cell")
-        .agg(
-            F.sum(
-                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
-            ).alias("dist2")
-        )
+    # probe cells: rank cells by centroid distance per query — one
+    # broadcast nested-loop join (n_queries x n_cells rows) with the
+    # squared distance as a zip_with/aggregate over the array forms; no
+    # explode, no re-scan of the embeddings table
+    q_cell = queries.crossJoin(
+        F.broadcast(ivf_centroid_vectors(embeddings, n_cells))
+    ).select(
+        "q_id",
+        "cell",
+        F.aggregate(
+            F.zip_with(
+                F.col("q"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dist2"),
     )
     wq = Window.partitionBy("q_id").orderBy("dist2", "cell")
     probes = (
