@@ -68,6 +68,8 @@ _ROUND4_FIRST = [
     "events_dedup", "session_stats", "purchase_asof_view",
     "views_before_purchase", "doc_stats", "repetition_stats", "pii_scan",
     "dedup_clusters",
+    # -- new in round 4 (2): need first driver rows --
+    "knn_label_vote", "boilerplate_ngrams",
 ]
 
 
@@ -101,6 +103,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "label_centroids": lambda s, d: similarity.label_centroids(
             _t(s, d, "embeddings")
+        ),
+        "knn_label_vote": lambda s, d: similarity.knn_label_vote(
+            _t(s, d, "embeddings")
+        ),
+        "boilerplate_ngrams": lambda s, d: text.boilerplate_ngrams(
+            _t(s, d, "documents")
         ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(

@@ -352,3 +352,33 @@ def test_min_label_components_insufficient_iters_detectable(spark):
     )
     rows = dedup.min_label_components(pairs, max_iters=4).collect()
     assert any(r.cluster_id != 1 for r in rows)
+
+
+def test_knn_label_vote_separable_clusters(vecs):
+    """The vecs fixture is two orthogonal clusters with label == cluster,
+    so a 5-neighbor majority vote must classify every query perfectly."""
+    out = {r.label: r for r in similarity.knn_label_vote(vecs, n_queries=10, k=5).collect()}
+    assert set(out) == {0, 1}
+    assert all(r.n_correct == r.n_queries for r in out.values())
+    assert sum(r.n_queries for r in out.values()) == 10
+
+
+def test_knn_label_vote_detects_mislabeled(spark):
+    """A vector planted in cluster 0's region but labeled 1 must be
+    predicted 0 — its label row shows the accuracy miss."""
+    rows = []
+    for i in range(12):
+        base = [0.0] * 8
+        base[0 if i % 2 == 0 else 1] = 1.0
+        base[2 + (i % 5)] = 0.2
+        rows.append((i, [float(x) for x in base], i % 2))
+    # vec 12: geometry of cluster 0 (axis 0), label 1 -> guaranteed miss
+    bad = [0.0] * 8
+    bad[0] = 1.0
+    rows.append((12, [float(x) for x in bad], 1))
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.label: r for r in similarity.knn_label_vote(vecs, n_queries=13, k=3).collect()}
+    assert out[0].n_correct == out[0].n_queries  # true cluster-0 queries fine
+    assert out[1].n_correct == out[1].n_queries - 1  # the planted mislabel

@@ -352,3 +352,28 @@ def test_repetition_stats_detects_repeats(spark):
     assert float(got[1].distinct_ratio) == 0.1  # 4 distinct / 40 tokens
     assert float(got[2].dup_3gram_frac) == 0.0
     assert float(got[2].distinct_ratio) == 1.0
+
+
+def test_boilerplate_ngrams_finds_shared_template(spark):
+    """A phrase planted in 3 of 4 docs must rank first (df=3) with the
+    right occurrence count; a phrase unique to one doc is excluded by
+    min_df=2 however often it repeats within that doc."""
+    from xboard_spark.operators import text
+
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (1, f"alpha beta gamma {boiler} delta", "en", "s", 40),
+        (2, f"{boiler} epsilon zeta", "en", "s", 30),
+        (3, f"eta theta {boiler}", "en", "s", 30),
+        (4, "unique phrase here unique phrase here unique phrase here", "en", "s", 56),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = text.boilerplate_ngrams(docs, n=4, min_df=2, top=5).collect()
+    assert got, "no cross-doc 4-grams found"
+    top = got[0]
+    assert top.gram == boiler
+    assert top.df == 3 and top.n_occurrences == 3
+    assert all(r.df >= 2 for r in got)
+    assert not any("unique" in r.gram for r in got)  # df=1, excluded

@@ -456,6 +456,53 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def knn_label_vote(
+    embeddings: DataFrame, n_queries: int = 25, k: int = 5
+) -> DataFrame:
+    """kNN classification by majority vote: predict each query vector's
+    label from its k exact-cosine nearest neighbors (ties broken by the
+    smaller label id) and report per-label accuracy — the standard
+    embedding-quality probe a training pipeline runs after re-embedding
+    a corpus (does neighborhood structure still predict the label?).
+
+    Scale shape: reuses ``knn_bruteforce``'s broadcast-queries plan (the
+    corpus is never shuffled); the vote is a (q_id, label) hash aggregate
+    over n_queries*k rows and everything after is window + tiny joins.
+    Swap the neighbor source for ``knn_ivf``/``knn_lsh`` output at scale —
+    the vote/accuracy stages are agnostic to how neighbors were found."""
+    nbrs = knn_bruteforce(embeddings, n_queries=n_queries, k=k)
+    votes = (
+        nbrs.join(embeddings.select("vec_id", "label"), "vec_id")
+        .groupBy("q_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("label").alias("predicted"))
+    )
+    actual = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("actual")
+    )
+    return (
+        pred.join(actual, "q_id")
+        .groupBy("actual")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            F.col("actual").cast("long").alias("label"),
+            "n_queries",
+            "n_correct",
+        )
+        .orderBy("label")
+    )
+
+
 N_CELLS = 8
 
 

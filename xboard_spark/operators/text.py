@@ -442,6 +442,51 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def boilerplate_ngrams(
+    documents: DataFrame, n: int = 3, min_df: int = 2, top: int = 20
+) -> DataFrame:
+    """Corpus-level repeated n-gram mining: the n-grams that appear in at
+    least ``min_df`` DISTINCT documents, ranked by document frequency —
+    the boilerplate/template signal (nav bars, license headers, spam
+    templates) a curation pass blocklists before training; the cross-doc
+    complement of ``repetition_stats``' within-doc signals.
+
+    Scale shape: explode n-grams -> one (gram, doc) distinct + two hash
+    aggregates -> global top-N via TakeOrderedAndProject. Partial
+    aggregation absorbs the explode fan-out map-side; nothing is
+    per-corpus except the final top-N, which is bounded by ``top``."""
+    toks = documents.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0).alias(
+            "toks"
+        ),
+    )
+    gram_expr = "concat_ws(' ', {})".format(
+        ", ".join(f"toks[i+{j}]" for j in range(n))
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {n}), i -> {gram_expr})"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    per_doc = grams.groupBy("gram", "doc_id").agg(F.count("*").alias("c"))
+    stats = per_doc.groupBy("gram").agg(
+        F.count("*").alias("df"),
+        F.sum("c").alias("n_occurrences"),
+    )
+    return (
+        stats.filter(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), F.desc("n_occurrences"), F.asc("gram"))
+        .limit(top)
+    )
+
+
 # PII patterns restricted to the Java-regex/RE2 common subset (module
 # docstring): these are the SCAN patterns of a compliance pass, not a
 # claim of exhaustive PII coverage — the operator shape (regexp_count +

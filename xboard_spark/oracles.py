@@ -226,9 +226,12 @@ def _plane_sql_array(p: int, dim: int = DIM) -> str:
     return f"[{vals}]::DOUBLE[]"
 
 
-def knn_sql(n_queries: int = 5, k: int = 5) -> str:
+def _knn_ranked_cte(n_queries: int) -> str:
+    """corpus -> norms -> queries -> scored -> ranked CTE chain (mirrors
+    similarity.knn_bruteforce); shared by knn_sql / knn_label_vote_sql so
+    the two oracles cannot disagree on the neighbor sets."""
     return f"""
-WITH corpus AS (
+corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
 norms AS (
@@ -247,9 +250,68 @@ ranked AS (
   SELECT q_id, vec_id, cosine,
          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
   FROM scored
-)
+)"""
+
+
+def knn_sql(n_queries: int = 5, k: int = 5) -> str:
+    return f"""
+WITH {_knn_ranked_cte(n_queries)}
 SELECT q_id, rank::BIGINT AS rank, vec_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {k} ORDER BY q_id, rank"""
+
+
+def knn_label_vote_sql(n_queries: int = 25, k: int = 5) -> str:
+    """Mirrors similarity.knn_label_vote: majority label among the k
+    exact-cosine neighbors (ties -> smaller label), per-label accuracy."""
+    return f"""
+WITH {_knn_ranked_cte(n_queries)},
+nbrs AS (SELECT q_id, vec_id FROM ranked WHERE rank <= {k}),
+votes AS (
+  SELECT q_id, e.label, count(*) AS n_votes
+  FROM nbrs JOIN embeddings e ON e.vec_id = nbrs.vec_id GROUP BY 1, 2
+),
+pred AS (
+  SELECT q_id, label AS predicted FROM (
+    SELECT q_id, label,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY n_votes DESC, label) AS rn
+    FROM votes) WHERE rn = 1
+),
+actual AS (
+  SELECT vec_id AS q_id, label AS actual FROM embeddings
+  WHERE vec_id < {n_queries}
+)
+SELECT actual::BIGINT AS label, count(*)::BIGINT AS n_queries,
+       sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END)::BIGINT
+         AS n_correct
+FROM pred JOIN actual USING (q_id) GROUP BY 1 ORDER BY 1"""
+
+
+def boilerplate_ngrams_sql(n: int = 3, min_df: int = 2, top: int = 20) -> str:
+    """Mirrors text.boilerplate_ngrams: cross-doc repeated n-grams ranked
+    by document frequency (deterministic total order: df desc,
+    occurrences desc, gram asc — so LIMIT picks the same set)."""
+    gram = " || ' ' || ".join(f"words[i+{j}]" for j in range(n))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS words
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(words) >= {n}
+      THEN list_transform(generate_series(1, len(words) - {n - 1}),
+                          i -> {gram})
+      ELSE [] END) AS gram
+  FROM toks
+),
+per_doc AS (SELECT gram, doc_id, count(*) AS c FROM grams GROUP BY 1, 2),
+stats AS (
+  SELECT gram, count(*)::BIGINT AS df, sum(c)::BIGINT AS n_occurrences
+  FROM per_doc GROUP BY 1
+)
+SELECT gram, df, n_occurrences FROM stats WHERE df >= {min_df}
+ORDER BY df DESC, n_occurrences DESC, gram LIMIT {top}"""
 
 
 def _offs_sql(n_total: int) -> str:
@@ -1231,6 +1293,8 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "dedup_clusters": dedup_clusters_sql(),
         "simhash": simhash_sql(),
         "knn_bruteforce": knn_sql(),
+        "knn_label_vote": knn_label_vote_sql(),
+        "boilerplate_ngrams": boilerplate_ngrams_sql(),
         "knn_lsh": knn_lsh_sql(),
         "embedding_neardup": embedding_neardup_sql(),
         "embedding_quantization": embedding_quantization_sql(),
