@@ -120,3 +120,21 @@ def test_global_ntile_reuses_range_exchange(spark, sf_dir, qs):
         )
     }
     assert targets & range_ids, (targets, range_ids, full)
+
+
+def test_boilerplate_topn_plans_distributed(spark, sf_dir, qs):
+    """boilerplate_ngrams' LIMIT-after-sort must plan as
+    TakeOrderedAndProject (distributed top-N heap), never a global sort,
+    and its hot path stays JVM-only."""
+    r = _report(spark, qs, "boilerplate_ngrams", sf_dir)
+    assert r["take_ordered"]
+    assert not r["has_python_udf"]
+
+
+def test_knn_label_vote_plan_quality(spark, sf_dir, qs):
+    """The label-vote probe inherits knn_bruteforce's plan properties:
+    pure JVM expressions and the query-side filter pushed to the scan."""
+    r = _report(spark, qs, "knn_label_vote", sf_dir)
+    assert not r["has_python_udf"]
+    pushed = " ".join(p for p in r["pushed_filters"] if p)
+    assert "vec_id" in pushed
