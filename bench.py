@@ -124,6 +124,7 @@ def main() -> None:
 
     cal_pre = _calibrate()
 
+    errors: dict[str, str] = {}
     passes: list[dict[str, float]] = []
     for _ in range(3):
         # reclaim dead plan/shuffle state between passes: Spark's
@@ -135,13 +136,26 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         pass_t: dict[str, float] = {}
         for name in HEADLINE:
+            if name in errors:  # failed once -> don't pay it 3x
+                continue
             fn = qs[name]
             t0 = time.time()
-            fn(spark, sf_dir).collect()
+            try:
+                fn(spark, sf_dir).collect()
+            except Exception as exc:  # record, keep benching the rest
+                # round 3 postmortem: one operator's AnalysisException
+                # killed the whole bench (rc 1, no JSON line), so the
+                # round recorded NO performance numbers at all. A failed
+                # query is now a named line item in the emitted JSON and
+                # a non-zero exit — the other 39 measurements survive.
+                errors[name] = f"{type(exc).__name__}: {exc}".splitlines()[0][:200]
+                continue
             pass_t[name] = round(time.time() - t0, 3)
         passes.append(pass_t)
     timings = {
-        name: min(p[name] for p in passes) for name in HEADLINE
+        name: min(p[name] for p in passes if name in p)
+        for name in HEADLINE
+        if any(name in p for p in passes)
     }
 
     # suspect re-measure: a query whose min-of-3 would trip the regression
@@ -168,7 +182,13 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
             for _ in range(2):
                 t0 = time.time()
-                qs[name](spark, sf_dir).collect()
+                try:
+                    qs[name](spark, sf_dir).collect()
+                except Exception as exc:
+                    errors[name] = (
+                        f"{type(exc).__name__}: {exc}".splitlines()[0][:200]
+                    )
+                    break
                 timings[name] = min(timings[name], round(time.time() - t0, 3))
 
     # per-query regression gate vs the recorded baseline (BASELINE_BENCH.json
@@ -215,10 +235,18 @@ def main() -> None:
                 "pass1": passes[0],
                 "vs_baseline": ratios,
                 "regressions": regressions,
+                "errors": errors,
                 "calibration_sec": {"pre": cal_pre, "post": cal_post},
             }
         )
     )
+    if errors:
+        print(
+            "BENCH QUERY ERRORS (timed queries above are still valid):\n  "
+            + "\n  ".join(f"{n}: {e}" for n, e in errors.items()),
+            file=sys.stderr,
+        )
+        sys.exit(4)
     if regressions:
         print(
             "BENCH REGRESSION (>2x per-query vs BASELINE_BENCH.json):\n  "
