@@ -111,3 +111,39 @@ def test_write_silver_layout_prunes_and_sorts(spark, tmp_path):
     for f in glob.glob(f"{out}/tenant_id=2/*.parquet"):
         ts = pq.read_table(f, columns=["created_at"]).column(0).to_pylist()
         assert ts == sorted(ts), f
+
+
+def test_compact_silver_merges_small_files(spark, tmp_path):
+    """Simulate streaming-append damage (many tiny appends per tenant),
+    compact, and assert: far fewer files, identical data, layout intact
+    (partition pruning still works on the compacted table)."""
+    from pyspark.sql import functions as F
+
+    from xboard_spark.io import compact_silver, read_silver
+
+    out = str(tmp_path / "silver")
+    rows = [(t, i, float(i)) for t in (1, 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "tenant_id long, k long, v double")
+    # 10 tiny appends of 8 rows each -> >= 20 small files across 2 tenants
+    for chunk in range(10):
+        df.filter((F.col("k") % 10) == chunk).repartition(2).write.mode(
+            "append"
+        ).partitionBy("tenant_id").parquet(out)
+
+    import glob
+    before = glob.glob(f"{out}/**/*.parquet", recursive=True)
+    assert len(before) >= 20
+
+    stats = compact_silver(spark, out, target_file_mb=128,
+                           partition_cols=("tenant_id",), sort_cols=("k",))
+    after = glob.glob(f"{out}/**/*.parquet", recursive=True)
+    assert stats["files_before"] == len(before)
+    assert stats["files_after"] == len(after)
+    assert len(after) <= 2  # one file per hive partition
+    got = sorted(
+        map(tuple, read_silver(spark, out).select("tenant_id", "k", "v").collect())
+    )
+    assert got == sorted(rows)  # no data lost or duplicated
+    # partition pruning still applies on the compacted layout
+    plan = read_silver(spark, out).filter(F.col("tenant_id") == 1)
+    assert plan.count() == 40
