@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from xboard_spark.io import read_table
-from xboard_spark.ingest import orders_upsert_demo
+from xboard_spark.ingest import orders_upsert_demo, scd2_history
 from xboard_spark.operators import (
     analytics,
     curation,
@@ -68,8 +68,9 @@ _ROUND4_FIRST = [
     "events_dedup", "session_stats", "purchase_asof_view",
     "views_before_purchase", "doc_stats", "repetition_stats", "pii_scan",
     "dedup_clusters",
-    # -- new in round 4 (2): need first driver rows --
-    "knn_label_vote", "boilerplate_ngrams",
+    # -- new in round 4: need first driver rows --
+    "knn_label_vote", "boilerplate_ngrams", "dup_span_stats", "basket_pairs",
+    "value_outliers", "scd2_history",
 ]
 
 
@@ -110,6 +111,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": lambda s, d: text.boilerplate_ngrams(
             _t(s, d, "documents")
         ),
+        "dup_span_stats": lambda s, d: dedup.dup_span_stats(
+            _t(s, d, "documents")
+        ),
+        "basket_pairs": lambda s, d: tpch.basket_pairs(_t(s, d, "lineitem")),
+        "value_outliers": lambda s, d: events.value_outliers(
+            _t(s, d, "events")
+        ),
+        "scd2_history": lambda s, d: scd2_history(_t(s, d, "orders")),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(
             _t(s, d, "events")

@@ -1,0 +1,150 @@
+"""Planted-structure tests for the round-4 extension operators:
+dup_span_stats (exact substring-span duplication rate), basket_pairs
+(market-basket co-occurrence), value_outliers (z-score anomaly panel),
+scd2_history (type-2 history build)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from xboard_spark.ingest import scd2_history
+from xboard_spark.operators import dedup, events, tpch
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_dup_span_stats_planted(spark):
+    # ten shared tokens between docs 1 and 2 -> exactly one duplicated
+    # window each; doc 3 is all-unique tokens -> zero duplicated windows
+    shared = " ".join(f"tok{i}" for i in range(10))
+    docs = _mkdocs(
+        spark,
+        [
+            (1, f"alpha {shared} beta", "en", "web"),
+            (2, f"gamma {shared} delta", "en", "web"),
+            (3, " ".join(f"uniq{i}" for i in range(12)), "en", "books"),
+        ],
+    )
+    out = {
+        (r.lang, r.source): r
+        for r in dedup.dup_span_stats(docs, window=10).collect()
+    }
+    web = out[("en", "web")]
+    # 12 tokens per doc -> 3 windows per doc; only the fully-shared window
+    # (positions exactly covering the 10 shared tokens) is cross-doc dup
+    assert web.n_docs == 2
+    assert web.n_spans == 6
+    assert web.n_dup_spans == 2
+    assert abs(web.dup_fraction - 2 / 6) < 1e-12
+    books = out[("en", "books")]
+    assert books.n_dup_spans == 0 and books.n_docs == 1
+
+
+def test_dup_span_stats_short_docs_excluded(spark):
+    docs = _mkdocs(spark, [(1, "too short", "en", "web")])
+    assert dedup.dup_span_stats(docs, window=10).collect() == []
+
+
+def test_basket_pairs_planted(spark):
+    # parts 10+20 co-occur in two orders; 10+30 in one; duplicate lineitem
+    # rows for the same (order, part) must NOT inflate counts
+    li = spark.createDataFrame(
+        [
+            (1, 10),
+            (1, 10),  # duplicate line for same part in same order
+            (1, 20),
+            (2, 10),
+            (2, 20),
+            (2, 30),
+            (3, 10),
+            (3, 30),
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    rows = tpch.basket_pairs(li).collect()
+    counts = {(r.part_a, r.part_b): r.n_orders for r in rows}
+    assert counts[(10, 20)] == 2
+    assert counts[(10, 30)] == 2
+    assert counts[(20, 30)] == 1
+    # ordering: count desc then part ids asc
+    assert [
+        (r.part_a, r.part_b) for r in rows
+    ] == [(10, 20), (10, 30), (20, 30)]
+
+
+def test_value_outliers_planted(spark):
+    # 40 unit values plus one extreme spike -> exactly one >3-sigma point;
+    # a second type with no spike -> zero outliers
+    rows = [("click", 1.0 + (i % 5) * 0.01) for i in range(40)]
+    rows.append(("click", 1000.0))
+    rows += [("view", float(i % 3)) for i in range(30)]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    out = {r.event_type: r for r in events.value_outliers(ev).collect()}
+    assert out["click"].n_outliers == 1
+    assert out["click"].n_events == 41
+    assert out["view"].n_outliers == 0
+    # moments are the plain sample stats (rounded 6dp)
+    assert abs(out["view"].mean_value - (sum(float(i % 3) for i in range(30)) / 30)) < 1e-6
+
+
+def test_value_outliers_null_values_ignored_in_moments(spark):
+    ev = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None)],
+        "event_type string, value double",
+    )
+    r = events.value_outliers(ev).collect()[0]
+    assert r.n_events == 3  # count(*) includes the null row
+    assert r.mean_value == 2.0  # moments exclude nulls
+    assert r.n_outliers == 0
+
+
+def test_scd2_history_planted(spark):
+    d = lambda s: datetime.datetime.fromisoformat(s)  # noqa: E731
+    orders = spark.createDataFrame(
+        [
+            # custkey 1: three versions, middle two share a date ->
+            # orderkey breaks the tie deterministically
+            (101, 1, "O", 10.0, d("2024-01-01")),
+            (102, 1, "F", 20.0, d("2024-02-01")),
+            (103, 1, "F", 30.0, d("2024-02-01")),
+            # custkey 2: single version -> current from day one
+            (201, 2, "O", 5.0, d("2024-03-01")),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp",
+    )
+    rows = scd2_history(orders).collect()
+    by_key = {(r.o_custkey, r.version): r for r in rows}
+    assert len(rows) == 4
+    v1, v2, v3 = (by_key[(1, v)] for v in (1, 2, 3))
+    # versions ordered by (date, orderkey); valid_to chains to the next
+    # version's valid_from; only the last version is current
+    assert [v1.o_orderkey, v2.o_orderkey, v3.o_orderkey] == [101, 102, 103]
+    assert v1.valid_to == v2.valid_from
+    assert v2.valid_to == v3.valid_from
+    assert (v1.is_current, v2.is_current, v3.is_current) == (
+        False,
+        False,
+        True,
+    )
+    assert by_key[(2, 1)].is_current is True
+
+
+def test_scd2_history_filter_pushdown(spark, sf_dir):
+    from xboard_spark.io import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    plan = (
+        scd2_history(orders)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the entity filter must reach the parquet scan
+    assert "PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,20)]" in plan

@@ -246,6 +246,42 @@ def orders_upsert_demo(orders: DataFrame) -> DataFrame:
     )
 
 
+def scd2_history(orders: DataFrame, max_custkey: int = 20) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 build: turn a change stream (here:
+    each customer's orders, ordered by event time) into versioned history
+    rows with ``valid_from`` / ``valid_to`` / ``is_current`` — the history
+    the reference's ON CONFLICT upsert (dataIngestion.js:32-43) throws
+    away. A warehouse that must answer "what did this record look like on
+    date D" keeps SCD2 instead of last-write-wins; this is the standard
+    window-function formulation (valid_to = lead(valid_from) over the key).
+
+    Scale shape: one shuffle, keyed on the entity key (o_custkey) for the
+    per-key ordered window; no join, no global sort (the final orderBy
+    exists only for the bounded demo output). The ``max_custkey`` filter
+    keeps the oracle-compared output small AND demonstrates pushdown — the
+    predicate reaches the parquet scan, so building history for one
+    entity never scans the corpus. Tie-break on o_orderkey makes
+    same-timestamp updates deterministic (same discipline as
+    ``ingest_entity_pages``' page/position key)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = (
+        orders.filter(F.col("o_custkey") < max_custkey)
+        .withColumn("version", F.row_number().over(w))
+        .withColumn("valid_from", F.col("o_orderdate"))
+        .withColumn("valid_to", F.lead("o_orderdate").over(w))
+    )
+    return hist.select(
+        "o_custkey",
+        F.col("version").cast("long").alias("version"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    ).orderBy("o_custkey", "version")
+
+
 TENANT_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType()),

@@ -421,6 +421,100 @@ def decontamination_check(
     )
 
 
+def dup_span_stats(documents: DataFrame, window: int = 10) -> DataFrame:
+    """Exact substring-span duplication rate per (lang, source): the
+    fraction of ``window``-token sliding spans whose exact text also occurs
+    in at least one OTHER document — the corpus-level duplication metric of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", ExactSubstr with a token-window approximation of the suffix
+    array). ``ngram_jaccard``/``minhash`` answer "which PAIRS are near-dup";
+    this answers "how much of each slice of the corpus is literally
+    duplicated text" — the number a curation pass tracks before/after dedup.
+
+    Scale shape: explode spans carrying (lang, source) inline (no join back
+    to ``documents``), fingerprint per row (md5 stays in whole-stage
+    codegen), one hash aggregate per span fingerprint for the distinct-doc
+    frequency, then a fingerprint-keyed join back to the span stream and a
+    tiny (lang, source) rollup. Both shuffles are keyed on the 60-bit span
+    fingerprint — uniformly distributed by construction, no hot keys; cost
+    is O(total tokens), never pairwise. The dup fraction is ONE exact-int
+    division (bit-identical across engines; see text.doc_stats)."""
+    toks = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.regexp_extract_all(
+            _norm_text(F.col("text")), F.lit(TOKEN_RE), 0
+        ).alias("toks"),
+    )
+    span_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at("toks", i + j) for j in range(window)]
+    )
+    spans = toks.filter(F.size("toks") >= window).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (window - 1)), span_at
+            )
+        ).alias("span"),
+    )
+    spans = spans.select(
+        "doc_id", "lang", "source", fingerprint64(F.col("span")).alias("spfp")
+    )
+    # Aggregate-first so the heavy branch (tokenize + per-span md5) runs
+    # ONCE: collapse the span stream to one row per (spfp, lang, source)
+    # carrying occurrence count + distinct-doc count, then get each
+    # fingerprint's GLOBAL document frequency as a window sum over the
+    # collapsed frame (docs have exactly one (lang, source), so per-group
+    # distinct-doc counts add up to the global df). The naive
+    # spans ⋈ groupBy(spfp) self-join plans TWO full scans of the corpus
+    # with two md5 passes (verified in the physical plan) — this shape
+    # shuffles only aggregated rows after the single scan.
+    from pyspark.sql import Window
+
+    g = spans.groupBy("spfp", "lang", "source").agg(
+        F.count("*").alias("n_occ"),
+        F.count_distinct("doc_id").alias("nd"),
+    )
+    g = g.withColumn("df", F.sum("nd").over(Window.partitionBy("spfp")))
+    per_group = g.groupBy("lang", "source").agg(
+        F.sum("n_occ").alias("n_spans"),
+        F.sum(F.when(F.col("df") >= 2, F.col("n_occ")).otherwise(0)).alias(
+            "n_dup_spans"
+        ),
+    )
+    # doc counts per slice: a second, CHEAP documents pass (token count
+    # only — no span build, no fingerprints)
+    n_docs = (
+        documents.filter(
+            F.size(
+                F.regexp_extract_all(
+                    _norm_text(F.col("text")), F.lit(TOKEN_RE), 0
+                )
+            )
+            >= window
+        )
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        per_group.join(n_docs, ["lang", "source"])
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans").cast("double") / F.col("n_spans")).alias(
+                "dup_fraction"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 def dedup_clusters(
     documents: DataFrame,
     n: int = 3,

@@ -362,3 +362,66 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         )
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+def value_outliers(events: DataFrame, z: float = 3.0) -> DataFrame:
+    """Per-event-type z-score anomaly panel: moments of ``value`` plus how
+    many events sit more than ``z`` standard deviations from the mean —
+    the first-pass outlier/anomaly scan a pipeline runs over a metric
+    column before trusting it (fat-finger values, unit mix-ups, bot
+    spikes).
+
+    Two passes, both cheap: one partial/final hash aggregate for the raw
+    moments (count, sum, sum-of-squares — the classic one-scan variance
+    decomposition), then a broadcast join of the per-type stats (rows =
+    |event types|, trivially broadcastable at any corpus size) back onto
+    the stream for the threshold count. No window, no sort; at 100 TB both
+    scans are embarrassingly parallel and the only shuffle carries one row
+    per event type.
+
+    Cross-engine float discipline: mean/std are ROUNDED to 6dp before the
+    threshold comparison, so both engines compare each raw value against
+    IDENTICAL constants — engine-internal summation order can shift the
+    raw moments only at ~1e-12 relative, which the 6dp round absorbs; the
+    per-row comparison is then bit-deterministic (ties sit on a
+    measure-zero boundary). Std uses the explicit (ss - s^2/n)/(n-1)
+    formula rather than each engine's stddev_samp (DuckDB's is
+    Welford-based — different association, different last ulps)."""
+    moments = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("value").alias("n_vals"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    stats = moments.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("s") / F.col("n_vals"), 6).alias("mean_value"),
+        F.round(
+            F.sqrt(
+                (F.col("ss") - F.col("s") * F.col("s") / F.col("n_vals"))
+                / (F.col("n_vals") - 1)
+            ),
+            6,
+        ).alias("std_value"),
+    )
+    flagged = events.select("event_type", "value").join(
+        F.broadcast(stats), "event_type"
+    )
+    is_out = F.when(
+        F.abs(F.col("value") - F.col("mean_value"))
+        > F.lit(z) * F.col("std_value"),
+        1,
+    ).otherwise(0)
+    return (
+        flagged.groupBy("event_type", "n_events", "mean_value", "std_value")
+        .agg(F.sum(is_out).cast("long").alias("n_outliers"))
+        .select(
+            "event_type",
+            "n_events",
+            "mean_value",
+            "std_value",
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

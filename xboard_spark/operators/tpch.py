@@ -310,3 +310,38 @@ def top_supplier_revenue(
         )
         .orderBy("s_suppkey")
     )
+
+
+def basket_pairs(lineitem: DataFrame, top: int = 20) -> DataFrame:
+    """Market-basket co-occurrence: the part pairs most often bought in the
+    SAME order (the co-purchase signal behind "frequently bought together"
+    item-item recommenders, Linden et al. 2003) — a self-join the reference
+    world would write as lineitem x lineitem on order id.
+
+    Scale shape: distinct (order, part) first — the self-join then fans out
+    as sum(basket_size^2) over orders, NOT |lineitem|^2 (TPC-H baskets are
+    <= 7 lines; real carts are similarly tiny, so the quadratic is per-key
+    constant). One shuffle keys both sides on l_orderkey (co-partitioned
+    self-join — a single exchange, reused for both join inputs), the pair
+    aggregate shuffles once on the (p1, p2) pair key, and the final top-N
+    plans TakeOrderedAndProject (distributed top-k, no global sort). A
+    hot-key guard at 100 TB: cap basket size (baskets above ~1k items are
+    bots/ETL noise and contribute k^2 pairs each) — here TPC-H bounds it
+    structurally."""
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(top)
+    )

@@ -314,6 +314,41 @@ SELECT gram, df, n_occurrences FROM stats WHERE df >= {min_df}
 ORDER BY df DESC, n_occurrences DESC, gram LIMIT {top}"""
 
 
+def dup_span_stats_sql(window: int = 10) -> str:
+    """Mirrors dedup.dup_span_stats: per (lang, source) fraction of
+    ``window``-token sliding spans whose fingerprint occurs in >= 2
+    distinct documents. Same normalization / tokenizer / fingerprint as
+    the Spark side; the fraction is one exact-int division."""
+    span = " || ' ' || ".join(f"words[i+{j}]" for j in range(window))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         regexp_extract_all({_NORM_TEXT}, '{TOKEN_RE_SQL}') AS words
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, lang, source,
+         {_fp('s')} AS spfp
+  FROM (
+    SELECT doc_id, lang, source,
+           unnest(list_transform(
+             generate_series(1, len(words) - {window - 1}), i -> {span})) AS s
+    FROM toks WHERE len(words) >= {window}
+  )
+),
+span_df AS (
+  SELECT spfp, count(DISTINCT doc_id) AS df FROM spans GROUP BY 1
+)
+SELECT lang, source,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_spans,
+       sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+       sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+         AS dup_fraction
+FROM spans JOIN span_df USING (spfp)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def _offs_sql(n_total: int) -> str:
     """Mean-centering offsets CTE body — mirrors ``similarity.lsh_corpus``:
     o_p = round(dot(mean-vector, plane_p), 4) over ALL n_planes*n_tables
@@ -1288,6 +1323,42 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "repetition_stats": repetition_stats_sql(),
         "pii_scan": pii_scan_sql(),
         "ngram_jaccard": ngram_jaccard_sql(),
+        "dup_span_stats": dup_span_stats_sql(),
+        "basket_pairs": """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*)::BIGINT AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
+        "value_outliers": """
+WITH moments AS (
+  SELECT event_type, count(*)::BIGINT AS n_events,
+         count(value) AS n_vals, sum(value) AS s, sum(value * value) AS ss
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT event_type, n_events,
+         round(s / n_vals, 6) AS mean_value,
+         round(sqrt((ss - s * s / n_vals) / (n_vals - 1)), 6) AS std_value
+  FROM moments
+)
+SELECT e.event_type, st.n_events, st.mean_value, st.std_value,
+       sum(CASE WHEN abs(e.value - st.mean_value) > 3.0 * st.std_value
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM events e JOIN stats st USING (event_type)
+GROUP BY 1, 2, 3, 4 ORDER BY 1""",
+        "scd2_history": """
+SELECT o_custkey,
+       row_number() OVER w::BIGINT AS version,
+       o_orderkey, o_orderstatus, o_totalprice,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       (lead(o_orderdate) OVER w IS NULL) AS is_current
+FROM orders WHERE o_custkey < 20
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, version""",
         "curation_stats": curation_sql(),
         "minhash_dedup": minhash_sql(),
         "dedup_clusters": dedup_clusters_sql(),
