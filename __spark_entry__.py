@@ -23,6 +23,7 @@ from xboard_spark.operators import (
     curation,
     dedup,
     events,
+    profiling,
     sampling,
     similarity,
     temporal,
@@ -70,7 +71,7 @@ _ROUND4_FIRST = [
     "dedup_clusters",
     # -- new in round 4: need first driver rows --
     "knn_label_vote", "boilerplate_ngrams", "dup_span_stats", "basket_pairs",
-    "value_outliers", "scd2_history",
+    "value_outliers", "scd2_history", "table_profile", "decayed_engagement",
 ]
 
 
@@ -119,6 +120,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events")
         ),
         "scd2_history": lambda s, d: scd2_history(_t(s, d, "orders")),
+        "table_profile": lambda s, d: profiling.table_profile(
+            _t(s, d, "orders")
+        ),
+        "decayed_engagement": lambda s, d: events.decayed_engagement(
+            _t(s, d, "events")
+        ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(
             _t(s, d, "events")

@@ -7,10 +7,8 @@ from __future__ import annotations
 
 import datetime
 
-from pyspark.sql import functions as F
-
 from xboard_spark.ingest import scd2_history
-from xboard_spark.operators import dedup, events, tpch
+from xboard_spark.operators import dedup, events, profiling, tpch
 
 
 def _mkdocs(spark, rows):
@@ -148,3 +146,38 @@ def test_scd2_history_filter_pushdown(spark, sf_dir):
     )
     # the entity filter must reach the parquet scan
     assert "PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,20)]" in plan
+
+
+def test_table_profile_planted(spark):
+    df = spark.createDataFrame(
+        [(1, None, 2.345), (2, "b", 10.0), (3, "b", None), (10, "a", 1.5)],
+        "k long, s string, v double",
+    )
+    out = {r.col_name: r for r in profiling.table_profile(df).collect()}
+    assert set(out) == {"k", "s", "v"}
+    assert all(r.n_rows == 4 for r in out.values())
+    assert (out["s"].n_nulls, out["s"].n_distinct) == (1, 2)
+    # min/max aggregate on the VALUE, not the string form: 10 > 9 ordering
+    assert (out["k"].min_repr, out["k"].max_repr) == ("1", "10")
+    assert (out["v"].min_repr, out["v"].max_repr) == ("1.5", "10.0")
+    assert out["v"].n_nulls == 1
+
+
+def test_decayed_engagement_halflife(spark):
+    d = datetime.datetime.fromisoformat
+    ev = spark.createDataFrame(
+        [
+            # user 1: one event at the anchor (weight 1), one exactly one
+            # half-life old (weight 0.5)
+            (1, d("2024-01-08 00:00:00"), 8.0),
+            (1, d("2024-01-01 00:00:00"), 8.0),
+            # user 2: only the stale event
+            (2, d("2024-01-01 00:00:00"), 4.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {r.user_id: r for r in events.decayed_engagement(ev).collect()}
+    assert abs(out[1].decayed_value - (8.0 + 4.0)) < 1e-6
+    assert abs(out[2].decayed_value - 2.0) < 1e-6
+    assert out[1].n_events == 2
+    assert out[1].last_seen == d("2024-01-08 00:00:00")

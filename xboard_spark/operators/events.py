@@ -425,3 +425,34 @@ def value_outliers(events: DataFrame, z: float = 3.0) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def decayed_engagement(events: DataFrame, half_life_days: float = 7.0) -> DataFrame:
+    """Recency-weighted per-user engagement: sum of event values under
+    exponential time decay with a ``half_life_days`` half-life, anchored
+    at the corpus max event time — the standard feature-engineering shape
+    for "recent activity matters more" ranking/retention features (an
+    event ``half_life_days`` old counts half, twice that a quarter, ...).
+
+    Scale shape: the anchor is a 1-row aggregate broadcast onto the
+    stream (no window over everything), then ONE partial/final hash
+    aggregate per user — same plan as ``user_rollup`` plus a scalar
+    multiply. Float discipline: the decay factor is pow(0.5, age_days /
+    half_life) computed identically in both engines and the decayed sum
+    is 6dp-rounded (engine summation order differs at ~1e-12 relative;
+    see value_outliers)."""
+    anchor = events.agg(F.max("ts").alias("t_max"))
+    age_days = (
+        F.unix_micros(F.col("t_max")) - F.unix_micros(F.col("ts"))
+    ).cast("double") / F.lit(86400.0 * 1_000_000.0)
+    decayed = F.col("value") * F.pow(F.lit(0.5), age_days / F.lit(half_life_days))
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(decayed), 6).alias("decayed_value"),
+            F.max("ts").alias("last_seen"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,68 @@
+"""Data-profiling operator: the per-column quality panel (row/null/distinct
+counts, min/max) every ingestion pipeline runs before trusting a new drop
+of data — the engine-side analog of the reference's implicit trust in
+Postgres column constraints (``migrations/init.sql`` declares NOT NULL /
+UNIQUE; a lake has to MEASURE instead of declare).
+
+Scale notes: one scan computes every per-column aggregate in a single
+partial/final hash aggregate (no per-column passes); the unpivot to
+row-per-column happens on the 1-row aggregate result, so nothing but the
+scan touches data. Exact ``count(distinct)`` per column is the oracle-
+comparable choice here; at 100 TB swap in ``approx_count_distinct`` (the
+sketch is mergeable map-side, same plan shape) — exactness of the distinct
+count is the only piece that changes.
+
+Cross-engine value formatting: min/max are emitted as STRINGS via the
+narrowest portable representation per type (longs/strings/timestamps cast
+directly; doubles are 2dp-rounded before the cast so Java's
+``Double.toString`` and DuckDB's float formatting agree)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_repr(agg, dtype: T.DataType):
+    """Portable string form of an aggregated min/max VALUE (aggregate on
+    the typed value — a lexicographic min over string forms would order
+    '10' < '9' — then format)."""
+    if isinstance(dtype, T.DoubleType):
+        return F.round(agg, 2).cast("string")
+    return agg.cast("string")
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One row per column: n_rows, n_nulls, n_distinct (exact), min/max
+    (portable string representation). Single-scan, single aggregate."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = columns or list(fields)
+    aggs = [F.count("*").alias("_n_rows")]
+    for name in cols:
+        c = F.col(name)
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"_nulls_{name}"),
+            F.count_distinct(c).alias(f"_nd_{name}"),
+            _as_repr(F.min(c), fields[name]).alias(f"_min_{name}"),
+            _as_repr(F.max(c), fields[name]).alias(f"_max_{name}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col("_n_rows").alias("n_rows"),
+                F.col(f"_nulls_{name}").cast("long").alias("n_nulls"),
+                F.col(f"_nd_{name}").cast("long").alias("n_distinct"),
+                F.col(f"_min_{name}").alias("min_repr"),
+                F.col(f"_max_{name}").alias("max_repr"),
+            )
+            for name in cols
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )

@@ -1349,6 +1349,33 @@ SELECT e.event_type, st.n_events, st.mean_value, st.std_value,
                 THEN 1 ELSE 0 END)::BIGINT AS n_outliers
 FROM events e JOIN stats st USING (event_type)
 GROUP BY 1, 2, 3, 4 ORDER BY 1""",
+        "table_profile": "\nUNION ALL\n".join(
+            f"""
+SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       {f"round(min({c}), 2)::VARCHAR" if c == "o_totalprice" else f"min({c})::VARCHAR"} AS min_repr,
+       {f"round(max({c}), 2)::VARCHAR" if c == "o_totalprice" else f"max({c})::VARCHAR"} AS max_repr
+FROM orders"""
+            for c in sorted(
+                [
+                    "o_orderkey",
+                    "o_custkey",
+                    "o_orderstatus",
+                    "o_totalprice",
+                    "o_orderdate",
+                    "o_orderpriority",
+                ]
+            )
+        ),
+        "decayed_engagement": f"""
+WITH anchor AS (SELECT max({EVENTS_TS}) AS t_max FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(sum(value * pow(0.5,
+         ((epoch_us(t_max) - epoch_us({EVENTS_TS}))::DOUBLE
+          / 86400000000.0) / 7.0)), 6) AS decayed_value,
+       max({EVENTS_TS}) AS last_seen
+FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "scd2_history": """
 SELECT o_custkey,
        row_number() OVER w::BIGINT AS version,
