@@ -23,6 +23,7 @@ from xboard_spark.operators import (
     curation,
     dedup,
     events,
+    linkage,
     profiling,
     sampling,
     similarity,
@@ -53,7 +54,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # similarity/temporal/window families) come first, then the 8 queries whose
 # behavior changed THIS round (the NTZ-fixed events/temporal family, the
 # oracle-aligned doc_stats/repetition_stats, the tightened pii_scan, the
-# max_iters=8 dedup_clusters), then everything green-and-untouched in
+# max_iters=8 dedup_clusters), then the 9 queries NEW this round (need
+# first driver rows), then everything green-and-untouched in
 # CORRECTNESS_r03.json. After this round every registered query has a
 # driver row dated round 3 or 4.
 _ROUND4_FIRST = [
@@ -72,6 +74,7 @@ _ROUND4_FIRST = [
     # -- new in round 4: need first driver rows --
     "knn_label_vote", "boilerplate_ngrams", "dup_span_stats", "basket_pairs",
     "value_outliers", "scd2_history", "table_profile", "decayed_engagement",
+    "salted_event_rollup", "fuzzy_customer_pairs", "value_drift_psi",
 ]
 
 
@@ -124,6 +127,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "orders")
         ),
         "decayed_engagement": lambda s, d: events.decayed_engagement(
+            _t(s, d, "events")
+        ),
+        "salted_event_rollup": lambda s, d: events.salted_event_rollup(
+            _t(s, d, "events")
+        ),
+        "fuzzy_customer_pairs": lambda s, d: linkage.fuzzy_customer_pairs(
+            _t(s, d, "customer")
+        ),
+        "value_drift_psi": lambda s, d: profiling.value_drift_psi(
             _t(s, d, "events")
         ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---

@@ -181,3 +181,60 @@ def test_decayed_engagement_halflife(spark):
     assert abs(out[2].decayed_value - 2.0) < 1e-6
     assert out[1].n_events == 2
     assert out[1].last_seen == d("2024-01-08 00:00:00")
+
+
+def test_fuzzy_customer_pairs_blocking_and_distance(spark):
+    from xboard_spark.operators import linkage
+
+    cust = spark.createDataFrame(
+        [
+            # same nation, 1 edit apart -> pair
+            (1, "Customer#0001", 5),
+            (2, "Customer#0002", 5),
+            # same name-distance but DIFFERENT nation -> blocked out
+            (3, "Customer#0003", 6),
+            # same nation but 4 edits away -> above threshold
+            (4, "Zustomer#9999", 5),
+        ],
+        "c_custkey long, c_name string, c_nationkey int",
+    )
+    rows = linkage.fuzzy_customer_pairs(cust, max_dist=1).collect()
+    assert [(r.custkey_a, r.custkey_b, r.name_dist) for r in rows] == [
+        (1, 2, 1)
+    ]
+
+
+def test_value_drift_psi_planted_shift(spark):
+    d = datetime.datetime.fromisoformat
+    # early half: all values low; late half: all values high -> two
+    # buckets, each present in only ONE half -> no finite PSI terms emitted
+    rows = [(d("2024-01-01 00:00:00"), 1.0)] * 10 + [
+        (d("2024-01-31 00:00:00"), 100.0)
+    ] * 10
+    ev = spark.createDataFrame(rows, "ts timestamp, value double")
+    assert profiling.value_drift_psi(ev).collect() == []
+    # identical halves -> every bucket balanced -> psi terms all 0
+    rows = [
+        (d("2024-01-01 00:00:00"), float(v)) for v in (1, 2, 3)
+    ] + [(d("2024-01-31 00:00:00"), float(v)) for v in (1, 2, 3)]
+    ev = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = profiling.value_drift_psi(ev).collect()
+    assert len(out) > 0
+    assert all(r.psi_term == 0.0 for r in out)
+    assert all(r.n_early == r.n_late for r in out)
+
+
+def test_value_drift_psi_detects_partial_shift(spark):
+    d = datetime.datetime.fromisoformat
+    # both halves occupy both buckets but with different shares -> nonzero
+    # positive total PSI
+    rows = [(d("2024-01-01 00:00:00"), 0.0)] * 8 + [
+        (d("2024-01-01 00:00:00"), 10.0)
+    ] * 2
+    rows += [(d("2024-01-31 00:00:00"), 0.0)] * 2 + [
+        (d("2024-01-31 00:00:00"), 10.0)
+    ] * 8
+    ev = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = profiling.value_drift_psi(ev).collect()
+    total = sum(r.psi_term for r in out)
+    assert total > 0.2  # textbook "significant shift" territory

@@ -456,3 +456,37 @@ def decayed_engagement(events: DataFrame, half_life_days: float = 7.0) -> DataFr
         )
         .orderBy("user_id")
     )
+
+
+def salted_event_rollup(events: DataFrame) -> DataFrame:
+    """Per-event-type rollup computed through the two-phase SALTED
+    aggregation combinator (``skew.salted_agg``) — event_type is the
+    textbook hot-key axis (a handful of keys over the whole stream; at
+    100 TB one key can exceed a single reducer). Registering this under
+    the driver's oracle gate proves the salted plan is RESULT-IDENTICAL
+    to the plain ``GROUP BY`` the oracle runs: the salt splits only the
+    partial phase and never leaks into the result.
+
+    Float discipline: the re-combined double sum associates differently
+    than a single-phase sum (16 partials vs one stream), so the value sum
+    is 6dp-rounded on both sides — same tolerance every aggregated double
+    in this repo carries."""
+    from xboard_spark.operators.skew import salted_agg
+
+    out = salted_agg(
+        events,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("event_id", "count"),
+            "sum_value": ("value", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("event_type")

@@ -66,3 +66,67 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         .select("p.*")
         .orderBy("col_name")
     )
+
+
+def value_drift_psi(events: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Population-stability-index (PSI) drift panel over ``events.value``:
+    split the stream at the midpoint of its time range, histogram both
+    halves over IDENTICAL fixed-width buckets, and report each bucket's
+    PSI term ((p - q) * ln(p / q)) — the standard production check that a
+    metric's distribution hasn't shifted between two windows (rule of
+    thumb: total PSI > 0.2 = investigate). Summing ``psi_term`` gives the
+    headline PSI; per-bucket rows localize WHERE the shift happened.
+
+    Scale shape: one 1-row aggregate for the global extremes (broadcast),
+    one pass to bucket-count — two scans total, no shuffle wider than
+    (half, bucket). Cross-engine float safety: bucket edges derive from
+    exact min/max (no summation-order sensitivity), shares p/q are exact-
+    int divisions, and ln() last-ulp differences are absorbed by the 6dp
+    round on the term. Buckets empty in EITHER half contribute no row
+    (ln undefined) — the standard PSI epsilon-free convention, and
+    deterministic."""
+    ev = events.filter(F.col("value").isNotNull())
+    bounds = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.min(F.unix_micros("ts")).alias("tmin"),
+        F.max(F.unix_micros("ts")).alias("tmax"),
+    )
+    withb = ev.crossJoin(F.broadcast(bounds))
+    t_mid = (F.col("tmin") + F.col("tmax")) / F.lit(2.0)
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_buckets))
+    bucket = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("vmin")) / width),
+            F.lit(n_buckets - 1),
+        )
+    )
+    half = F.when(F.unix_micros("ts") < t_mid, "early").otherwise("late")
+    counts = (
+        withb.select(bucket.cast("long").alias("bucket"), half.alias("half"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("half") == "early", 1).otherwise(0)).alias(
+                "n_early"
+            ),
+            F.sum(F.when(F.col("half") == "late", 1).otherwise(0)).alias(
+                "n_late"
+            ),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_early").alias("tot_early"), F.sum("n_late").alias("tot_late")
+    )
+    p = F.col("n_early").cast("double") / F.col("tot_early")
+    q = F.col("n_late").cast("double") / F.col("tot_late")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .filter((F.col("n_early") > 0) & (F.col("n_late") > 0))
+        .select(
+            "bucket",
+            F.col("n_early").cast("long").alias("n_early"),
+            F.col("n_late").cast("long").alias("n_late"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

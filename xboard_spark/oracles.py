@@ -1376,6 +1376,51 @@ SELECT user_id, count(*)::BIGINT AS n_events,
           / 86400000000.0) / 7.0)), 6) AS decayed_value,
        max({EVENTS_TS}) AS last_seen
 FROM events, anchor GROUP BY 1 ORDER BY 1""",
+        "fuzzy_customer_pairs": """
+SELECT a.c_nationkey::BIGINT AS nationkey, a.c_custkey AS custkey_a,
+       b.c_custkey AS custkey_b,
+       levenshtein(a.c_name, b.c_name)::BIGINT AS name_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY custkey_a, custkey_b""",
+        "value_drift_psi": f"""
+WITH ev AS (
+  SELECT value, epoch_us({EVENTS_TS}) AS tus FROM events
+  WHERE value IS NOT NULL
+),
+bounds AS (
+  SELECT min(value) AS vmin, max(value) AS vmax,
+         min(tus) AS tmin, max(tus) AS tmax FROM ev
+),
+tagged AS (
+  SELECT CASE WHEN vmax = vmin THEN 0
+              ELSE least(floor((value - vmin) / ((vmax - vmin) / 10.0)), 9)
+         END::BIGINT AS bucket,
+         CASE WHEN tus < (tmin + tmax) / 2.0 THEN 'early' ELSE 'late' END
+           AS half
+  FROM ev, bounds
+),
+counts AS (
+  SELECT bucket,
+         sum(CASE WHEN half = 'early' THEN 1 ELSE 0 END)::BIGINT AS n_early,
+         sum(CASE WHEN half = 'late' THEN 1 ELSE 0 END)::BIGINT AS n_late
+  FROM tagged GROUP BY 1
+),
+totals AS (
+  SELECT sum(n_early) AS tot_early, sum(n_late) AS tot_late FROM counts
+)
+SELECT bucket, n_early, n_late,
+       round((n_early::DOUBLE / tot_early - n_late::DOUBLE / tot_late)
+             * ln((n_early::DOUBLE / tot_early)
+                  / (n_late::DOUBLE / tot_late)), 6) AS psi_term
+FROM counts, totals
+WHERE n_early > 0 AND n_late > 0 ORDER BY bucket""",
+        "salted_event_rollup": """
+SELECT event_type, count(event_id)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1 ORDER BY 1""",
         "scd2_history": """
 SELECT o_custkey,
        row_number() OVER w::BIGINT AS version,
