@@ -23,6 +23,7 @@ from xboard_spark.operators import (
     curation,
     dedup,
     events,
+    incremental,
     linkage,
     profiling,
     sampling,
@@ -75,6 +76,7 @@ _ROUND4_FIRST = [
     "knn_label_vote", "boilerplate_ngrams", "dup_span_stats", "basket_pairs",
     "value_outliers", "scd2_history", "table_profile", "decayed_engagement",
     "salted_event_rollup", "fuzzy_customer_pairs", "value_drift_psi",
+    "incremental_daily_rollup", "orders_cdc_summary",
 ]
 
 
@@ -137,6 +139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "value_drift_psi": lambda s, d: profiling.value_drift_psi(
             _t(s, d, "events")
+        ),
+        "incremental_daily_rollup": lambda s, d: (
+            incremental.incremental_daily_rollup(_t(s, d, "orders"))
+        ),
+        "orders_cdc_summary": lambda s, d: incremental.orders_cdc_summary(
+            _t(s, d, "orders")
         ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(

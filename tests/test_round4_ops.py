@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import datetime
 
+from pyspark.sql import functions as F
+
 from xboard_spark.ingest import scd2_history
 from xboard_spark.operators import dedup, events, profiling, tpch
 
@@ -238,3 +240,64 @@ def test_value_drift_psi_detects_partial_shift(spark):
     out = profiling.value_drift_psi(ev).collect()
     total = sum(r.psi_term for r in out)
     assert total > 0.2  # textbook "significant shift" territory
+
+
+def test_incremental_rollup_equals_recompute(spark, sf_dir):
+    from xboard_spark.io import read_table
+    from xboard_spark.operators import incremental
+
+    orders = read_table(spark, sf_dir, "orders")
+    inc = incremental.incremental_daily_rollup(orders).collect()
+    full = (
+        orders.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            F.count("*").cast("long").alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("order_date")
+        .collect()
+    )
+    assert [(r.order_date, r.order_count) for r in inc] == [
+        (r.order_date, r.order_count) for r in full
+    ]
+    for a, b in zip(inc, full):
+        assert abs(a.revenue - b.revenue) < 1e-6
+
+
+def test_cdc_diff_classification(spark):
+    from xboard_spark.operators.incremental import cdc_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, "d")],
+        "k long, price double, tag string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),   # unchanged
+            (2, 25.0, "b"),   # updated (price)
+            (3, None, "zz"),  # updated (tag; NULL==NULL must not mask it)
+            (5, 50.0, "e"),   # inserted; 4 deleted
+        ],
+        "k long, price double, tag string",
+    )
+    out = {
+        r.k: r.change
+        for r in cdc_diff(old, new, "k", ["price", "tag"]).collect()
+    }
+    assert out == {
+        1: "unchanged",
+        2: "updated",
+        3: "updated",
+        4: "deleted",
+        5: "inserted",
+    }
+
+
+def test_cdc_diff_null_equal_is_unchanged(spark):
+    from xboard_spark.operators.incremental import cdc_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, price double")
+    new = spark.createDataFrame([(1, None)], "k long, price double")
+    assert cdc_diff(old, new, "k", ["price"]).collect()[0].change == (
+        "unchanged"
+    )

@@ -1,0 +1,127 @@
+"""Incremental-maintenance operators: the lakehouse patterns that keep
+derived tables fresh WITHOUT full recomputes — partial-aggregate merge
+(materialized-rollup maintenance) and snapshot diff (CDC classification).
+
+The reference's Postgres world gets both implicitly (every upsert row
+updates indexes/aggreg-on-read immediately, ``dataIngestion.js:32-63``);
+at 100 TB a derived table is recomputed incrementally or not at all, so
+these are first-class operators here. Both are registered under the
+oracle gate with FULL-RECOMPUTE oracles — the driver literally verifies
+"incremental == recompute", which is the whole correctness contract of
+incremental maintenance."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def incremental_daily_rollup(
+    orders: DataFrame, cutoff: str = "1997-01-01"
+) -> DataFrame:
+    """Daily order rollup maintained INCREMENTALLY: the pre-``cutoff``
+    slice plays the persisted rollup table (built yesterday), the
+    post-``cutoff`` slice is the newly-arrived delta; the delta's partial
+    aggregates merge into the stored partials without re-reading history.
+    This works because count/sum are ALGEBRAIC (partials re-combine:
+    count += count, sum += sum) — the same property Spark's own
+    partial/final HashAggregate exploits map-side, lifted to cross-batch
+    maintenance (the ``foreachBatch`` silver-rollup pattern in
+    ``streaming/webhook.py``, expressed as a verifiable batch op).
+
+    Scale: history is touched only through its (tiny) stored partials —
+    per-day rows, not per-order; the delta pays one scan + one shuffle on
+    the group key. The oracle recomputes the rollup FROM SCRATCH over all
+    orders — the gate proves incremental == recompute. The revenue merge
+    re-associates double addition (partial + partial vs one stream), so
+    the output carries the repo-standard 2dp round the full-recompute
+    side also emits."""
+    day = F.to_date("o_orderdate").alias("order_date")
+    base_partials = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .groupBy(day)
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum("o_totalprice").alias("revenue"),
+        )
+    )
+    delta_partials = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy(day)
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum("o_totalprice").alias("revenue"),
+        )
+    )
+    return (
+        base_partials.unionByName(delta_partials)
+        .groupBy("order_date")
+        .agg(
+            F.sum("order_count").cast("long").alias("order_count"),
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+        )
+        .orderBy("order_date")
+    )
+
+
+def cdc_diff(
+    old: DataFrame, new: DataFrame, key: str, compare_cols: list[str]
+) -> DataFrame:
+    """Snapshot diff / CDC classification: full outer join two snapshots
+    on the business key and tag each key ``inserted`` / ``deleted`` /
+    ``updated`` / ``unchanged`` — the change feed a downstream consumer
+    needs when the source can only deliver full snapshots (the common
+    worst case for SaaS exports like the reference's Shopify pulls).
+
+    One shuffle keyed on the business key (co-partitioned full outer
+    join); the comparison is a null-safe equality over ``compare_cols``
+    (``eqNullSafe`` — NULL == NULL is 'unchanged', NULL vs value is a
+    real update), all JVM-side."""
+    o = old.select(
+        F.col(key).alias("_k"), *[F.col(c).alias(f"_o_{c}") for c in compare_cols]
+    )
+    n = new.select(
+        F.col(key).alias("_k"), *[F.col(c).alias(f"_n_{c}") for c in compare_cols]
+    )
+    joined = o.withColumn("_in_old", F.lit(True)).join(
+        n.withColumn("_in_new", F.lit(True)), "_k", "full_outer"
+    )
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("_in_old").isNull(), "inserted")
+        .when(F.col("_in_new").isNull(), "deleted")
+        .when(same, "unchanged")
+        .otherwise("updated")
+    )
+    return joined.select(F.col("_k").alias(key), change.alias("change"))
+
+
+def orders_cdc_summary(orders: DataFrame) -> DataFrame:
+    """Oracle-checkable CDC demo on the testdata ``orders`` table: the
+    "new snapshot" re-prices every 100th order (same synthetic update
+    batch as ``ingest.orders_upsert_demo``), drops keys ending in 97
+    (deletions), and adds high-key clones (insertions); the diff is then
+    summarized per change class."""
+    updates = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 100 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    new = updates.filter(F.col("o_orderkey") % 100 != 97).unionByName(
+        orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+        ).filter(F.col("o_orderkey") % 100 == 50)
+    )
+    diff = cdc_diff(
+        orders, new, key="o_orderkey", compare_cols=["o_totalprice"]
+    )
+    return (
+        diff.groupBy("change")
+        .agg(F.count("*").alias("n_keys"))
+        .orderBy("change")
+    )

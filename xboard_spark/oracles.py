@@ -1376,6 +1376,33 @@ SELECT user_id, count(*)::BIGINT AS n_events,
           / 86400000000.0) / 7.0)), 6) AS decayed_value,
        max({EVENTS_TS}) AS last_seen
 FROM events, anchor GROUP BY 1 ORDER BY 1""",
+        # full-recompute oracle for the INCREMENTAL rollup — the gate
+        # verifies incremental-merge == recompute, the maintenance contract
+        "incremental_daily_rollup": """
+SELECT CAST(o_orderdate AS DATE) AS order_date,
+       count(*)::BIGINT AS order_count,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1 ORDER BY 1""",
+        "orders_cdc_summary": """
+WITH old_snap AS (SELECT o_orderkey, o_totalprice FROM orders),
+new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 100 = 0 THEN round(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 100 <> 97
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice FROM orders
+  WHERE o_orderkey % 100 = 50
+),
+j AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+              WHEN n.o_orderkey IS NULL THEN 'deleted'
+              WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                THEN 'unchanged'
+              ELSE 'updated' END AS change
+  FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+)
+SELECT change, count(*)::BIGINT AS n_keys FROM j GROUP BY 1 ORDER BY 1""",
         "fuzzy_customer_pairs": """
 SELECT a.c_nationkey::BIGINT AS nationkey, a.c_custkey AS custkey_a,
        b.c_custkey AS custkey_b,
