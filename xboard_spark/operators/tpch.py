@@ -327,7 +327,14 @@ def basket_pairs(lineitem: DataFrame, top: int = 20) -> DataFrame:
     plans TakeOrderedAndProject (distributed top-k, no global sort). A
     hot-key guard at 100 TB: cap basket size (baskets above ~1k items are
     bots/ETL noise and contribute k^2 pairs each) — here TPC-H bounds it
-    structurally."""
+    structurally.
+
+    Measured alternative: a single-scan form (collect_set per order ->
+    higher-order-function pair expansion) halves the scans but ran 9%
+    SLOWER at sf0.1 (1.35s vs 1.24s min-of-3) because the pair expansion
+    is interpreted while the self-join stays in whole-stage codegen; at
+    scan-dominated extreme scale the aggregate form wins — flip when the
+    scan is the bottleneck."""
     op = lineitem.select("l_orderkey", "l_partkey").distinct()
     a = op.alias("a")
     b = op.alias("b")
