@@ -76,7 +76,7 @@ _ROUND4_FIRST = [
     "knn_label_vote", "boilerplate_ngrams", "dup_span_stats", "basket_pairs",
     "value_outliers", "scd2_history", "table_profile", "decayed_engagement",
     "salted_event_rollup", "fuzzy_customer_pairs", "value_drift_psi",
-    "incremental_daily_rollup", "orders_cdc_summary",
+    "incremental_daily_rollup", "orders_cdc_summary", "event_transitions",
 ]
 
 
@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "orders_cdc_summary": lambda s, d: incremental.orders_cdc_summary(
             _t(s, d, "orders")
+        ),
+        "event_transitions": lambda s, d: events.event_transitions(
+            _t(s, d, "events")
         ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(

@@ -301,3 +301,28 @@ def test_cdc_diff_null_equal_is_unchanged(spark):
     assert cdc_diff(old, new, "k", ["price"]).collect()[0].change == (
         "unchanged"
     )
+
+
+def test_event_transitions_planted(spark):
+    d = datetime.datetime.fromisoformat
+    ev = spark.createDataFrame(
+        [
+            # user 1: view -> view -> purchase
+            (1, 1, d("2024-01-01 00:00:00"), "view"),
+            (2, 1, d("2024-01-01 00:01:00"), "view"),
+            (3, 1, d("2024-01-01 00:02:00"), "purchase"),
+            # user 2: view -> purchase (streams never cross users)
+            (4, 2, d("2024-01-01 00:00:00"), "view"),
+            (5, 2, d("2024-01-01 00:01:00"), "purchase"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    rows = events.event_transitions(ev).collect()
+    got = {(r.from_type, r.to_type): r for r in rows}
+    assert got[("_start", "view")].n_transitions == 2
+    assert got[("view", "view")].n_transitions == 1
+    assert got[("view", "purchase")].n_transitions == 2
+    assert ("purchase", "view") not in got  # no cross-user transition
+    # probabilities normalize per from-state
+    assert got[("_start", "view")].p_transition == 1.0
+    assert abs(got[("view", "purchase")].p_transition - 2 / 3) < 1e-6

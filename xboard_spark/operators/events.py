@@ -490,3 +490,41 @@ def salted_event_rollup(events: DataFrame) -> DataFrame:
         "min_value",
         "max_value",
     ).orderBy("event_type")
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts over each user's event stream:
+    how often event type A is immediately followed by type B (plus
+    '_start' pseudo-state for each user's first event) — the
+    next-event-prediction / funnel-discovery primitive (funnel_conversion
+    checks ONE hypothesized path; this surfaces which paths exist, with
+    empirical transition probabilities).
+
+    Scale shape: one shuffle for the per-user ordered window (keyed on
+    user_id, same exchange shape as sessionize), then a (from, to) hash
+    aggregate whose cardinality is |event types|^2 — tiny forever. The
+    probability is a windowed exact-int division: count(from->to) /
+    count(from->*), 6dp-rounded on both engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = events.select(
+        F.coalesce(F.lag("event_type").over(w), F.lit("_start")).alias(
+            "from_type"
+        ),
+        F.col("event_type").alias("to_type"),
+    )
+    counts = trans.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_type")
+    return (
+        counts.withColumn(
+            "p_transition",
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(w_from),
+                6,
+            ),
+        )
+        .select("from_type", "to_type", "n_transitions", "p_transition")
+        .orderBy("from_type", "to_type")
+    )

@@ -1376,6 +1376,24 @@ SELECT user_id, count(*)::BIGINT AS n_events,
           / 86400000000.0) / 7.0)), 6) AS decayed_value,
        max({EVENTS_TS}) AS last_seen
 FROM events, anchor GROUP BY 1 ORDER BY 1""",
+        "event_transitions": f"""
+WITH trans AS (
+  SELECT coalesce(
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY {EVENTS_TS}, event_id),
+           '_start') AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+  FROM trans GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       round(n_transitions::DOUBLE
+             / sum(n_transitions) OVER (PARTITION BY from_type), 6)
+         AS p_transition
+FROM counts ORDER BY from_type, to_type""",
         # full-recompute oracle for the INCREMENTAL rollup — the gate
         # verifies incremental-merge == recompute, the maintenance contract
         "incremental_daily_rollup": """
