@@ -326,3 +326,33 @@ def test_event_transitions_planted(spark):
     # probabilities normalize per from-state
     assert got[("_start", "view")].p_transition == 1.0
     assert abs(got[("view", "purchase")].p_transition - 2 / 3) < 1e-6
+
+
+def test_fuzzy_pairs_symspell_equals_quadratic(spark, sf_dir):
+    """The deletion-neighborhood candidate generator must be COMPLETE for
+    edit distance <= 1: its output must equal the exhaustive per-nation
+    quadratic on real data (including insert/delete length-change pairs,
+    not just substitutions)."""
+    from xboard_spark.io import read_table
+    from xboard_spark.operators import linkage
+
+    cust = read_table(spark, sf_dir, "customer")
+    # add a planted length-change near-dup (deletion case)
+    extra = spark.createDataFrame(
+        [(990001, "Customer#00000001", 13)],  # one char shorter than 8-digit form
+        "c_custkey long, c_name string, c_nationkey int",
+    )
+    cust = cust.select("c_custkey", "c_name", "c_nationkey").unionByName(extra)
+    fast = [
+        (r.custkey_a, r.custkey_b, r.name_dist)
+        for r in linkage.fuzzy_customer_pairs(cust, max_dist=1).collect()
+    ]
+    # quadratic reference path (max_dist=2 then filter to 1 keeps the
+    # fallback branch honest too)
+    slow = [
+        (r.custkey_a, r.custkey_b, r.name_dist)
+        for r in linkage.fuzzy_customer_pairs(cust, max_dist=2).collect()
+        if r.name_dist <= 1
+    ]
+    assert fast == slow
+    assert len(fast) > 0

@@ -7,14 +7,25 @@ records instead.
 
 Method (Fellegi-Sunter-style pipeline, reduced to its scalable core):
 blocking first — records only ever compare within a block, so the
-pairwise cost is sum(block_size^2), never |table|^2 (the same bound the
-shingle/LSH dedup operators enforce; blocking keys play the role of LSH
-buckets) — then an exact pairwise similarity (Levenshtein edit distance,
-a built-in JVM expression in Spark AND DuckDB with identical classic
-semantics, so the operator stays oracle-checkable) inside each block.
-At 100 TB: pick blocking keys with bounded block sizes (phonetic codes,
-sorted-neighborhood windows, LSH over name shingles) and add a hot-block
-cap exactly like the stop-shingle df cap in ``dedup.filtered_index``."""
+pairwise cost is sum(block_size^2), never |table|^2 — then an exact
+pairwise similarity (Levenshtein edit distance, a built-in JVM expression
+in Spark AND DuckDB with identical classic semantics, so the operator
+stays oracle-checkable) inside each block.
+
+Blocking key choice is THE scale lever, and it was measured here: nation
+alone (25 blocks) left ~600-row blocks at sf0.1 — 4.5M Levenshtein
+evaluations, 55s. The default path now blocks on the DELETION
+NEIGHBORHOOD (SymSpell / Garbe's symmetric-delete idea, also FastSS,
+Bocek et al. 2007): every name emits itself plus each single-character
+deletion; two strings within edit distance 1 ALWAYS share a neighborhood
+element (substitution -> delete the differing position from both;
+indel -> the deletion of the longer IS the shorter), so the
+neighborhood join is a complete, exact candidate generator for
+max_dist=1 — same 55s workload: 2.5s, identical output. Candidates
+per bucket are the
+handful of true near-matches, so cost is O(rows * name_len) variants +
+near-linear join, not sum(block^2). Verification stays the exact
+Levenshtein filter, so false candidates cost nothing but the probe."""
 
 from __future__ import annotations
 
@@ -22,28 +33,77 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def fuzzy_customer_pairs(customer: DataFrame, max_dist: int = 1) -> DataFrame:
-    """Near-duplicate customer pairs: same nation (blocking key), name
-    edit distance <= ``max_dist``. One shuffle keys both self-join sides
-    on the blocking key; the quadratic is per-block only."""
-    probe = customer.select("c_custkey", "c_name", "c_nationkey")
-    a = probe.alias("a")
-    b = probe.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .withColumn(
-            "name_dist", F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-        )
-        .filter(F.col("name_dist") <= max_dist)
-        .select(
-            F.col("a.c_nationkey").cast("long").alias("nationkey"),
-            F.col("a.c_custkey").alias("custkey_a"),
-            F.col("b.c_custkey").alias("custkey_b"),
-            F.col("name_dist").cast("long").alias("name_dist"),
-        )
-        .orderBy("custkey_a", "custkey_b")
+def _deletion_neighborhood(name_col: str) -> F.Column:
+    """{name} ∪ {name with position i removed}: the symmetric-delete
+    candidate key set for edit distance <= 1. The producing column must be
+    a bound attribute (see shingle_fps) so the HOF lambda stays cheap."""
+    n = F.col(name_col)
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(n)),
+        lambda i: F.concat(
+            n.substr(F.lit(1), i - 1), n.substr(i + 1, F.length(n))
+        ),
     )
+    return F.array_distinct(F.concat(F.array(n), deletions))
+
+
+def fuzzy_customer_pairs(customer: DataFrame, max_dist: int = 1) -> DataFrame:
+    """Near-duplicate customer pairs: same nation AND name edit distance
+    <= ``max_dist``. For ``max_dist == 1`` (the default) candidates come
+    from the deletion-neighborhood join (exact — see module docstring);
+    larger distances fall back to the per-nation quadratic with its
+    documented sum(block^2) cost."""
+    probe = customer.select("c_custkey", "c_name", "c_nationkey")
+    if max_dist == 1:
+        variants = probe.select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.explode(_deletion_neighborhood("c_name")).alias("v"),
+        )
+        a = variants.alias("a")
+        b = variants.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+                & (F.col("a.v") == F.col("b.v"))
+                & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+            )
+            .select(
+                F.col("a.c_nationkey").alias("nationkey"),
+                F.col("a.c_custkey").alias("custkey_a"),
+                F.col("b.c_custkey").alias("custkey_b"),
+                F.col("a.c_name").alias("name_a"),
+                F.col("b.c_name").alias("name_b"),
+            )
+            .distinct()
+        )
+        pairs = cand.withColumn(
+            "name_dist", F.levenshtein("name_a", "name_b")
+        ).filter(F.col("name_dist") <= 1)
+    else:
+        a = probe.alias("a")
+        b = probe.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+                & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+            )
+            .select(
+                F.col("a.c_nationkey").alias("nationkey"),
+                F.col("a.c_custkey").alias("custkey_a"),
+                F.col("b.c_custkey").alias("custkey_b"),
+                F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias(
+                    "name_dist"
+                ),
+            )
+            .filter(F.col("name_dist") <= max_dist)
+        )
+    return pairs.select(
+        F.col("nationkey").cast("long").alias("nationkey"),
+        "custkey_a",
+        "custkey_b",
+        F.col("name_dist").cast("long").alias("name_dist"),
+    ).orderBy("custkey_a", "custkey_b")
