@@ -77,6 +77,7 @@ _ROUND4_FIRST = [
     "value_outliers", "scd2_history", "table_profile", "decayed_engagement",
     "salted_event_rollup", "fuzzy_customer_pairs", "value_drift_psi",
     "incremental_daily_rollup", "orders_cdc_summary", "event_transitions",
+    "value_equidepth",
 ]
 
 
@@ -147,6 +148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "orders")
         ),
         "event_transitions": lambda s, d: events.event_transitions(
+            _t(s, d, "events")
+        ),
+        "value_equidepth": lambda s, d: window_ops.value_equidepth(
             _t(s, d, "events")
         ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---

@@ -356,3 +356,19 @@ def test_fuzzy_pairs_symspell_equals_quadratic(spark, sf_dir):
     ]
     assert fast == slow
     assert len(fast) > 0
+
+
+def test_value_equidepth_balanced_buckets(spark):
+    from xboard_spark.operators import window_ops
+
+    ev = spark.createDataFrame(
+        [(i, float(i * i)) for i in range(23)] + [(99, None)],
+        "event_id long, value double",
+    )
+    rows = window_ops.value_equidepth(ev, n_buckets=5).collect()
+    # 23 non-null rows over 5 buckets: first 3 buckets get 5, last 2 get 4
+    assert [r.n_events for r in rows] == [5, 5, 5, 4, 4]
+    # buckets are contiguous, ordered ranges
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+    assert rows[0].lo == 0.0 and rows[-1].hi == 484.0

@@ -381,3 +381,33 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("r_tile", "f_tile", "m_tile")
     )
+
+
+def value_equidepth(events: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Exact EQUI-DEPTH histogram of ``events.value``: ``n_buckets``
+    buckets with (near-)equal row counts and their value ranges — the
+    complement of the fixed-width ``sampling.length_histogram`` (equi-
+    width shows shape; equi-depth gives splits/quantile fences that
+    adapt to skew, the thing you actually partition or winsorize by).
+
+    Built on ``global_ntile``, so the total order costs ONE range
+    exchange reused by counts and ranks — never a single-partition sort
+    (the plan-asserted invariant in test_plans). Ties break on event_id,
+    making bucket assignment — and thus the per-bucket min/max — fully
+    deterministic and oracle-comparable (DuckDB's ntile has the same
+    closed-form tile sizes)."""
+    ev = events.filter(F.col("value").isNotNull()).select(
+        "event_id", "value"
+    )
+    tiled = global_ntile(
+        ev, n_buckets, [F.col("value"), F.col("event_id")], "bucket"
+    )
+    return (
+        tiled.groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -1376,6 +1376,14 @@ SELECT user_id, count(*)::BIGINT AS n_events,
           / 86400000000.0) / 7.0)), 6) AS decayed_value,
        max({EVENTS_TS}) AS last_seen
 FROM events, anchor GROUP BY 1 ORDER BY 1""",
+        "value_equidepth": """
+WITH t AS (
+  SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+  FROM events WHERE value IS NOT NULL
+)
+SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_events,
+       min(value) AS lo, max(value) AS hi
+FROM t GROUP BY 1 ORDER BY 1""",
         "event_transitions": f"""
 WITH trans AS (
   SELECT coalesce(
