@@ -23,6 +23,7 @@ from xboard_spark.operators import (
     curation,
     dedup,
     events,
+    graph,
     incremental,
     linkage,
     profiling,
@@ -77,7 +78,7 @@ _ROUND4_FIRST = [
     "value_outliers", "scd2_history", "table_profile", "decayed_engagement",
     "salted_event_rollup", "fuzzy_customer_pairs", "value_drift_psi",
     "incremental_daily_rollup", "orders_cdc_summary", "event_transitions",
-    "value_equidepth",
+    "value_equidepth", "part_pagerank",
 ]
 
 
@@ -152,6 +153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "value_equidepth": lambda s, d: window_ops.value_equidepth(
             _t(s, d, "events")
+        ),
+        "part_pagerank": lambda s, d: graph.part_pagerank(
+            _t(s, d, "lineitem")
         ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(

@@ -372,3 +372,21 @@ def test_value_equidepth_balanced_buckets(spark):
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo
     assert rows[0].lo == 0.0 and rows[-1].hi == 484.0
+
+
+def test_part_pagerank_planted_hub(spark):
+    from xboard_spark.operators import graph
+
+    # star graph: part 1 co-occurs with 2,3,4 (each in its own order);
+    # the hub must outrank the leaves, and scores must sum near 1
+    li = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1), (11, 3), (12, 1), (12, 4)],
+        "l_orderkey long, l_partkey long",
+    )
+    rows = graph.part_pagerank(li, n_iters=2, top=10).collect()
+    scores = {r.node: r.pagerank for r in rows}
+    assert rows[0].node == 1  # hub ranks first
+    assert all(scores[1] > scores[leaf] for leaf in (2, 3, 4))
+    assert abs(sum(scores.values()) - 1.0) < 1e-4  # stochastic vector
+    # leaves are symmetric -> identical scores
+    assert scores[2] == scores[3] == scores[4]

@@ -1,0 +1,109 @@
+"""Graph centrality over derived relationship graphs — here: weighted
+PageRank on the part co-purchase graph (edges = ``basket_pairs`` without
+the top-N cut). Connected components live in ``dedup.min_label_components``;
+this adds the IMPORTANCE side of graph analytics: which items sit at the
+center of purchasing behavior (the item-graph ranking signal behind
+related-items / "customers also bought" surfaces — Linden et al. 2003 —
+and, for crawl-style corpora, the PageRank/harmonic-centrality quality
+weighting used in web-data curation).
+
+Scale design: every step is a keyed hash aggregate or equi-join on node
+id — score frames are one row per node, edge frames one row per edge;
+nothing ever materializes a matrix. Iterations are UNROLLED (fixed count)
+so the operator stays one declarative, oracle-comparable query; a
+convergence-driven run at 100 TB is the same join-aggregate loop with
+lineage truncation per round (see ``dedup.min_label_components`` for why,
+and GraphX/Pregel for the canonical form).
+
+Cross-engine float discipline: per-iteration contribution sums associate
+differently across engines (~1e-16 relative); ranks are therefore ORDERED
+BY THE 6dp-ROUNDED score (ties then by node id) so both engines rank
+identical keys — the same discipline as the cosine rankings in
+``similarity``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected weighted edge list (part_a < part_b, n_orders) — the
+    full basket_pairs set without the top-N cut."""
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def part_pagerank(
+    lineitem: DataFrame, n_iters: int = 2, top: int = 20
+) -> DataFrame:
+    """Weighted PageRank over the co-purchase graph, ``n_iters`` unrolled
+    Lloyd-style rounds from the uniform vector; returns the top ``top``
+    parts by 6dp-rounded score."""
+    edges = copurchase_edges(lineitem)
+    # directed both ways: src -> dst with the edge weight
+    directed = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst"), "w"
+    ).unionByName(
+        edges.select(
+            F.col("part_b").alias("src"), F.col("part_a").alias("dst"), "w"
+        )
+    )
+    out_w = directed.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # Loop-invariant lineage truncation (see dedup.min_label_components):
+    # without it every iteration — and every other reference — re-embeds
+    # the basket self-join in the unrolled plan. Measured at sf0.1: the
+    # 1.2M-edge materialization itself is ~2.5s and dominates either way
+    # (5.7s -> 4.9s here), but the gap grows linearly with n_iters; at
+    # cluster scale use checkpoint() against reliable storage.
+    weighted = (
+        directed.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("frac"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = weighted.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.agg(F.count("*").alias("n"))
+    # uniform init; every node has out_w > 0 by construction (it appears
+    # in at least one edge), so there is no dangling-mass term
+    pr = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(n_iters):
+        contrib = (
+            weighted.join(pr, weighted.src == pr.node)
+            .select("dst", (F.col("pr") * F.col("frac")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - DAMPING) / F.col("n")
+                    + F.lit(DAMPING) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.select("node", F.round("pr", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "node")
+        .limit(top)
+    )

@@ -314,6 +314,53 @@ SELECT gram, df, n_occurrences FROM stats WHERE df >= {min_df}
 ORDER BY df DESC, n_occurrences DESC, gram LIMIT {top}"""
 
 
+def part_pagerank_sql(n_iters: int = 2, top: int = 20) -> str:
+    """Mirrors graph.part_pagerank: weighted PageRank on the co-purchase
+    graph, ``n_iters`` unrolled rounds from uniform init. The damping
+    constants are written as the IDENTICAL arithmetic the Spark side
+    evaluates ((1.0 - 0.85), not 0.15 — the two differ in the last ulp);
+    rank order uses the 6dp-rounded score."""
+    prev = "pr0"
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(
+            f"""c{i} AS (
+  SELECT dst, sum(pr * frac) AS in_sum
+  FROM weighted JOIN {prev} ON src = node GROUP BY 1
+),
+pr{i} AS (
+  SELECT node, (1.0 - 0.85) / n + 0.85 * coalesce(in_sum, 0.0) AS pr
+  FROM nodes LEFT JOIN c{i} ON node = dst, nn
+)"""
+        )
+        prev = f"pr{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*)::DOUBLE AS w
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT part_a AS src, part_b AS dst, w FROM edges
+  UNION ALL
+  SELECT part_b AS src, part_a AS dst, w FROM edges
+),
+out_w AS (SELECT src, sum(w) AS out_w FROM directed GROUP BY 1),
+nodes AS (SELECT src AS node FROM out_w),
+nn AS (SELECT count(*) AS n FROM nodes),
+weighted AS (
+  SELECT src, dst, w / out_w AS frac FROM directed JOIN out_w USING (src)
+),
+pr0 AS (SELECT node, 1.0 / n AS pr FROM nodes, nn),
+{chain}
+SELECT node, round(pr, 6) AS pagerank
+FROM {prev} ORDER BY pagerank DESC, node LIMIT {top}"""
+
+
 def dup_span_stats_sql(window: int = 10) -> str:
     """Mirrors dedup.dup_span_stats: per (lang, source) fraction of
     ``window``-token sliding spans whose fingerprint occurs in >= 2
@@ -1376,6 +1423,7 @@ SELECT user_id, count(*)::BIGINT AS n_events,
           / 86400000000.0) / 7.0)), 6) AS decayed_value,
        max({EVENTS_TS}) AS last_seen
 FROM events, anchor GROUP BY 1 ORDER BY 1""",
+        "part_pagerank": part_pagerank_sql(),
         "value_equidepth": """
 WITH t AS (
   SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
