@@ -78,7 +78,8 @@ _ROUND4_FIRST = [
     "value_outliers", "scd2_history", "table_profile", "decayed_engagement",
     "salted_event_rollup", "fuzzy_customer_pairs", "value_drift_psi",
     "incremental_daily_rollup", "orders_cdc_summary", "event_transitions",
-    "value_equidepth", "part_pagerank",
+    "value_equidepth", "part_pagerank", "source_contamination",
+    "winsorized_stats",
 ]
 
 
@@ -156,6 +157,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "part_pagerank": lambda s, d: graph.part_pagerank(
             _t(s, d, "lineitem")
+        ),
+        "source_contamination": lambda s, d: (
+            dedup.source_contamination_matrix(_t(s, d, "documents"))
+        ),
+        "winsorized_stats": lambda s, d: events.winsorized_stats(
+            _t(s, d, "events")
         ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(

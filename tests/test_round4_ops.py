@@ -390,3 +390,33 @@ def test_part_pagerank_planted_hub(spark):
     assert abs(sum(scores.values()) - 1.0) < 1e-4  # stochastic vector
     # leaves are symmetric -> identical scores
     assert scores[2] == scores[3] == scores[4]
+
+
+def test_source_contamination_planted(spark):
+    # two exact dups across sources web/books, plus an unrelated doc:
+    # exactly one cross-source pair, canonically ordered
+    txt = " ".join(f"tok{i}" for i in range(30))
+    docs = _mkdocs(
+        spark,
+        [
+            (1, txt, "en", "web"),
+            (2, txt, "en", "books"),
+            (3, " ".join(f"uniq{i}" for i in range(30)), "en", "web"),
+        ],
+    )
+    rows = dedup.source_contamination_matrix(docs).collect()
+    assert [(r.source_a, r.source_b, r.n_pairs) for r in rows] == [
+        ("books", "web", 1)
+    ]
+
+
+def test_winsorized_stats_clips_tails(spark):
+    # 99 unit-ish values + one huge spike: the winsorized mean must sit
+    # near 1, unlike the raw mean (~11)
+    rows = [("click", 1.0 + (i % 10) * 0.01) for i in range(99)]
+    rows.append(("click", 1000.0))
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    r = events.winsorized_stats(ev).collect()[0]
+    assert r.n_values == 100
+    assert r.winsorized_mean < 2.0
+    assert r.lo >= 1.0 and r.hi < 1000.0

@@ -598,3 +598,54 @@ def min_label_components(pairs: DataFrame, max_iters: int = 8) -> DataFrame:
         .withColumn("cluster_size", F.count("*").over(w))
         .orderBy("doc_id")
     )
+
+
+def source_contamination_matrix(
+    documents: DataFrame,
+    n: int = 3,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    tau: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Cross-SOURCE near-duplication matrix: how many verified MinHash
+    near-dup pairs connect each (source, source) slice of the corpus —
+    the corpus-provenance view of duplication (is web text duplicating
+    books? is one feed re-crawling another?) that decides which source
+    gets deduped AGAINST which (cf. the per-source contamination
+    accounting in C4/Dolma-style corpus reports).
+
+    Pure reuse: the pair list is ``minhash_dedup_pairs``' persisted
+    verified set; this adds two doc_id-keyed joins to attach sources and
+    one tiny (source_a, source_b) aggregate — the matrix is
+    |sources|^2 rows forever. The source pair is canonicalized with
+    least/greatest so the matrix is upper-triangular regardless of pair
+    orientation."""
+    pairs = minhash_dedup_pairs(
+        documents, n, n_perms, n_bands, tau, max_df
+    ).select("doc_a", "doc_b")
+    src = documents.select("doc_id", "source")
+    withsrc = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("sb"),
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        withsrc.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )

@@ -528,3 +528,32 @@ def event_transitions(events: DataFrame) -> DataFrame:
         .select("from_type", "to_type", "n_transitions", "p_transition")
         .orderBy("from_type", "to_type")
     )
+
+
+def winsorized_stats(events: DataFrame) -> DataFrame:
+    """Winsorized (clipped-at-p05/p95) per-type value stats — the robust
+    mean a metrics pipeline reports when raw means are hostage to the
+    tails ``value_outliers`` flags. Two passes: exact interpolated
+    percentile fences (the ``value_percentiles`` machinery; at 100 TB the
+    approx_percentile sketch drops in with the same plan shape), rounded
+    to 4dp so both engines clip against IDENTICAL constants, broadcast
+    back, clip, aggregate. Null values are filtered up front — both
+    engines' least/greatest SKIP nulls, which would otherwise silently
+    clip nulls to the upper fence."""
+    ev = events.filter(F.col("value").isNotNull())
+    pct = lambda p: F.round(F.expr(f"percentile(value, {p})"), 4)  # noqa: E731
+    fences = ev.groupBy("event_type").agg(
+        pct(0.05).alias("lo"), pct(0.95).alias("hi")
+    )
+    clipped = ev.join(F.broadcast(fences), "event_type").withColumn(
+        "cv", F.greatest("lo", F.least("hi", F.col("value")))
+    )
+    return (
+        clipped.groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("cv").alias("n_values"),
+            F.round(F.sum("cv") / F.count("cv"), 4).alias("winsorized_mean"),
+        )
+        .select("event_type", "n_values", "lo", "hi", "winsorized_mean")
+        .orderBy("event_type")
+    )

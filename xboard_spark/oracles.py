@@ -314,6 +314,28 @@ SELECT gram, df, n_occurrences FROM stats WHERE df >= {min_df}
 ORDER BY df DESC, n_occurrences DESC, gram LIMIT {top}"""
 
 
+def source_contamination_sql(
+    n: int = 3,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    tau: float = 0.5,
+    max_df: int = 100,
+) -> str:
+    """Mirrors dedup.source_contamination_matrix: verified MinHash pairs
+    (the shared stack) rolled up to a canonical (source, source) matrix."""
+    return f"""
+WITH {_minhash_stack(n, n_perms, n_bands, max_df)},
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       count(*)::BIGINT AS n_pairs
+FROM pairs p
+JOIN src sa ON sa.doc_id = p.doc_a
+JOIN src sb ON sb.doc_id = p.doc_b
+WHERE p.jaccard >= {tau}
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def part_pagerank_sql(n_iters: int = 2, top: int = 20) -> str:
     """Mirrors graph.part_pagerank: weighted PageRank on the co-purchase
     graph, ``n_iters`` unrolled rounds from uniform init. The damping
@@ -1424,6 +1446,23 @@ SELECT user_id, count(*)::BIGINT AS n_events,
        max({EVENTS_TS}) AS last_seen
 FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "part_pagerank": part_pagerank_sql(),
+        "source_contamination": source_contamination_sql(),
+        "winsorized_stats": """
+WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+fences AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.05), 4) AS lo,
+         round(quantile_cont(value, 0.95), 4) AS hi
+  FROM ev GROUP BY 1
+),
+clipped AS (
+  SELECT e.event_type, f.lo, f.hi,
+         greatest(f.lo, least(f.hi, e.value)) AS cv
+  FROM ev e JOIN fences f USING (event_type)
+)
+SELECT event_type, count(cv)::BIGINT AS n_values, lo, hi,
+       round(sum(cv) / count(cv), 4) AS winsorized_mean
+FROM clipped GROUP BY 1, 3, 4 ORDER BY 1""",
         "value_equidepth": """
 WITH t AS (
   SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
