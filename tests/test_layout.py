@@ -85,3 +85,29 @@ def test_zorder_skips_on_both_dimensions(spark, sf_dir_mid, tmp_path):
     assert z_p < 16               # z-order: price predicate prunes files
     assert z_c < 16               # ...while custkey predicates still prune
     assert s_c <= z_c             # 1-D baseline stays best on its own column
+
+
+def test_zorder_roundtrip_values_and_schema(spark, sf_dir, tmp_path):
+    """The z-ordered rewrite is layout-only: every row survives with
+    identical values, the helper key never leaks into the files, and the
+    layout composes with schema evolution (read_evolving over a z-ordered
+    base plus an evolved append)."""
+    from xboard_spark.io import read_evolving
+
+    orders = read_table(spark, sf_dir, "orders")
+    zpath = str(tmp_path / "z2")
+    layout.write_zordered(orders, zpath, "o_custkey", "o_totalprice", n_files=4)
+    back = spark.read.parquet(zpath)
+    assert "_zkey" not in back.columns
+    assert sorted(back.columns) == sorted(orders.columns)
+    a = {tuple(r) for r in orders.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+    # evolved append: a new column appears in later files
+    evolved = orders.limit(10).withColumn("o_channel", F.lit("web"))
+    evolved.write.mode("append").parquet(zpath)
+    merged = read_evolving(spark, zpath)
+    assert "o_channel" in merged.columns
+    assert merged.count() == orders.count() + 10
+    # old files surface NULL for the new column
+    assert merged.filter(F.col("o_channel").isNull()).count() == orders.count()
