@@ -61,6 +61,33 @@ HEADLINE = [
     "nation_customer_ranks",
 ]
 
+# Round-4 extension operators: timed in a single extra pass and reported
+# under "extended" in the JSON — NOT part of the gated total or the
+# regression comparison (they have no entry in the recorded baseline, and
+# adding them to HEADLINE would distort the total-vs-baseline ratio the
+# gate tracks). The numbers exist so each round records how the new
+# surface performs at sf0.1.
+EXTENDED = [
+    "dup_span_stats",
+    "basket_pairs",
+    "value_outliers",
+    "scd2_history",
+    "table_profile",
+    "decayed_engagement",
+    "salted_event_rollup",
+    "fuzzy_customer_pairs",
+    "value_drift_psi",
+    "incremental_daily_rollup",
+    "orders_cdc_summary",
+    "event_transitions",
+    "value_equidepth",
+    "part_pagerank",
+    "source_contamination",
+    "winsorized_stats",
+    "knn_label_vote",
+    "boilerplate_ngrams",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -220,6 +247,21 @@ def main() -> None:
                     regressions.append(f"{name}: {dt}s vs baseline {b}s "
                                        f"({dt / b:.1f}x)")
 
+    # single-pass extension timings (see EXTENDED comment); failures are
+    # recorded per-query and do not abort the run
+    extended: dict[str, float] = {}
+    spark.sparkContext._jvm.System.gc()
+    for name in EXTENDED:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).collect()
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}".splitlines()[0][:200]
+            continue
+        extended[name] = round(time.time() - t0, 3)
+
     cal_post = _calibrate()
     total = round(sum(timings.values()), 3)
     print(
@@ -234,6 +276,8 @@ def main() -> None:
                 "pass2_total": round(sum(passes[1].values()), 3),
                 "pass1": passes[0],
                 "vs_baseline": ratios,
+                "extended": extended,
+                "extended_total": round(sum(extended.values()), 3),
                 "regressions": regressions,
                 "errors": errors,
                 "calibration_sec": {"pre": cal_pre, "post": cal_post},
