@@ -38,12 +38,13 @@ def clear_index_caches() -> int:
     any in-place rewrite. (At scale the index is a persisted table whose
     freshness is owned by the pipeline, so the in-session analogue keeps
     the same contract: explicit invalidation, not mtime-watching.)"""
-    from xboard_spark.operators import dedup, similarity
+    from xboard_spark.operators import dedup, graph, similarity
 
     n = 0
     for cache in (
         dedup._INDEX_CACHE,
         dedup._PAIRS_CACHE,
+        graph._EDGE_CACHE,
         similarity._NORM_CACHE,
         similarity._CORPUS_CACHE,
         similarity._IVF_CACHE,
