@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pagerank": lambda s, d: graph.part_pagerank(
             _t(s, d, "lineitem")
         ),
+        "keyword_pagerank": lambda s, d: graph.keyword_pagerank(
+            _t(s, d, "documents")
+        ),
         "source_contamination": lambda s, d: (
             dedup.source_contamination_matrix(_t(s, d, "documents"))
         ),

@@ -420,3 +420,21 @@ def test_winsorized_stats_clips_tails(spark):
     assert r.n_values == 100
     assert r.winsorized_mean < 2.0
     assert r.lo >= 1.0 and r.hi < 1000.0
+
+
+def test_keyword_pagerank_hub_term(spark):
+    from xboard_spark.operators import graph
+
+    # 'spark' co-occurs with every other frequent term; the satellites
+    # only ever co-occur with 'spark' -> hub term must rank first
+    docs = _mkdocs(
+        spark,
+        [
+            (i, " ".join(["spark", w] * 6), "en", "web")
+            for i, w in enumerate(["alpha", "beta", "gamma"])
+        ],
+    )
+    rows = graph.keyword_pagerank(docs, min_count=2).collect()
+    assert rows[0].term == "spark"
+    scores = {r.term: r.pagerank for r in rows}
+    assert all(scores["spark"] > scores[w] for w in ("alpha", "beta", "gamma"))

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from xboard_spark.operators.text import TOKEN_RE
+
 DAMPING = 0.85
 
 # lineitem semanticHash -> materialized (src, dst, frac) edge-fraction
@@ -88,7 +90,13 @@ def part_pagerank(
         _EDGE_CACHE[key] = directed.join(out_w, "src").select(
             "src", "dst", (F.col("w") / F.col("out_w")).alias("frac")
         ).localCheckpoint(eager=True)
-    weighted = _EDGE_CACHE[key]
+    return _pagerank(_EDGE_CACHE[key], n_iters, top)
+
+
+def _pagerank(weighted: DataFrame, n_iters: int, top: int) -> DataFrame:
+    """Shared PageRank core over a materialized (src, dst, frac) frame
+    (frac = edge weight / source out-weight). Identical arithmetic for
+    every caller so all the oracle twins share one expression tree."""
     nodes = weighted.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.agg(F.count("*").alias("n"))
     # uniform init; every node has out_w > 0 by construction (it appears
@@ -118,4 +126,68 @@ def part_pagerank(
         pr.select("node", F.round("pr", 6).alias("pagerank"))
         .orderBy(F.desc("pagerank"), "node")
         .limit(top)
+    )
+
+
+def keyword_pagerank(
+    documents: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    n_iters: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the term co-occurrence graph — terms are nodes, terms appearing
+    within ``window`` tokens of each other share an edge weighted by
+    co-occurrence count. The classic unsupervised keyword/keyphrase
+    signal a corpus-curation pass uses for topical indexing, and the
+    graph twin of ``text.term_cooccurrence``'s PMI view of the same
+    pair stream.
+
+    Scale shape: pair generation reuses term_cooccurrence's bounded
+    fan-out (O(tokens * window), equi-joined on co-located keys — never
+    a within-document quadratic); ``min_count`` prunes the long tail of
+    rare edges so the iterated graph is the frequent-term core. Edge
+    weights are canonicalized least/greatest-first BEFORE symmetrizing
+    so (a-before-b) and (b-before-a) occurrences combine into one
+    undirected weight. The PageRank core is shared with
+    ``part_pagerank`` (identical arithmetic, same oracle discipline)."""
+    tok = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("pos", "word"),
+    )
+    left = tok.select(
+        "doc_id",
+        F.col("word").alias("w_a"),
+        F.explode(
+            F.sequence(F.col("pos") + 1, F.col("pos") + window)
+        ).alias("pos_b"),
+    )
+    pairs = left.join(
+        tok.select(
+            "doc_id", F.col("pos").alias("pos_b"), F.col("word").alias("w_b")
+        ),
+        ["doc_id", "pos_b"],
+    ).filter(F.col("w_a") != F.col("w_b"))
+    und = (
+        pairs.groupBy(
+            F.least("w_a", "w_b").alias("wa"),
+            F.greatest("w_a", "w_b").alias("wb"),
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= min_count)
+    )
+    directed = und.select(
+        F.col("wa").alias("src"), F.col("wb").alias("dst"), "w"
+    ).unionByName(
+        und.select(F.col("wb").alias("src"), F.col("wa").alias("dst"), "w")
+    )
+    out_w = directed.groupBy("src").agg(F.sum("w").alias("out_w"))
+    weighted = directed.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("frac")
+    ).localCheckpoint(eager=True)
+    return _pagerank(weighted, n_iters, top).withColumnRenamed(
+        "node", "term"
     )

@@ -336,12 +336,12 @@ WHERE p.jaccard >= {tau}
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
-def part_pagerank_sql(n_iters: int = 2, top: int = 20) -> str:
-    """Mirrors graph.part_pagerank: weighted PageRank on the co-purchase
-    graph, ``n_iters`` unrolled rounds from uniform init. The damping
-    constants are written as the IDENTICAL arithmetic the Spark side
-    evaluates ((1.0 - 0.85), not 0.15 — the two differ in the last ulp);
-    rank order uses the 6dp-rounded score."""
+def _pagerank_chain_sql(n_iters: int) -> tuple[str, str]:
+    """The unrolled PageRank iteration CTEs over (nodes, nn, weighted,
+    pr0) — shared by every PageRank oracle so all of them evaluate the
+    IDENTICAL arithmetic the Spark ``graph._pagerank`` core does. The
+    damping constants are written as (1.0 - 0.85), not 0.15 — the two
+    differ in the last ulp. Returns (chain_sql, final_cte_name)."""
     prev = "pr0"
     iters = []
     for i in range(1, n_iters + 1):
@@ -356,7 +356,56 @@ pr{i} AS (
 )"""
         )
         prev = f"pr{i}"
-    chain = ",\n".join(iters)
+    return ",\n".join(iters), prev
+
+
+def keyword_pagerank_sql(
+    window: int = 3, min_count: int = 5, n_iters: int = 2, top: int = 20
+) -> str:
+    """Mirrors graph.keyword_pagerank (TextRank): the term_cooccurrence
+    pair stream, canonicalized undirected weights, shared PageRank tail."""
+    chain, prev = _pagerank_chain_sql(n_iters)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS word,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1)
+           - 1 AS pos
+  FROM documents
+),
+prs AS (
+  SELECT a.word AS w_a, b.word AS w_b
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + {window}
+  WHERE a.word <> b.word
+),
+und AS (
+  SELECT least(w_a, w_b) AS wa, greatest(w_a, w_b) AS wb,
+         count(*)::DOUBLE AS w
+  FROM prs GROUP BY 1, 2 HAVING count(*) >= {min_count}
+),
+directed AS (
+  SELECT wa AS src, wb AS dst, w FROM und
+  UNION ALL
+  SELECT wb AS src, wa AS dst, w FROM und
+),
+out_w AS (SELECT src, sum(w) AS out_w FROM directed GROUP BY 1),
+nodes AS (SELECT src AS node FROM out_w),
+nn AS (SELECT count(*) AS n FROM nodes),
+weighted AS (
+  SELECT src, dst, w / out_w AS frac FROM directed JOIN out_w USING (src)
+),
+pr0 AS (SELECT node, 1.0 / n AS pr FROM nodes, nn),
+{chain}
+SELECT node AS term, round(pr, 6) AS pagerank
+FROM {prev} ORDER BY pagerank DESC, term LIMIT {top}"""
+
+
+def part_pagerank_sql(n_iters: int = 2, top: int = 20) -> str:
+    """Mirrors graph.part_pagerank: weighted PageRank on the co-purchase
+    graph, ``n_iters`` unrolled rounds from uniform init; shared chain
+    (see _pagerank_chain_sql); rank order uses the 6dp-rounded score."""
+    chain, prev = _pagerank_chain_sql(n_iters)
     return f"""
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 edges AS (
@@ -1446,6 +1495,7 @@ SELECT user_id, count(*)::BIGINT AS n_events,
        max({EVENTS_TS}) AS last_seen
 FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "part_pagerank": part_pagerank_sql(),
+        "keyword_pagerank": keyword_pagerank_sql(),
         "source_contamination": source_contamination_sql(),
         "winsorized_stats": """
 WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
