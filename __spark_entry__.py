@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_pagerank": lambda s, d: graph.keyword_pagerank(
             _t(s, d, "documents")
         ),
+        "vocab_coverage": lambda s, d: text.vocab_coverage(
+            _t(s, d, "documents")
+        ),
         "source_contamination": lambda s, d: (
             dedup.source_contamination_matrix(_t(s, d, "documents"))
         ),

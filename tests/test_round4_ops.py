@@ -438,3 +438,25 @@ def test_keyword_pagerank_hub_term(spark):
     assert rows[0].term == "spark"
     scores = {r.term: r.pagerank for r in rows}
     assert all(scores["spark"] > scores[w] for w in ("alpha", "beta", "gamma"))
+
+
+def test_vocab_coverage_planted(spark):
+    from xboard_spark.operators import text
+
+    # vocab_size=2 keeps {common, filler}; doc 2 is half OOV
+    docs = _mkdocs(
+        spark,
+        [
+            (1, "common filler common filler common filler", "en", "web"),
+            (2, "common rare1 common rare2", "en", "books"),
+        ],
+    )
+    out = {
+        (r.lang, r.source): r
+        for r in text.vocab_coverage(docs, vocab_size=2).collect()
+    }
+    web = out[("en", "web")]
+    assert (web.n_tokens, web.n_covered, web.coverage) == (6, 6, 1.0)
+    books = out[("en", "books")]
+    assert (books.n_tokens, books.n_covered) == (4, 2)
+    assert abs(books.coverage - 0.5) < 1e-12

@@ -535,3 +535,46 @@ def redact_pii(documents: DataFrame) -> DataFrame:
         "[PHONE]",
     )
     return documents.withColumn("text", out)
+
+
+def vocab_coverage(documents: DataFrame, vocab_size: int = 1000) -> DataFrame:
+    """Tokenizer-vocabulary induction + coverage audit: build the
+    top-``vocab_size`` term vocabulary by corpus frequency (deterministic
+    tie-break: count desc, term asc) and report, per (lang, source), how
+    much of the token stream it covers — the out-of-vocabulary rate that
+    decides whether a vocab is big enough before committing to a
+    tokenizer (the word-level analog of BPE vocab sizing).
+
+    Scale shape: one token-count aggregate (partial/final, keyed on the
+    term), a TakeOrderedAndProject top-V (never a full sort), then a
+    broadcast join of the V-row vocabulary back onto the token stream and
+    a tiny per-slice aggregate. The coverage ratio is one exact-int
+    division."""
+    toks = documents.select(
+        "lang",
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("word"),
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(vocab_size)
+        .select("word")
+        .withColumn("_in_vocab", F.lit(1))
+    )
+    tagged = toks.join(F.broadcast(vocab), "word", "left")
+    return (
+        tagged.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce("_in_vocab", F.lit(0))).alias("n_covered"),
+            (
+                F.sum(F.coalesce("_in_vocab", F.lit(0))).cast("double")
+                / F.count("*")
+            ).alias("coverage"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -1496,6 +1496,24 @@ SELECT user_id, count(*)::BIGINT AS n_events,
 FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "part_pagerank": part_pagerank_sql(),
         "keyword_pagerank": keyword_pagerank_sql(),
+        "vocab_coverage": f"""
+WITH toks AS (
+  SELECT lang, source,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS word
+  FROM documents
+),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, count(*) AS cnt FROM toks GROUP BY 1
+  ) ORDER BY cnt DESC, word LIMIT 1000
+)
+SELECT t.lang, t.source, count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_covered,
+       sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         / count(*) AS coverage
+FROM toks t LEFT JOIN vocab v ON t.word = v.word
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "source_contamination": source_contamination_sql(),
         "winsorized_stats": """
 WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
