@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": lambda s, d: text.vocab_coverage(
             _t(s, d, "documents")
         ),
+        "char_lm_fluency": lambda s, d: text.char_lm_fluency(
+            _t(s, d, "documents")
+        ),
         "source_contamination": lambda s, d: (
             dedup.source_contamination_matrix(_t(s, d, "documents"))
         ),

@@ -460,3 +460,20 @@ def test_vocab_coverage_planted(spark):
     books = out[("en", "books")]
     assert (books.n_tokens, books.n_covered) == (4, 2)
     assert abs(books.coverage - 0.5) < 1e-12
+
+
+def test_char_lm_fluency_scores_gibberish_lower(spark):
+    from xboard_spark.operators import text
+
+    # repetitive natural-ish text has predictable bigrams; the gibberish
+    # slice (unique random-ish chars) must score strictly lower under the
+    # corpus's own bigram statistics
+    natural = "the cat sat on the mat and the cat sat again " * 4
+    gibber = "qxzjv kqpwz xvjqz zqxwv jvqxk wzqpx " * 4
+    docs = _mkdocs(
+        spark,
+        [(1, natural, "en", "clean"), (2, gibber, "en", "noise")],
+    )
+    out = {r.source: r for r in text.char_lm_fluency(docs).collect()}
+    assert out["clean"].avg_logp > out["noise"].avg_logp
+    assert out["clean"].n_bigrams > 0 and out["noise"].n_bigrams > 0

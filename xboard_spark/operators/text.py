@@ -578,3 +578,74 @@ def vocab_coverage(documents: DataFrame, vocab_size: int = 1000) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+def char_lm_fluency(documents: DataFrame) -> DataFrame:
+    """Character-bigram language-model fluency score per (lang, source):
+    train a maximum-likelihood char-bigram model ON the corpus itself and
+    report each slice's mean log-probability — the classic cheap
+    "gibberish detector" quality signal (a KenLM-style fluency filter
+    reduced to its oracle-checkable bigram core): slices full of base64,
+    mojibake, or shuffled text score far below natural language under
+    their own corpus statistics.
+
+    Scale shape: bigrams are built INSIDE a per-row array transform and
+    exploded as 2-char strings (exploding (position, full-text) pairs
+    would duplicate the document per character — measured-width
+    discipline, see shingle_fps); the model is two hash aggregates
+    (bigram counts, first-char context totals) whose join keys are the
+    ≤ |alphabet|² bigram space — broadcast-sized forever, however big the
+    corpus. p(b|a) = c(ab)/c(a·) is an exact-int division; the per-slice
+    mean of ln p is 6dp-rounded (summation-order tolerance, as
+    everywhere)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
+    staged = documents.select("lang", "source", norm.alias("norm")).filter(
+        F.length("norm") >= 2
+    )
+    bg = staged.select(
+        "lang",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("norm") - 1),
+                lambda i: F.col("norm").substr(i, F.lit(2)),
+            )
+        ).alias("bg"),
+    )
+    # Aggregate-first (the dup_span_stats lesson): collapse the bigram
+    # stream ONCE to (lang, source, bg, n); the model and the scoring
+    # both derive from that small frame, so the corpus is tokenized and
+    # exploded exactly once and the scoring join touches |slices| x
+    # |bigram alphabet| rows, never the raw occurrence stream. The mean
+    # becomes the weighted form sum(n * logp) / sum(n) — identical
+    # multiset value, and the oracle computes the IDENTICAL weighted
+    # expression so association matches.
+    # materialized once (localCheckpoint): three plan references (model
+    # counts, context totals, scoring) would otherwise each re-run the
+    # full explode — 3 FileScans in the physical plan, measured
+    slice_counts = (
+        bg.groupBy("lang", "source", "bg")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    bg_counts = slice_counts.groupBy("bg").agg(F.sum("n").alias("c_bg"))
+    ctx = bg_counts.groupBy(
+        F.substring("bg", 1, 1).alias("ctx")
+    ).agg(F.sum("c_bg").alias("c_ctx"))
+    model = bg_counts.join(
+        ctx, F.substring(bg_counts.bg, 1, 1) == ctx.ctx
+    ).select(
+        "bg",
+        F.log(F.col("c_bg").cast("double") / F.col("c_ctx")).alias("logp"),
+    )
+    return (
+        slice_counts.join(F.broadcast(model), "bg")
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("n") * F.col("logp")) / F.sum("n"), 6
+            ).alias("avg_logp"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -1496,6 +1496,30 @@ SELECT user_id, count(*)::BIGINT AS n_events,
 FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "part_pagerank": part_pagerank_sql(),
         "keyword_pagerank": keyword_pagerank_sql(),
+        "char_lm_fluency": f"""
+WITH staged AS (
+  SELECT lang, source, {_NORM_TEXT} AS norm FROM documents
+  WHERE len({_NORM_TEXT}) >= 2
+),
+bg AS (
+  SELECT lang, source,
+         unnest(list_transform(generate_series(1, len(norm) - 1),
+                               i -> substr(norm, i, 2))) AS bg
+  FROM staged
+),
+sc AS (SELECT lang, source, bg, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+bgc AS (SELECT bg, sum(n) AS c_bg FROM sc GROUP BY 1),
+ctx AS (
+  SELECT substr(bg, 1, 1) AS ctx, sum(c_bg) AS c_ctx FROM bgc GROUP BY 1
+),
+model AS (
+  SELECT bg, ln(c_bg::DOUBLE / c_ctx) AS logp
+  FROM bgc JOIN ctx ON substr(bgc.bg, 1, 1) = ctx.ctx
+)
+SELECT s.lang, s.source, sum(n)::BIGINT AS n_bigrams,
+       round(sum(n * logp) / sum(n), 6) AS avg_logp
+FROM sc s JOIN model USING (bg)
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "vocab_coverage": f"""
 WITH toks AS (
   SELECT lang, source,
