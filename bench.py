@@ -86,6 +86,9 @@ EXTENDED = [
     "winsorized_stats",
     "knn_label_vote",
     "boilerplate_ngrams",
+    "keyword_pagerank",
+    "vocab_coverage",
+    "char_lm_fluency",
 ]
 
 
