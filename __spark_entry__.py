@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_lm_fluency": lambda s, d: text.char_lm_fluency(
             _t(s, d, "documents")
         ),
+        "truncation_recall": lambda s, d: similarity.truncation_recall(
+            _t(s, d, "embeddings")
+        ),
         "source_contamination": lambda s, d: (
             dedup.source_contamination_matrix(_t(s, d, "documents"))
         ),

@@ -477,3 +477,21 @@ def test_char_lm_fluency_scores_gibberish_lower(spark):
     out = {r.source: r for r in text.char_lm_fluency(docs).collect()}
     assert out["clean"].avg_logp > out["noise"].avg_logp
     assert out["clean"].n_bigrams > 0 and out["noise"].n_bigrams > 0
+
+
+def test_truncation_recall_monotone_and_bounded(spark, sf_dir):
+    from xboard_spark.io import read_table
+    from xboard_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = similarity.truncation_recall(
+        emb, dims=(8, 32, 64), n_queries=10, k=5
+    ).collect()
+    rec = {r.dim: r.recall for r in rows}
+    assert set(rec) == {8, 32, 64}
+    assert all(0.0 <= v <= 1.0 for v in rec.values())
+    # full dimension against itself is perfect recall by construction
+    assert rec[64] == 1.0
+    # more dimensions can only help on this corpus (soft monotonicity:
+    # allow equality)
+    assert rec[8] <= rec[32] <= rec[64]

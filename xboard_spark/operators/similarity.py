@@ -915,3 +915,43 @@ def knn_pq(
         )
         .orderBy("q_id", "rank")
     )
+
+
+def truncation_recall(
+    embeddings: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32),
+    n_queries: int = 25,
+    k: int = 5,
+) -> DataFrame:
+    """Dimension-truncation quality audit: exact-kNN recall@k of searches
+    run on the FIRST ``d`` dimensions against full-dimension ground
+    truth, for each ``d`` — the evaluation behind Matryoshka-style
+    truncatable embeddings (Kusupati et al. 2022) and, operationally,
+    the number that says how much cheaper the ANN index can be before
+    retrieval quality falls off.
+
+    Scale shape: one ``knn_bruteforce`` pass per dim (broadcast queries,
+    corpus never shuffled — see that operator) plus a (q_id, vec_id)-
+    keyed join of neighbor sets, each n_queries*k rows. Recall is ONE
+    exact-int division per dim: |truncated top-k ∩ full top-k| /
+    (n_queries * k)."""
+    full = knn_bruteforce(embeddings, n_queries, k).select("q_id", "vec_id")
+    out = None
+    for d in dims:
+        sliced = embeddings.withColumn(
+            "embedding", F.slice("embedding", 1, d)
+        )
+        trunc = knn_bruteforce(sliced, n_queries, k).select("q_id", "vec_id")
+        matches = trunc.join(full, ["q_id", "vec_id"]).agg(
+            F.count("*").alias("n_matches")
+        )
+        row = matches.select(
+            F.lit(d).cast("long").alias("dim"),
+            F.col("n_matches").cast("long").alias("n_matches"),
+            (
+                F.col("n_matches").cast("double")
+                / F.lit(float(n_queries * k))
+            ).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dim")

@@ -253,6 +253,57 @@ ranked AS (
 )"""
 
 
+def _knn_ranked_cte_dim(n_queries: int, d: int, suffix: str) -> str:
+    """Dim-truncated variant of _knn_ranked_cte (corpus sliced to the
+    first ``d`` dims), CTE names suffixed so multiple dims compose."""
+    return f"""
+corpus{suffix} AS (
+  SELECT vec_id, (embedding[1:{d}])::DOUBLE[] AS v FROM embeddings
+),
+norms{suffix} AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS v_norm
+  FROM corpus{suffix}
+),
+queries{suffix} AS (
+  SELECT vec_id AS q_id, v AS q, v_norm AS q_norm FROM norms{suffix}
+  WHERE vec_id < {n_queries}
+),
+scored{suffix} AS (
+  SELECT q_id, vec_id,
+         list_dot_product(n.v, queries{suffix}.q)
+           / (n.v_norm * queries{suffix}.q_norm) AS cosine
+  FROM norms{suffix} n CROSS JOIN queries{suffix} WHERE vec_id <> q_id
+),
+ranked{suffix} AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored{suffix}
+)"""
+
+
+def truncation_recall_sql(
+    dims: tuple[int, ...] = (8, 16, 32), n_queries: int = 25, k: int = 5
+) -> str:
+    """Mirrors similarity.truncation_recall: per truncation dim, recall@k
+    of the sliced-corpus exact kNN against full-dim ground truth."""
+    ctes = [_knn_ranked_cte(n_queries).strip()]
+    selects = []
+    for d in dims:
+        ctes.append(_knn_ranked_cte_dim(n_queries, d, f"_{d}").strip())
+        selects.append(
+            f"""SELECT {d}::BIGINT AS dim, count(*)::BIGINT AS n_matches,
+       count(*)::DOUBLE / {float(n_queries * k)} AS recall
+FROM (SELECT q_id, vec_id FROM ranked_{d} WHERE rank <= {k}) t
+JOIN (SELECT q_id, vec_id FROM ranked WHERE rank <= {k}) f
+  USING (q_id, vec_id)"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        "\nWITH " + ",\n".join(ctes) + "\n" + body + "\nORDER BY dim"
+    )
+
+
 def knn_sql(n_queries: int = 5, k: int = 5) -> str:
     return f"""
 WITH {_knn_ranked_cte(n_queries)}
@@ -1496,6 +1547,7 @@ SELECT user_id, count(*)::BIGINT AS n_events,
 FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "part_pagerank": part_pagerank_sql(),
         "keyword_pagerank": keyword_pagerank_sql(),
+        "truncation_recall": truncation_recall_sql(),
         "char_lm_fluency": f"""
 WITH staged AS (
   SELECT lang, source, {_NORM_TEXT} AS norm FROM documents
