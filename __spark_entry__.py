@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncation_recall": lambda s, d: similarity.truncation_recall(
             _t(s, d, "embeddings")
         ),
+        "knn_rrf": lambda s, d: similarity.knn_rrf(_t(s, d, "embeddings")),
         "source_contamination": lambda s, d: (
             dedup.source_contamination_matrix(_t(s, d, "documents"))
         ),

@@ -495,3 +495,27 @@ def test_truncation_recall_monotone_and_bounded(spark, sf_dir):
     # more dimensions can only help on this corpus (soft monotonicity:
     # allow equality)
     assert rec[8] <= rec[32] <= rec[64]
+
+
+def test_knn_rrf_fusion_properties(spark, sf_dir):
+    from xboard_spark.io import read_table
+    from xboard_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = similarity.knn_rrf(emb, n_queries=5, k=3, pool=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        # dense ranks 1..k, scores non-increasing, all positive and
+        # bounded by the two-retriever maximum 2/(60+1)
+        assert [r.rank for r in rs] == [1, 2, 3]
+        scores = [r.rrf_score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        # scores are 6dp-rounded, so allow half-ulp-of-rounding slack
+        assert all(0 < s <= 2 / 61 + 1e-6 for s in scores)
+        # a double-listed top-1 candidate (rank 1 in both metrics) would
+        # score exactly 2/61; anything fused scores more than one list's
+        # minimum contribution
+        assert scores[0] >= 1 / 65  # at least one top-pool contribution

@@ -955,3 +955,87 @@ def truncation_recall(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("dim")
+
+
+def knn_rrf(
+    embeddings: DataFrame,
+    n_queries: int = 25,
+    k: int = 5,
+    pool: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two exact
+    retrievers over the same corpus — cosine similarity and euclidean
+    distance, which genuinely disagree on non-normalized vectors — the
+    hybrid-retrieval ensemble pattern (dense + lexical in production;
+    here two metrics, same fusion algebra). Each retriever contributes
+    1/(rrf_k + rank) for its top-``pool`` list; fused top-``k`` per
+    query.
+
+    Scale shape: both rankings share the cached norm corpus and the
+    broadcast query set (one corpus scan each, no shuffle of the corpus);
+    the fusion is a (q_id, vec_id)-keyed outer join of two
+    n_queries*pool-row lists. Float discipline: 1/(rrf_k + rank) is an
+    exact IEEE division of small ints — bit-identical across engines —
+    and the fused score is a sum of at most two such terms, so ranking
+    needs no rounding tolerance at all (6dp round on the emitted score
+    only for display parity)."""
+    corpus = _norm_corpus(embeddings)
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q"),
+        F.col("v_norm").alias("q_norm"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("dot", _dot(F.col("v"), F.col("q")))
+        .withColumn(
+            "cosine", F.col("dot") / (F.col("v_norm") * F.col("q_norm"))
+        )
+        .withColumn(
+            "dist2",
+            F.col("v_norm") * F.col("v_norm")
+            + F.col("q_norm") * F.col("q_norm")
+            - F.lit(2.0) * F.col("dot"),
+        )
+    )
+    w_cos = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    w_l2 = Window.partitionBy("q_id").orderBy(
+        F.asc("dist2"), F.asc("vec_id")
+    )
+    ranked = scored.select(
+        "q_id",
+        "vec_id",
+        F.row_number().over(w_cos).alias("r_cos"),
+        F.row_number().over(w_l2).alias("r_l2"),
+    )
+    contrib = (
+        F.when(
+            F.col("r_cos") <= pool,
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("r_cos")),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("r_l2") <= pool,
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("r_l2")),
+        ).otherwise(F.lit(0.0))
+    )
+    fused = ranked.filter(
+        (F.col("r_cos") <= pool) | (F.col("r_l2") <= pool)
+    ).withColumn("rrf_score", contrib)
+    w_f = Window.partitionBy("q_id").orderBy(
+        F.desc("rrf_score"), F.asc("vec_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            F.round("rrf_score", 6).alias("rrf_score"),
+        )
+        .orderBy("q_id", "rank")
+    )

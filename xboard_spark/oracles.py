@@ -1548,6 +1548,50 @@ FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "part_pagerank": part_pagerank_sql(),
         "keyword_pagerank": keyword_pagerank_sql(),
         "truncation_recall": truncation_recall_sql(),
+        "knn_rrf": """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS v_norm FROM corpus
+),
+queries AS (
+  SELECT vec_id AS q_id, v AS q, v_norm AS q_norm FROM norms
+  WHERE vec_id < 25
+),
+scored AS (
+  SELECT q_id, vec_id, list_dot_product(n.v, queries.q) AS dot,
+         n.v_norm AS v_norm, q_norm
+  FROM norms n CROSS JOIN queries WHERE vec_id <> q_id
+),
+metr AS (
+  SELECT q_id, vec_id, dot / (v_norm * q_norm) AS cosine,
+         v_norm * v_norm + q_norm * q_norm - 2.0 * dot AS dist2
+  FROM scored
+),
+rk AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id) AS r_cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY dist2, vec_id) AS r_l2
+  FROM metr
+),
+fused AS (
+  SELECT q_id, vec_id,
+         (CASE WHEN r_cos <= 10 THEN 1.0 / (60.0 + r_cos) ELSE 0.0 END
+          + CASE WHEN r_l2 <= 10 THEN 1.0 / (60.0 + r_l2) ELSE 0.0 END)
+           AS rrf_score
+  FROM rk WHERE r_cos <= 10 OR r_l2 <= 10
+),
+final AS (
+  SELECT q_id, vec_id, rrf_score,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY rrf_score DESC, vec_id) AS rank
+  FROM fused
+)
+SELECT q_id, rank::BIGINT AS rank, vec_id, round(rrf_score, 6) AS rrf_score
+FROM final WHERE rank <= 5 ORDER BY q_id, rank""",
         "char_lm_fluency": f"""
 WITH staged AS (
   SELECT lang, source, {_NORM_TEXT} AS norm FROM documents
