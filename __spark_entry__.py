@@ -80,6 +80,8 @@ _ROUND4_FIRST = [
     "incremental_daily_rollup", "orders_cdc_summary", "event_transitions",
     "value_equidepth", "part_pagerank", "source_contamination",
     "winsorized_stats",
+    # -- slot 50: landed after the round-4 window first filled --
+    "keyword_pagerank",
 ]
 
 
@@ -175,6 +177,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup.source_contamination_matrix(_t(s, d, "documents"))
         ),
         "winsorized_stats": lambda s, d: events.winsorized_stats(
+            _t(s, d, "events")
+        ),
+        "filter_funnel": lambda s, d: curation.filter_funnel(
+            _t(s, d, "documents")
+        ),
+        "canonical_docs": lambda s, d: dedup.canonical_docs(
+            _t(s, d, "documents")
+        ),
+        "ngram_novelty": lambda s, d: dedup.ngram_novelty(
+            _t(s, d, "documents")
+        ),
+        "semantic_decontam": lambda s, d: similarity.semantic_decontam(
+            _t(s, d, "embeddings")
+        ),
+        "activity_heatmap": lambda s, d: events.activity_heatmap(
             _t(s, d, "events")
         ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---

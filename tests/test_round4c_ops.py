@@ -1,0 +1,166 @@
+"""Planted-structure tests for the round-4 continuation operators:
+filter_funnel (quality-gate ablation), canonical_docs (cluster
+representative selection), ngram_novelty (per-doc train-overlap),
+semantic_decontam (embedding-space contamination), activity_heatmap
+(dow x hour profile)."""
+
+from __future__ import annotations
+
+import datetime
+
+from xboard_spark.operators import curation, dedup, events, similarity
+from xboard_spark.operators.sampling import with_split
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def _sentence(n, prefix="w"):
+    return " ".join(f"{prefix}{i} the and of to" for i in range(n))
+
+
+def test_filter_funnel_planted(spark):
+    # doc 1: passes every gate (long, alphabetic, stopword-rich, sane
+    # token lengths); doc 2 fails ONLY min_tokens (short but otherwise
+    # healthy); doc 3 fails alpha_ratio (digit soup) and, being all
+    # [0-9]+ tokens with no stopwords, also the stopword gate.
+    healthy = _sentence(20)  # 100 tokens incl stopwords
+    docs = _mkdocs(
+        spark,
+        [
+            (1, healthy, "en", "web"),
+            (2, "short the and of to text", "en", "web"),
+            (3, " ".join(str(1000 + i) for i in range(80)), "en", "web"),
+        ],
+    )
+    rows = {r.gate: r for r in curation.filter_funnel(docs).collect()}
+    assert list(rows) == [
+        "min_tokens",
+        "alpha_ratio",
+        "stopword_ratio",
+        "mean_token_len",
+    ]
+    assert rows["min_tokens"].n_fail_alone == 1  # doc 2
+    assert rows["alpha_ratio"].n_fail_alone == 1  # doc 3
+    assert rows["min_tokens"].n_pass_cum == 2  # docs 1, 3
+    assert rows["alpha_ratio"].n_pass_cum == 1  # doc 1
+    assert rows["mean_token_len"].n_pass_cum == 1  # doc 1 survives all
+    # surviving token mass == doc 1's token count
+    assert rows["mean_token_len"].tokens_pass_cum == 100
+
+
+def test_filter_funnel_gate_order_is_cumulative(spark):
+    # a doc failing gate 1 must NOT count toward any later cumulative
+    # stage even if it passes gates 2-4
+    docs = _mkdocs(spark, [(1, "the and of to tiny", "en", "web")])
+    rows = {r.gate: r for r in curation.filter_funnel(docs).collect()}
+    assert rows["min_tokens"].n_pass_cum == 0
+    assert rows["stopword_ratio"].n_pass_cum == 0
+    assert rows["stopword_ratio"].n_fail_alone == 0  # passes gate 3 alone
+
+
+def test_canonical_docs_keeps_richest_member(spark):
+    # docs 1/2/3 are near-identical (one cluster); doc 2 carries extra
+    # tokens -> representative. docs 8/9 identical -> tie broken to min id.
+    base = _sentence(30)
+    docs = _mkdocs(
+        spark,
+        [
+            (1, base, "en", "web"),
+            (2, base + " extra tokens appended here now", "en", "web"),
+            (3, base + " tiny", "en", "web"),
+            (8, _sentence(25, "q"), "en", "web"),
+            (9, _sentence(25, "q"), "en", "web"),
+            (50, "completely unrelated singleton text", "en", "web"),
+        ],
+    )
+    out = {r.cluster_id: r for r in dedup.canonical_docs(docs).collect()}
+    big = out[1]
+    assert big.rep_doc_id == 2 and big.n_members == 3 and big.n_removed == 2
+    pair = out[8]
+    assert pair.rep_doc_id == 8 and pair.n_members == 2  # tie -> min doc_id
+    assert 50 not in out  # singletons never reach the pair graph
+
+
+def test_ngram_novelty_copy_vs_fresh(spark):
+    # learn the hash split on 40 unique docs, then replant: one test doc
+    # becomes a verbatim copy of a train doc (novelty -> 0), the others
+    # stay unique (novelty -> 1)
+    rows = [
+        (i, " ".join(f"d{i}x{j}" for j in range(60)), "en", "web")
+        for i in range(40)
+    ]
+    split = {
+        r.doc_id: r.split
+        for r in with_split(_mkdocs(spark, rows), 10)
+        .select("doc_id", "split")
+        .collect()
+    }
+    test_ids = [i for i in range(40) if split[i] == "test"]
+    train_ids = [i for i in range(40) if split[i] == "train"]
+    assert test_ids and train_ids
+    copy_id = test_ids[0]
+    planted = [
+        (i, rows[train_ids[0]][1] if i == copy_id else rows[i][1], "en", "web")
+        for i in range(40)
+    ]
+    out = {
+        r.doc_id: r for r in dedup.ngram_novelty(_mkdocs(spark, planted)).collect()
+    }
+    assert out[copy_id].novelty == 0.0
+    for t in test_ids[1:]:
+        assert out[t].novelty == 1.0
+        assert out[t].n_overlap == 0
+    assert set(out) == set(test_ids)  # train docs never scored
+
+
+def test_semantic_decontam_planted(spark):
+    # test vec 0 duplicates train vec 100 exactly -> contaminated, cosine 1;
+    # test vec 1 is orthogonal to every train vector -> clean
+    d = 4
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.0, 0.0, 0.0, 1.0], 0),
+            (100, [1.0, 0.0, 0.0, 0.0], 1),
+            (101, [0.0, 1.0, 0.0, 0.0], 1),
+            (102, [0.5, 0.5, 0.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r.q_id: r
+        for r in similarity.semantic_decontam(emb, n_test=2, tau=0.99).collect()
+    }
+    assert out[0].train_id == 100
+    assert out[0].is_contaminated == 1
+    assert abs(out[0].max_cosine - 1.0) < 1e-9
+    assert out[1].is_contaminated == 0
+    assert out[1].max_cosine == 0.0
+    assert len(out) == 2 and d == 4
+
+
+def test_activity_heatmap_planted(spark):
+    # 3 events Sunday 13h (2 users), 1 event Monday 01h -> two cells with
+    # exact counts; shares sum to 1
+    sun, mon = datetime.datetime(2026, 8, 16, 13, 5), datetime.datetime(
+        2026, 8, 17, 1, 0
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, sun, 10, "view", 1.0, "{}"),
+            (2, sun, 10, "view", 1.0, "{}"),
+            (3, sun, 11, "view", 1.0, "{}"),
+            (4, mon, 12, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    rows = events.activity_heatmap(ev).collect()
+    cells = {(r.dow, r.hour): r for r in rows}
+    assert cells[(1, 13)].n_events == 3 and cells[(1, 13)].n_users == 2
+    assert cells[(2, 1)].n_events == 1 and cells[(2, 1)].n_users == 1
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-12

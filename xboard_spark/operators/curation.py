@@ -51,3 +51,86 @@ def curated_corpus_stats(
         )
         .orderBy("lang", "source")
     )
+
+
+# filter_funnel gate thresholds — the oracle SQL in ``oracles.py`` is
+# generated from THESE constants (the round-3 lesson: one-sided edits
+# drift; single source of truth or a pinning test).
+FUNNEL_MIN_TOKENS = 40
+FUNNEL_MIN_ALPHA_RATIO = 0.5
+FUNNEL_MIN_STOPWORD_RATIO = 0.05
+FUNNEL_TOKEN_LEN_RANGE = (2.0, 12.0)
+
+
+def filter_funnel(documents: DataFrame) -> DataFrame:
+    """Quality-gate ablation funnel (C4/Gopher-style rule panel): for each
+    gate, how many documents fail it ALONE, and how many documents (and
+    tokens) survive the gates applied cumulatively in order — the report a
+    curation pipeline uses to attribute corpus shrinkage to individual
+    rules before committing a filter config.
+
+    Gates (in funnel order):
+      1. min_tokens        — >= FUNNEL_MIN_TOKENS tokens
+      2. alpha_ratio       — alphabetic chars / chars >= FUNNEL_MIN_ALPHA_RATIO
+      3. stopword_ratio    — en-stopword tokens / tokens >= FUNNEL_MIN_STOPWORD_RATIO
+      4. mean_token_len    — mean token length within FUNNEL_TOKEN_LEN_RANGE
+
+    Scale shape: all four gates are single-pass per-row JVM expressions
+    over ONE scan; the funnel is one partial+final aggregate producing a
+    single row, unpivoted driver-side-free via ``stack`` into 4 gate rows.
+    No shuffle beyond the 1-row aggregate at any data size."""
+    from xboard_spark.operators.text import LANG_STOPWORDS, TOKEN_RE
+
+    lo, hi = FUNNEL_TOKEN_LEN_RANGE
+    text = F.col("text")
+    tokens = F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+    n_tokens = F.size(tokens)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    en_stop = LANG_STOPWORDS["en"]
+    n_stop = F.size(F.filter(tokens, lambda t: t.isin(en_stop)))
+    sum_tok_len = F.aggregate(
+        tokens, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mean_tok_len = sum_tok_len / F.greatest(n_tokens, F.lit(1))
+    g1 = n_tokens >= FUNNEL_MIN_TOKENS
+    g2 = (n_alpha / F.greatest(n_chars, F.lit(1))) >= FUNNEL_MIN_ALPHA_RATIO
+    g3 = (n_stop / F.greatest(n_tokens, F.lit(1))) >= FUNNEL_MIN_STOPWORD_RATIO
+    g4 = (mean_tok_len >= lo) & (mean_tok_len <= hi)
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    panel = documents.select(
+        g1.alias("g1"), g2.alias("g2"), g3.alias("g3"), g4.alias("g4"),
+        n_tokens.cast("long").alias("n_tokens"),
+    ).agg(
+        cnt(~F.col("g1")).alias("f1"),
+        cnt(~F.col("g2")).alias("f2"),
+        cnt(~F.col("g3")).alias("f3"),
+        cnt(~F.col("g4")).alias("f4"),
+        cnt(F.col("g1")).alias("c1"),
+        cnt(F.col("g1") & F.col("g2")).alias("c2"),
+        cnt(F.col("g1") & F.col("g2") & F.col("g3")).alias("c3"),
+        cnt(F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4")).alias("c4"),
+        F.sum(F.when(F.col("g1"), F.col("n_tokens")).otherwise(0)).alias("t1"),
+        F.sum(
+            F.when(F.col("g1") & F.col("g2"), F.col("n_tokens")).otherwise(0)
+        ).alias("t2"),
+        F.sum(
+            F.when(
+                F.col("g1") & F.col("g2") & F.col("g3"), F.col("n_tokens")
+            ).otherwise(0)
+        ).alias("t3"),
+        F.sum(
+            F.when(
+                F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4"),
+                F.col("n_tokens"),
+            ).otherwise(0)
+        ).alias("t4"),
+    )
+    return panel.selectExpr(
+        "stack(4, "
+        "1L, 'min_tokens', f1, c1, t1, "
+        "2L, 'alpha_ratio', f2, c2, t2, "
+        "3L, 'stopword_ratio', f3, c3, t3, "
+        "4L, 'mean_token_len', f4, c4, t4"
+        ") AS (gate_idx, gate, n_fail_alone, n_pass_cum, tokens_pass_cum)"
+    ).orderBy("gate_idx")

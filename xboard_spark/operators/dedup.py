@@ -649,3 +649,100 @@ def source_contamination_matrix(
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+def canonical_docs(
+    documents: DataFrame,
+    n: int = 3,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    tau: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Cluster-representative selection — the step that turns near-dup
+    CLUSTERS into a keep/drop decision: per connected component of the
+    verified MinHash pair graph, keep the member with the most tokens
+    (tie -> smallest doc_id), the standard keep-the-richest-copy policy
+    (vs dedup_clusters' min-id label, which is a canonical LABEL, not a
+    quality judgement). Returns one row per cluster:
+    (cluster_id, rep_doc_id, rep_tokens, n_members, n_removed).
+
+    Scale shape: the cluster frame is tiny relative to the corpus (only
+    docs in >= 1 near-dup pair); the token-count join touches only those
+    docs (join keyed on doc_id — broadcastable at any realistic dup
+    rate), and representative selection is a per-cluster window over the
+    small frame. The expensive part remains the shared, cached MinHash
+    pair stack."""
+    from pyspark.sql import Window
+
+    from xboard_spark.operators.text import token_count_col
+
+    clusters = dedup_clusters(documents, n, n_perms, n_bands, tau, max_df)
+    toks = documents.select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )
+    joined = clusters.join(toks, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_tokens").alias("rep_tokens"),
+            F.col("cluster_size").cast("long").alias("n_members"),
+            (F.col("cluster_size") - 1).cast("long").alias("n_removed"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def ngram_novelty(
+    documents: DataFrame,
+    test_pct: int = 10,
+    n: int = 3,
+    max_df: int = 100,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY score for the held-out split: the
+    fraction of a test document's (df-capped) shingles NOT present
+    anywhere in the training split — the continuous memorization-risk
+    companion to ``decontamination_check`` (which flags discrete
+    test-train PAIRS; this scores every test doc even when no single
+    training doc clears the pair threshold). Returns
+    (doc_id, n_shingles, n_overlap, novelty) for every test-split doc
+    with at least one indexed shingle.
+
+    Scale shape: reuses the hash split (leakage-stable) and the shared
+    persisted shingle index; the probe is a left join keyed on shingle
+    fingerprint against the DISTINCT train-shingle set. At 100 TB the
+    distinct-fp set is large but uniformly hash-partitioned (fps are
+    64-bit fingerprints — no key skew by construction); a bloom filter on
+    the train side turns the probe into a scan-local test if the join
+    ever dominates."""
+    from xboard_spark.operators.sampling import with_split
+
+    split = with_split(documents, test_pct).select("doc_id", "split")
+    inv = cached_filtered_index(documents, n, max_df).join(split, "doc_id")
+    train_fps = (
+        inv.filter(F.col("split") == "train").select("shfp").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    test = inv.filter(F.col("split") == "test").select("doc_id", "shfp")
+    probed = test.join(train_fps, "shfp", "left")
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+        .withColumn(
+            "novelty",
+            F.lit(1.0)
+            - F.col("n_overlap").cast("double") / F.col("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )

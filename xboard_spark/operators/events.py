@@ -557,3 +557,40 @@ def winsorized_stats(events: DataFrame) -> DataFrame:
         .select("event_type", "n_values", "lo", "hi", "winsorized_mean")
         .orderBy("event_type")
     )
+
+
+def activity_heatmap(events: DataFrame) -> DataFrame:
+    """Day-of-week x hour-of-day activity profile: event count, distinct
+    users, and share of total traffic per cell — the seasonality panel an
+    event pipeline uses for capacity planning and anomaly baselines.
+
+    Scale shape: one scan -> partial/final hash aggregate on a 168-cell
+    key space (no skew possible: the key domain is bounded); the share
+    denominator is a global window over the POST-AGGREGATE 168-row frame
+    (not a second scan of events — the single-partition window is bounded
+    by the key domain, not the data). dow is Spark's ``dayofweek``
+    (1=Sunday..7); the DuckDB twin shifts its 0-based ``dayofweek`` by +1
+    to match."""
+    cells = (
+        events.select(
+            F.dayofweek("ts").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+            "user_id",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        cells.select(
+            "dow",
+            "hour",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_users").cast("long").alias("n_users"),
+            (F.col("n_events") / F.sum("n_events").over(w)).alias("share"),
+        )
+        .orderBy("dow", "hour")
+    )

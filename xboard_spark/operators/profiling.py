@@ -142,3 +142,32 @@ def value_drift_psi(events: DataFrame, n_buckets: int = 10) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def key_skew_profile(df: DataFrame, key: str = "o_custkey", top: int = 20) -> DataFrame:
+    """Join/aggregation-key SKEW diagnostic: the top-N heaviest keys with
+    their share of all rows — the panel you read before deciding whether a
+    key needs salting (``operators.skew``) or AQE skew-join handling.
+    Returns (rank, key, n_rows, share) ordered by weight.
+
+    Scale shape: one scan -> per-key partial/final hash aggregate; the
+    global total folds the SAME aggregated frame a second time (tiny: one
+    row per distinct key, and Spark reuses the exchange); top-N plans as
+    TakeOrderedAndProject, and the rank window runs over the N-row result,
+    never the full key frame."""
+    kc = df.groupBy(F.col(key).alias("key")).agg(F.count("*").alias("n_rows"))
+    total = kc.agg(F.sum("n_rows").alias("_total"))
+    topk = (
+        kc.orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top)
+        .crossJoin(F.broadcast(total))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    return topk.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "key",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") / F.col("_total")).alias("share"),
+    ).orderBy("rank")

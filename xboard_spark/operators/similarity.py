@@ -1039,3 +1039,44 @@ def knn_rrf(
         )
         .orderBy("q_id", "rank")
     )
+
+
+def semantic_decontam(
+    embeddings: DataFrame, n_test: int = 50, tau: float = 0.9
+) -> DataFrame:
+    """Embedding-space decontamination: for each held-out vector (the
+    first ``n_test`` by vec_id — mirroring the deterministic query-set
+    convention of ``knn_bruteforce``), the single nearest TRAINING vector
+    by cosine and a contamination flag (cosine >= ``tau``) — the semantic
+    complement to the n-gram overlap checks in ``dedup``: paraphrased or
+    re-tokenized training copies that share no shingles still collide in
+    embedding space.
+
+    Scale shape: identical to knn_bruteforce — the held-out set broadcasts
+    (benchmarks are tiny vs the corpus), the training corpus streams
+    through one scan scoring against the broadcast side, and the per-query
+    argmax is a k=1 top-k (partial per partition, final per q_id). No
+    corpus shuffle; at 100 TB this is the plan you'd run."""
+    corpus = _norm_corpus(embeddings)
+    test = corpus.filter(F.col("vec_id") < n_test).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q"),
+        F.col("v_norm").alias("q_norm"),
+    )
+    train = corpus.filter(F.col("vec_id") >= n_test)
+    scored = train.crossJoin(F.broadcast(test)).withColumn(
+        "cosine",
+        _dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm")),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("train_id"),
+            F.round("cosine", 6).alias("max_cosine"),
+            (F.col("cosine") >= tau).cast("long").alias("is_contaminated"),
+        )
+        .orderBy("q_id")
+    )

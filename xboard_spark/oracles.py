@@ -1262,6 +1262,171 @@ SELECT source, count(*) AS n_docs,
 FROM counts GROUP BY source ORDER BY source"""
 
 
+def filter_funnel_sql() -> str:
+    """Mirrors curation.filter_funnel — generated from the SAME gate
+    constants (FUNNEL_*) so the two sides cannot drift independently."""
+    from xboard_spark.operators.curation import (
+        FUNNEL_MIN_ALPHA_RATIO,
+        FUNNEL_MIN_STOPWORD_RATIO,
+        FUNNEL_MIN_TOKENS,
+        FUNNEL_TOKEN_LEN_RANGE,
+    )
+
+    lo, hi = FUNNEL_TOKEN_LEN_RANGE
+    stop = ", ".join(repr(w) for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH feats AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tokens,
+         length(text)::BIGINT AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha
+  FROM documents
+),
+gates AS (
+  SELECT len(tokens)::BIGINT AS n_tokens,
+         (len(tokens) >= {FUNNEL_MIN_TOKENS}) AS g1,
+         (n_alpha / greatest(n_chars, 1) >= {FUNNEL_MIN_ALPHA_RATIO}) AS g2,
+         (len(list_filter(tokens, t -> t IN ({stop})))
+            / greatest(len(tokens), 1) >= {FUNNEL_MIN_STOPWORD_RATIO}) AS g3,
+         (coalesce(list_sum(list_transform(tokens, t -> length(t))), 0)
+            / greatest(len(tokens), 1) BETWEEN {lo} AND {hi}) AS g4
+  FROM feats
+),
+agg AS (
+  SELECT
+    sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+    sum(CASE WHEN NOT g2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+    sum(CASE WHEN NOT g3 THEN 1 ELSE 0 END)::BIGINT AS f3,
+    sum(CASE WHEN NOT g4 THEN 1 ELSE 0 END)::BIGINT AS f4,
+    sum(CASE WHEN g1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+    sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END)::BIGINT AS c2,
+    sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)::BIGINT AS c3,
+    sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)::BIGINT AS c4,
+    sum(CASE WHEN g1 THEN n_tokens ELSE 0 END)::BIGINT AS t1,
+    sum(CASE WHEN g1 AND g2 THEN n_tokens ELSE 0 END)::BIGINT AS t2,
+    sum(CASE WHEN g1 AND g2 AND g3 THEN n_tokens ELSE 0 END)::BIGINT AS t3,
+    sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN n_tokens ELSE 0 END)::BIGINT
+      AS t4
+  FROM gates
+)
+SELECT * FROM (
+  SELECT 1::BIGINT AS gate_idx, 'min_tokens' AS gate,
+         f1 AS n_fail_alone, c1 AS n_pass_cum, t1 AS tokens_pass_cum FROM agg
+  UNION ALL
+  SELECT 2::BIGINT, 'alpha_ratio', f2, c2, t2 FROM agg
+  UNION ALL
+  SELECT 3::BIGINT, 'stopword_ratio', f3, c3, t3 FROM agg
+  UNION ALL
+  SELECT 4::BIGINT, 'mean_token_len', f4, c4, t4 FROM agg
+) ORDER BY gate_idx"""
+
+
+def canonical_docs_sql(
+    n: int = 3,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    tau: float = 0.5,
+    max_df: int = 100,
+) -> str:
+    """Mirrors dedup.canonical_docs: the dedup_clusters recursive
+    fixpoint, then per-cluster representative = max tokens, tie -> min
+    doc_id."""
+    return f"""
+WITH RECURSIVE {_minhash_stack(n, n_perms, n_bands, max_df)},
+dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {tau}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM dup
+  UNION ALL
+  SELECT doc_b, doc_a FROM dup
+),
+reach(v, m) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT r.v, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+lab AS (SELECT v AS doc_id, min(m) AS cluster_id FROM reach GROUP BY v),
+toks AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT
+           AS n_tokens
+  FROM documents
+),
+sized AS (
+  SELECT lab.cluster_id, lab.doc_id, toks.n_tokens,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_tokens DESC, lab.doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM lab JOIN toks USING (doc_id)
+)
+SELECT cluster_id, doc_id AS rep_doc_id, n_tokens AS rep_tokens,
+       n_members::BIGINT AS n_members, (n_members - 1)::BIGINT AS n_removed
+FROM sized WHERE rn = 1 ORDER BY cluster_id"""
+
+
+def ngram_novelty_sql(
+    test_pct: int = 10,
+    n: int = 3,
+    max_df: int = 100,
+    salt: str = "split-v1",
+) -> str:
+    """Mirrors dedup.ngram_novelty: per test-split doc, fraction of its
+    df-capped shingles absent from the train split."""
+    fp = _fp(f"concat_ws(':', '{salt}', doc_id)")
+    return f"""
+WITH {_docs_cte(n)},
+{_inv_cte(max_df)},
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {fp} % 100 < {test_pct} THEN 'test' ELSE 'train' END AS split
+  FROM documents
+),
+trs AS (
+  SELECT DISTINCT shfp FROM inv JOIN sp USING (doc_id) WHERE split = 'train'
+),
+te AS (
+  SELECT inv.doc_id AS doc_id, inv.shfp
+  FROM inv JOIN sp USING (doc_id) WHERE split = 'test'
+)
+SELECT te.doc_id, count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN trs.shfp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_overlap,
+       1.0 - sum(CASE WHEN trs.shfp IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+               / count(*) AS novelty
+FROM te LEFT JOIN trs ON te.shfp = trs.shfp
+GROUP BY te.doc_id ORDER BY te.doc_id"""
+
+
+def semantic_decontam_sql(n_test: int = 50, tau: float = 0.9) -> str:
+    """Mirrors similarity.semantic_decontam: nearest training vector per
+    held-out vector, contamination flag at cosine >= tau."""
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS v_norm FROM corpus
+),
+te AS (
+  SELECT vec_id AS q_id, v AS q, v_norm AS q_norm FROM norms
+  WHERE vec_id < {n_test}
+),
+tr AS (SELECT vec_id, v, v_norm FROM norms WHERE vec_id >= {n_test}),
+scored AS (
+  SELECT q_id, vec_id,
+         list_dot_product(tr.v, te.q) / (tr.v_norm * te.q_norm) AS cosine
+  FROM tr CROSS JOIN te
+),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT q_id, vec_id AS train_id, round(cosine, 6) AS max_cosine,
+       (CASE WHEN cosine >= {tau} THEN 1 ELSE 0 END)::BIGINT
+         AS is_contaminated
+FROM ranked WHERE rn = 1 ORDER BY q_id"""
+
+
 # ------------------------------------------------------- static oracle SQL
 
 EVENTS_TS = "ts::TIMESTAMP"
@@ -1548,6 +1713,21 @@ FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "part_pagerank": part_pagerank_sql(),
         "keyword_pagerank": keyword_pagerank_sql(),
         "truncation_recall": truncation_recall_sql(),
+        "filter_funnel": filter_funnel_sql(),
+        "canonical_docs": canonical_docs_sql(),
+        "ngram_novelty": ngram_novelty_sql(),
+        "semantic_decontam": semantic_decontam_sql(),
+        "activity_heatmap": f"""
+WITH cells AS (
+  SELECT (dayofweek({EVENTS_TS}) + 1)::BIGINT AS dow,
+         hour({EVENTS_TS})::BIGINT AS hour,
+         count(*)::BIGINT AS n_events,
+         count(DISTINCT user_id)::BIGINT AS n_users
+  FROM events GROUP BY 1, 2
+)
+SELECT dow, hour, n_events, n_users,
+       n_events / sum(n_events) OVER () AS share
+FROM cells ORDER BY dow, hour""",
         "knn_rrf": """
 WITH corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
