@@ -194,6 +194,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_heatmap": lambda s, d: events.activity_heatmap(
             _t(s, d, "events")
         ),
+        "key_skew_profile": lambda s, d: profiling.key_skew_profile(
+            _t(s, d, "orders")
+        ),
+        "traffic_anomalies": lambda s, d: events.traffic_anomalies(
+            _t(s, d, "events")
+        ),
+        "temporal_split_audit": lambda s, d: events.temporal_split_audit(
+            _t(s, d, "events")
+        ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(
             _t(s, d, "events")

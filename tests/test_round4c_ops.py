@@ -164,3 +164,66 @@ def test_activity_heatmap_planted(spark):
     assert cells[(1, 13)].n_events == 3 and cells[(1, 13)].n_users == 2
     assert cells[(2, 1)].n_events == 1 and cells[(2, 1)].n_users == 1
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-12
+
+
+def test_key_skew_profile_planted(spark):
+    from xboard_spark.operators.profiling import key_skew_profile
+
+    rows = [(i, 7) for i in range(5)] + [(10, 3), (11, 3), (12, 9)]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_custkey long")
+    out = key_skew_profile(df, key="o_custkey", top=2).collect()
+    assert [(r.rank, r.key, r.n_rows) for r in out] == [(1, 7, 5), (2, 3, 2)]
+    assert abs(out[0].share - 5 / 8) < 1e-12
+    assert abs(out[1].share - 2 / 8) < 1e-12
+
+
+def _mkev(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_traffic_anomalies_planted(spark):
+    import datetime as dt
+
+    rows, eid = [], 0
+    # hour 13: counts [10,10,10,10,30] across 5 days -> day-5 z = +2.0
+    for day in range(1, 6):
+        n = 30 if day == 5 else 10
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, dt.datetime(2026, 8, day, 13, 0), 1, "view", 1.0, "{}"))
+    # hour 7: constant counts -> std 0 -> never flagged
+    for day in range(1, 6):
+        eid += 1
+        rows.append((eid, dt.datetime(2026, 8, day, 7, 0), 1, "view", 1.0, "{}"))
+    out = events.traffic_anomalies(_mkev(spark, rows), z=2.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.event_date, r.hour, r.n_events) == (dt.date(2026, 8, 5), 13, 30)
+    assert abs(r.hour_mean - 14.0) < 1e-12
+    assert abs(r.hour_std - 8.0) < 1e-12
+    assert abs(r.zscore - 2.0) < 1e-12
+
+
+def test_temporal_split_audit_planted(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        (1, t(0), 1, "view", 1.0, "{}"),
+        (2, t(1), 1, "view", 1.0, "{}"),
+        (3, t(2), 1, "view", 1.0, "{}"),
+        (4, t(3), 1, "view", 1.0, "{}"),
+        (5, t(100), 2, "view", 1.0, "{}"),
+        (6, t(101), 2, "view", 1.0, "{}"),
+        (7, t(4), 3, "view", 1.0, "{}"),
+        (8, t(102), 3, "view", 1.0, "{}"),
+    ]
+    # sorted seconds [0,1,2,3,4,100,101,102]; p80 idx 5.6 -> 100.6s cutoff
+    r = events.temporal_split_audit(_mkev(spark, rows), train_frac=0.8).collect()[0]
+    assert r.n_train_events == 6 and r.n_test_events == 2
+    assert r.n_train_users == 3 and r.n_test_users == 2
+    assert r.n_leaky_users == 2  # users 2 and 3 straddle the cutoff

@@ -594,3 +594,87 @@ def activity_heatmap(events: DataFrame) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+def traffic_anomalies(events: DataFrame, z: float = 2.0) -> DataFrame:
+    """Hourly traffic anomaly scan: each (date, hour) bucket's event count
+    scored against the mean/std of the SAME hour-of-day across all days —
+    the seasonal baseline from ``activity_heatmap`` turned into an alerting
+    panel. Returns anomalous buckets (|z| >= ``z``) with their hour-of-day
+    baseline. Variance is computed from exact integer sums (n, sum, sum of
+    squares) so both engines evaluate the identical double expression tree
+    — population variance, guarded at 0 for single-day hours.
+
+    Scale shape: one scan -> (date, hour) hash agg (bounded by days x 24
+    keys), a second tiny agg per hour-of-day (24 keys), broadcast join
+    back. No window over raw events."""
+    buckets = (
+        events.select(
+            F.to_date("ts").alias("event_date"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .groupBy("event_date", "hour")
+        .agg(F.count("*").alias("n_events"))
+    )
+    base = buckets.groupBy("hour").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    var = F.col("s2").cast("double") / F.col("n_days") - mean * mean
+    scored = buckets.join(F.broadcast(base), "hour").select(
+        "event_date",
+        "hour",
+        F.col("n_events").cast("long").alias("n_events"),
+        mean.alias("hour_mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("hour_std"),
+    )
+    zscore = (F.col("n_events") - F.col("hour_mean")) / F.col("hour_std")
+    return (
+        scored.filter(
+            (F.col("hour_std") > 0) & (F.abs(zscore) >= z)
+        )
+        .withColumn("zscore", zscore)
+        .orderBy("event_date", "hour")
+    )
+
+
+def temporal_split_audit(events: DataFrame, train_frac: float = 0.8) -> DataFrame:
+    """Time-based train/test split audit: cut the event timeline at the
+    exact interpolated ``train_frac`` quantile of event time and report the
+    one-row hygiene panel a temporal-split training pipeline checks before
+    trusting an evaluation: sizes of both sides plus the count of users
+    active on BOTH sides (the population whose behavior leaks across the
+    boundary — fine for forecasting, fatal for user-level generalization
+    claims). Cutoff is floored to whole microseconds so both engines
+    compare against the identical integer.
+
+    Scale shape: the quantile is one aggregate (exact here; the
+    approx_percentile sketch is the drop-in at 100 TB), broadcast as a
+    1-row frame; the audit is then one scan -> per-user agg -> 1-row
+    rollup."""
+    micros = F.unix_micros(F.col("ts"))
+    cut = events.agg(
+        F.floor(F.expr(f"percentile(unix_micros(ts), {train_frac})"))
+        .cast("long")
+        .alias("cut_us")
+    )
+    per_user = (
+        events.select("user_id", micros.alias("us"))
+        .crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("us") < F.col("cut_us")).cast("long")).alias("n_tr"),
+            F.sum((F.col("us") >= F.col("cut_us")).cast("long")).alias("n_te"),
+        )
+    )
+    return per_user.agg(
+        F.sum("n_tr").cast("long").alias("n_train_events"),
+        F.sum("n_te").cast("long").alias("n_test_events"),
+        F.sum((F.col("n_tr") > 0).cast("long")).alias("n_train_users"),
+        F.sum((F.col("n_te") > 0).cast("long")).alias("n_test_users"),
+        F.sum(((F.col("n_tr") > 0) & (F.col("n_te") > 0)).cast("long")).alias(
+            "n_leaky_users"
+        ),
+    )

@@ -1713,6 +1713,62 @@ FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "part_pagerank": part_pagerank_sql(),
         "keyword_pagerank": keyword_pagerank_sql(),
         "truncation_recall": truncation_recall_sql(),
+        "key_skew_profile": """
+WITH kc AS (
+  SELECT o_custkey AS key, count(*)::BIGINT AS n_rows FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(n_rows)::BIGINT AS total FROM kc),
+topk AS (
+  SELECT key, n_rows FROM kc ORDER BY n_rows DESC, key LIMIT 20
+)
+SELECT row_number() OVER (ORDER BY n_rows DESC, key)::BIGINT AS rank,
+       key, n_rows, n_rows / total AS share
+FROM topk, tot ORDER BY rank""",
+        "traffic_anomalies": f"""
+WITH b AS (
+  SELECT CAST({EVENTS_TS} AS DATE) AS event_date,
+         hour({EVENTS_TS})::BIGINT AS hour,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT hour, count(*)::BIGINT AS n_days, sum(n_events)::BIGINT AS s1,
+         sum(n_events * n_events)::BIGINT AS s2
+  FROM b GROUP BY 1
+),
+sc AS (
+  SELECT event_date, b.hour AS hour, n_events,
+         s1::DOUBLE / n_days AS hour_mean,
+         sqrt(greatest(s2::DOUBLE / n_days
+                       - (s1::DOUBLE / n_days) * (s1::DOUBLE / n_days),
+                       0.0)) AS hour_std
+  FROM b JOIN base ON b.hour = base.hour
+)
+SELECT event_date, hour, n_events, hour_mean, hour_std,
+       (n_events - hour_mean) / hour_std AS zscore
+FROM sc
+WHERE hour_std > 0 AND abs((n_events - hour_mean) / hour_std) >= 2.0
+ORDER BY event_date, hour""",
+        "temporal_split_audit": f"""
+WITH cut AS (
+  SELECT floor(quantile_cont(epoch_us({EVENTS_TS}), 0.8))::BIGINT AS cut_us
+  FROM events
+),
+pu AS (
+  SELECT user_id,
+         sum(CASE WHEN epoch_us({EVENTS_TS}) < cut_us
+                  THEN 1 ELSE 0 END)::BIGINT AS n_tr,
+         sum(CASE WHEN epoch_us({EVENTS_TS}) >= cut_us
+                  THEN 1 ELSE 0 END)::BIGINT AS n_te
+  FROM events, cut GROUP BY 1
+)
+SELECT sum(n_tr)::BIGINT AS n_train_events,
+       sum(n_te)::BIGINT AS n_test_events,
+       sum(CASE WHEN n_tr > 0 THEN 1 ELSE 0 END)::BIGINT AS n_train_users,
+       sum(CASE WHEN n_te > 0 THEN 1 ELSE 0 END)::BIGINT AS n_test_users,
+       sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_leaky_users
+FROM pu""",
         "filter_funnel": filter_funnel_sql(),
         "canonical_docs": canonical_docs_sql(),
         "ngram_novelty": ngram_novelty_sql(),
