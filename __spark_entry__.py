@@ -203,6 +203,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split_audit": lambda s, d: events.temporal_split_audit(
             _t(s, d, "events")
         ),
+        "session_paths": lambda s, d: events.session_paths(
+            _t(s, d, "events")
+        ),
+        "shipping_lag_stats": lambda s, d: tpch.shipping_lag_stats(
+            _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "lsh_candidate_profile": lambda s, d: dedup.lsh_candidate_profile(
+            _t(s, d, "documents")
+        ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(
             _t(s, d, "events")

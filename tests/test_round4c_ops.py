@@ -227,3 +227,78 @@ def test_temporal_split_audit_planted(spark):
     assert r.n_train_events == 6 and r.n_test_events == 2
     assert r.n_train_users == 3 and r.n_test_users == 2
     assert r.n_leaky_users == 2  # users 2 and 3 straddle the cutoff
+
+
+def test_session_paths_planted(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 3, 1, 10, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # user 1 session A: 4 events, path truncated to first 3
+        (1, m(0), 1, "view", 1.0, "{}"),
+        (2, m(1), 1, "click", 1.0, "{}"),
+        (3, m(2), 1, "purchase", 1.0, "{}"),
+        (4, m(3), 1, "error", 1.0, "{}"),
+        # user 1 session B after a 40-minute gap
+        (5, m(43), 1, "view", 1.0, "{}"),
+        # user 2: single-event session
+        (6, m(0), 2, "view", 1.0, "{}"),
+    ]
+    out = [(r.path, r.n_sessions) for r in events.session_paths(_mkev(spark, rows)).collect()]
+    assert out == [("view", 2), ("view>click>purchase", 1)]
+
+
+def test_session_paths_tie_on_simultaneous_events(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 3, 1, 10, 0)
+    # identical ts -> event_id breaks the order deterministically
+    rows = [
+        (2, t0, 1, "click", 1.0, "{}"),
+        (1, t0, 1, "view", 1.0, "{}"),
+    ]
+    out = events.session_paths(_mkev(spark, rows)).collect()
+    assert out[0].path == "view>click"
+
+
+def test_shipping_lag_stats_planted(spark):
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, dt.datetime(2026, 1, 1), "1-URGENT"),
+            (2, 11, "O", 100.0, dt.datetime(2026, 1, 1), "2-HIGH"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, dt.datetime(2026, 1, 3)),
+            (1, dt.datetime(2026, 1, 5)),
+            (2, dt.datetime(2026, 1, 2)),
+        ],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    from xboard_spark.operators import tpch
+
+    out = {r.o_orderpriority: r for r in tpch.shipping_lag_stats(orders, li).collect()}
+    u = out["1-URGENT"]
+    assert (u.n_items, u.total_lag_days, u.max_lag_days) == (2, 6, 4)
+    assert abs(u.avg_lag_days - 3.0) < 1e-12
+    assert out["2-HIGH"].n_items == 1 and out["2-HIGH"].max_lag_days == 1
+
+
+def test_lsh_candidate_profile_planted(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = _mkdocs(
+        spark,
+        [
+            (1, base, "en", "web"),
+            (2, base, "en", "web"),  # identical -> candidate, jaccard 1.0
+            (3, " ".join(f"other{i}" for i in range(40)), "en", "web"),
+        ],
+    )
+    out = {r.decile: r.n_pairs for r in dedup.lsh_candidate_profile(docs).collect()}
+    assert out == {10: 1}

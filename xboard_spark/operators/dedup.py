@@ -746,3 +746,31 @@ def ngram_novelty(
         )
         .orderBy("doc_id")
     )
+
+
+def lsh_candidate_profile(
+    documents: DataFrame,
+    n: int = 3,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    max_df: int = 100,
+) -> DataFrame:
+    """LSH index-quality audit: the exact-Jaccard histogram (decile
+    buckets) of EVERY candidate pair the banding emits, before any
+    threshold — the panel that tells you whether the (n_perms, n_bands)
+    operating point is generating mostly-junk candidates (mass in low
+    deciles = wasted verify work; missing high-decile mass vs
+    ngram_jaccard_pairs = recall loss). Reuses the tau-independent cached
+    candidate set, so the audit is a per-row bucket + tiny agg on top of
+    work the dedup pipeline already did.
+
+    Jaccard is shared/(n_a+n_b-shared) from integer counts — bit-identical
+    across engines, so the decile floor is deterministic."""
+    cands = minhash_dedup_pairs(documents, n, n_perms, n_bands, 0.0, max_df)
+    return (
+        cands.groupBy(
+            F.floor(F.col("jaccard") * 10).cast("long").alias("decile")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("decile")
+    )

@@ -678,3 +678,57 @@ def temporal_split_audit(events: DataFrame, train_frac: float = 0.8) -> DataFram
             "n_leaky_users"
         ),
     )
+
+
+def session_paths(
+    events: DataFrame, gap_minutes: int = 30, depth: int = 3, top: int = 20
+) -> DataFrame:
+    """Top session-opening paths: the first ``depth`` event types of each
+    session (same gaps-and-islands session definition as ``sessionize``),
+    concatenated into a path string, counted, top-N — the classic
+    product-analytics "how do sessions start" panel.
+
+    Scale shape: one shuffle on user_id that every window reuses (lag,
+    running session sum, per-session row_number), then a hash agg keyed on
+    (user_id, session_seq), a hash agg on path, and a distributed top-N
+    (TakeOrderedAndProject). The per-session event-struct sort is bounded
+    at ``depth`` rows per session after the rn filter."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(by_user)
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            prev_ts.isNull()
+            | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("session_seq", F.sum("new_session").over(by_user))
+    per_sess = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    firsts = flagged.withColumn("rn", F.row_number().over(per_sess)).filter(
+        F.col("rn") <= depth
+    )
+    paths = (
+        firsts.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(top)
+    )

@@ -352,3 +352,31 @@ def basket_pairs(lineitem: DataFrame, top: int = 20) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(top)
     )
+
+
+def shipping_lag_stats(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order-to-ship lag per order priority: the fulfillment-latency panel
+    over the two biggest tables. Lag is whole days (DATE(l_shipdate) -
+    DATE(o_orderdate)); the mean is the exact integer-sum division both
+    engines evaluate identically.
+
+    Scale shape: large-large equi-join on the orderkey — sort-merge with
+    both sides hash-partitioned on the key (the join neither side can
+    broadcast at 100 TB; bucketing both tables on orderkey, as
+    tests/test_bucketing.py demonstrates, removes the shuffle entirely),
+    then a 5-key hash aggregate."""
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderpriority", lag.alias("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("lag_days").cast("long").alias("total_lag_days"),
+            (F.sum("lag_days").cast("double") / F.count("*")).alias(
+                "avg_lag_days"
+            ),
+            F.max("lag_days").cast("long").alias("max_lag_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

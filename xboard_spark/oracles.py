@@ -1713,6 +1713,51 @@ FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "part_pagerank": part_pagerank_sql(),
         "keyword_pagerank": keyword_pagerank_sql(),
         "truncation_recall": truncation_recall_sql(),
+        "session_paths": f"""
+WITH e AS (
+  SELECT user_id, {EVENTS_TS} AS ts, event_id, event_type FROM events
+),
+f AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM f
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+                               ORDER BY ts, event_id) AS rn
+  FROM s
+),
+p AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id, session_seq
+)
+SELECT path, count(*)::BIGINT AS n_sessions
+FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""",
+        "shipping_lag_stats": """
+WITH lagged AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS lag_days
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_items,
+       sum(lag_days)::BIGINT AS total_lag_days,
+       sum(lag_days)::DOUBLE / count(*) AS avg_lag_days,
+       max(lag_days)::BIGINT AS max_lag_days
+FROM lagged GROUP BY 1 ORDER BY 1""",
+        "lsh_candidate_profile": f"""
+WITH {_minhash_stack(3, N_PERMS, N_BANDS, 100)}
+SELECT floor(jaccard * 10)::BIGINT AS decile, count(*)::BIGINT AS n_pairs
+FROM pairs GROUP BY 1 ORDER BY 1""",
         "key_skew_profile": """
 WITH kc AS (
   SELECT o_custkey AS key, count(*)::BIGINT AS n_rows FROM orders GROUP BY 1
