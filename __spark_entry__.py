@@ -23,6 +23,7 @@ from xboard_spark.operators import (
     curation,
     dedup,
     events,
+    governance,
     graph,
     incremental,
     linkage,
@@ -211,6 +212,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "lsh_candidate_profile": lambda s, d: dedup.lsh_candidate_profile(
             _t(s, d, "documents")
+        ),
+        "fk_integrity_audit": lambda s, d: profiling.fk_integrity_audit(
+            _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer")
+        ),
+        "volume_gaps": lambda s, d: profiling.volume_gaps(_t(s, d, "events")),
+        "user_erasure_audit": lambda s, d: governance.user_erasure_audit(
+            _t(s, d, "events"), _t(s, d, "orders")
+        ),
+        "quantile_sketch_error": lambda s, d: events.quantile_sketch_error(
+            _t(s, d, "events")
         ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(

@@ -89,6 +89,19 @@ EXTENDED = [
     "keyword_pagerank",
     "vocab_coverage",
     "char_lm_fluency",
+    "truncation_recall",
+    "knn_rrf",
+    "filter_funnel",
+    "canonical_docs",
+    "ngram_novelty",
+    "semantic_decontam",
+    "activity_heatmap",
+    "key_skew_profile",
+    "traffic_anomalies",
+    "temporal_split_audit",
+    "session_paths",
+    "shipping_lag_stats",
+    "lsh_candidate_profile",
 ]
 
 

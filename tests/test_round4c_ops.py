@@ -302,3 +302,84 @@ def test_lsh_candidate_profile_planted(spark):
     )
     out = {r.decile: r.n_pairs for r in dedup.lsh_candidate_profile(docs).collect()}
     assert out == {10: 1}
+
+
+def test_fk_integrity_audit_planted(spark):
+    import datetime as dt
+
+    from xboard_spark.operators.profiling import fk_integrity_audit
+
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99)],  # custkey 99 has no customer row
+        "o_orderkey long, o_custkey long",
+    )
+    li = spark.createDataFrame(
+        [(1,), (1,), (2,), (7,)],  # orderkey 7 is an orphan
+        "l_orderkey long",
+    )
+    cust = spark.createDataFrame([(10,)], "c_custkey long")
+    out = {r.relationship: r for r in fk_integrity_audit(li, orders, cust).collect()}
+    assert out["lineitem->orders"].n_child_rows == 4
+    assert out["lineitem->orders"].n_orphans == 1
+    assert out["orders->customer"].n_child_rows == 3
+    assert out["orders->customer"].n_orphans == 1
+    assert dt is not None
+
+
+def test_volume_gaps_planted(spark):
+    import datetime as dt
+
+    from xboard_spark.operators.profiling import volume_gaps
+
+    rows, eid = [], 0
+    # day 1: 10 events, day 2: 10 (healthy), day 5: 30 (gap + spike)
+    for day, n in [(1, 10), (2, 10), (5, 30)]:
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2026, 5, day, 12, 0), 1, "view", 1.0, "{}")
+            )
+    out = {r.event_date: r for r in volume_gaps(_mkev(spark, rows)).collect()}
+    assert len(out) == 3
+    d1 = out[dt.date(2026, 5, 1)]
+    assert d1.is_anomaly == 0 and d1.prev_date is None
+    d2 = out[dt.date(2026, 5, 2)]
+    assert d2.is_anomaly == 0 and abs(d2.dod_ratio - 1.0) < 1e-12
+    d5 = out[dt.date(2026, 5, 5)]
+    assert d5.is_anomaly == 1 and d5.gap_days == 3 and d5.dod_ratio == 3.0
+
+
+def test_user_erasure_roundtrip(spark):
+    from xboard_spark.operators.governance import erase_users, user_erasure_audit
+
+    ev = _mkev(
+        spark,
+        [
+            (1, __import__("datetime").datetime(2026, 1, 1), 97, "view", 1.0, "{}"),
+            (2, __import__("datetime").datetime(2026, 1, 1), 5, "view", 1.0, "{}"),
+            (3, __import__("datetime").datetime(2026, 1, 1), 194, "view", 1.0, "{}"),
+        ],
+    )
+    orders = spark.createDataFrame([(1, 97), (2, 3)], "o_orderkey long, o_custkey long")
+    audit = {r.table_name: r for r in user_erasure_audit(ev, orders).collect()}
+    assert audit["events"].n_in_scope == 2  # users 97, 194
+    assert audit["orders"].n_in_scope == 1
+    assert abs(audit["events"].scope_share - 2 / 3) < 1e-12
+    ids = spark.createDataFrame([(97,), (194,)], "id long")
+    left = erase_users(ev, "user_id", ids).select("user_id").collect()
+    assert sorted(r.user_id for r in left) == [5]
+
+
+def test_quantile_sketch_error_bounds(spark):
+    # values 1..1000 for one type: exact p50 = 500.5; sketch must land
+    # within the accuracy contract (rank error ~ n/accuracy = tiny here)
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2026, 1, 1), 1, "view", float(i % 1000 + 1), "{}")
+        for i in range(2000)
+    ]
+    r = events.quantile_sketch_error(_mkev(spark, rows)).collect()[0]
+    assert r.n_values == 2000
+    assert abs(r.exact_p50 - 500.5) < 1e-9
+    assert r.err_p50 <= 1.0 and r.err_p95 <= 1.0

@@ -732,3 +732,34 @@ def session_paths(
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(top)
     )
+
+
+def quantile_sketch_error(events: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """Sketch-accuracy panel: exact interpolated percentiles of ``value``
+    per event type next to the approx_percentile (KLL-style) estimates at
+    the given ``accuracy``, with absolute errors — the calibration report
+    that justifies replacing the exact per-group sort with the mergeable
+    sketch at 100 TB (the sketch is THE scalable path; this panel is how
+    you pick ``accuracy`` for a target error budget).
+
+    No oracle twin by design (sketch internals are engine-specific — same
+    contract as ``approx_cardinality``); the driver records a rows-only
+    check and pytest bounds the errors on planted data."""
+    ev = events.filter(F.col("value").isNotNull())
+    exact = lambda p: F.expr(f"percentile(value, {p})")  # noqa: E731
+    approx = lambda p: F.expr(  # noqa: E731
+        f"approx_percentile(value, {p}, {accuracy})"
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_values"),
+            exact(0.5).alias("exact_p50"),
+            approx(0.5).alias("approx_p50"),
+            exact(0.95).alias("exact_p95"),
+            approx(0.95).alias("approx_p95"),
+        )
+        .withColumn("err_p50", F.abs(F.col("approx_p50") - F.col("exact_p50")))
+        .withColumn("err_p95", F.abs(F.col("approx_p95") - F.col("exact_p95")))
+        .orderBy("event_type")
+    )

@@ -19,7 +19,7 @@ directly; doubles are 2dp-rounded before the cast so Java's
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -171,3 +171,84 @@ def key_skew_profile(df: DataFrame, key: str = "o_custkey", top: int = 20) -> Da
         F.col("n_rows").cast("long").alias("n_rows"),
         (F.col("n_rows") / F.col("_total")).alias("share"),
     ).orderBy("rank")
+
+
+def fk_integrity_audit(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Referential-integrity audit across the FK chain lineitem -> orders
+    -> customer -> nation-less tail: per relationship, child rowcount and
+    orphan count (child rows whose parent key is missing) — the
+    data-quality gate an ingest pipeline runs before trusting joins.
+
+    Scale shape: each relationship is ONE left join on the FK (the parent
+    side projected to its key column only, so the join carries minimal
+    payload; sort-merge for the large-large pair, broadcast when the
+    parent is small) folded into a 1-row aggregate; the relationships
+    union into a fixed 2-row panel."""
+    def _rel(child, parent_key_df, cond, name):
+        return (
+            child.join(parent_key_df, cond, "left")
+            .agg(
+                F.lit(name).alias("relationship"),
+                F.count("*").alias("n_child_rows"),
+                F.sum(
+                    parent_key_df[parent_key_df.columns[0]]
+                    .isNull()
+                    .cast("long")
+                ).alias("n_orphans"),
+            )
+        )
+
+    ok = orders.select("o_orderkey")
+    ck = customer.select("c_custkey")
+    r1 = _rel(
+        lineitem.select("l_orderkey"),
+        ok,
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "lineitem->orders",
+    )
+    r2 = _rel(
+        orders.select("o_custkey"),
+        ck,
+        F.col("o_custkey") == F.col("c_custkey"),
+        "orders->customer",
+    )
+    return r1.unionByName(r2).orderBy("relationship")
+
+
+def volume_gaps(events: DataFrame) -> DataFrame:
+    """Ingest-volume health scan: the full daily-count panel with each
+    day's day-over-day ratio, calendar gap to the previous observed day,
+    and an anomaly flag (volume halved/doubled, or days missing in
+    between) — the first monitor an ingestion pipeline grows. The whole
+    panel is returned (not just flagged days) so a healthy corpus still
+    yields a verifiable report.
+
+    Scale shape: one scan -> per-day hash agg (key domain bounded by the
+    calendar), then lag over the tiny daily frame (single-partition
+    window over ~365 rows/year of history, not over raw events)."""
+    daily = (
+        events.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.partitionBy().orderBy("event_date")
+    scanned = daily.select(
+        "event_date",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.lag("event_date").over(w).alias("prev_date"),
+        F.lag("n_events").over(w).cast("long").alias("prev_events"),
+    ).withColumn(
+        "gap_days", F.datediff("event_date", "prev_date").cast("long")
+    ).withColumn(
+        "dod_ratio", F.col("n_events") / F.col("prev_events")
+    )
+    anomaly = (
+        F.col("prev_date").isNotNull()
+        & (
+            (F.col("gap_days") > 1)
+            | (F.col("dod_ratio") < 0.5)
+            | (F.col("dod_ratio") > 2.0)
+        )
+    ).cast("long")
+    return scanned.withColumn("is_anomaly", anomaly).orderBy("event_date")

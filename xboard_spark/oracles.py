@@ -1713,6 +1713,53 @@ FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "part_pagerank": part_pagerank_sql(),
         "keyword_pagerank": keyword_pagerank_sql(),
         "truncation_recall": truncation_recall_sql(),
+        "fk_integrity_audit": """
+SELECT * FROM (
+  SELECT 'lineitem->orders' AS relationship, count(*)::BIGINT AS n_child_rows,
+         sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_orphans
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'orders->customer', count(*)::BIGINT,
+         sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+  FROM orders o2 LEFT JOIN customer c ON o2.o_custkey = c.c_custkey
+) ORDER BY relationship""",
+        "volume_gaps": f"""
+WITH daily AS (
+  SELECT CAST({EVENTS_TS} AS DATE) AS event_date, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1
+),
+scanned AS (
+  SELECT event_date, n_events,
+         lag(event_date) OVER w AS prev_date,
+         lag(n_events) OVER w AS prev_events
+  FROM daily WINDOW w AS (ORDER BY event_date)
+)
+SELECT event_date, n_events, prev_date, prev_events::BIGINT AS prev_events,
+       date_diff('day', prev_date, event_date)::BIGINT AS gap_days,
+       n_events / prev_events AS dod_ratio,
+       (CASE WHEN prev_date IS NOT NULL
+             AND (date_diff('day', prev_date, event_date) > 1
+                  OR n_events / prev_events < 0.5
+                  OR n_events / prev_events > 2.0)
+             THEN 1 ELSE 0 END)::BIGINT AS is_anomaly
+FROM scanned
+ORDER BY event_date""",
+        "user_erasure_audit": """
+SELECT * FROM (
+  SELECT 'events' AS table_name, count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)::BIGINT
+           AS n_in_scope,
+         sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)::DOUBLE
+           / count(*) AS scope_share
+  FROM events
+  UNION ALL
+  SELECT 'orders', count(*)::BIGINT,
+         sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END)::BIGINT,
+         sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END)::DOUBLE
+           / count(*)
+  FROM orders
+) ORDER BY table_name""",
         "session_paths": f"""
 WITH e AS (
   SELECT user_id, {EVENTS_TS} AS ts, event_id, event_type FROM events
