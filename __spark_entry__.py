@@ -223,6 +223,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_error": lambda s, d: events.quantile_sketch_error(
             _t(s, d, "events")
         ),
+        "ivf_delta_assign": lambda s, d: similarity.ivf_delta_assign(
+            _t(s, d, "embeddings")
+        ),
+        "brand_supplier_diversity": lambda s, d: tpch.brand_supplier_diversity(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(
             _t(s, d, "events")

@@ -102,6 +102,12 @@ EXTENDED = [
     "session_paths",
     "shipping_lag_stats",
     "lsh_candidate_profile",
+    "fk_integrity_audit",
+    "volume_gaps",
+    "user_erasure_audit",
+    "quantile_sketch_error",
+    "ivf_delta_assign",
+    "brand_supplier_diversity",
 ]
 
 

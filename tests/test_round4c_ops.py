@@ -383,3 +383,49 @@ def test_quantile_sketch_error_bounds(spark):
     assert r.n_values == 2000
     assert abs(r.exact_p50 - 500.5) < 1e-9
     assert r.err_p50 <= 1.0 and r.err_p95 <= 1.0
+
+
+def test_ivf_delta_assign_planted(spark):
+    # base: two clusters near +e1 and -e1 (ids < 100); new arrivals land
+    # in predictable cells and must NOT change base counts
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        v = np.zeros(8)
+        v[0] = 1.0 if i % 2 == 0 else -1.0
+        v += rng.normal(0, 0.01, 8)
+        rows.append((i, [float(x) for x in v], 0))
+    for i in range(100, 110):  # new arrivals, all near +e1
+        v = np.zeros(8)
+        v[0] = 1.0
+        v += rng.normal(0, 0.01, 8)
+        rows.append((i, [float(x) for x in v], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.ivf_delta_assign(emb, watermark=100, n_cells=4)
+    rows_out = out.collect()
+    assert sum(r.n_base for r in rows_out) == 40
+    assert sum(r.n_new for r in rows_out) == 10
+    # all 10 new arrivals join a single (the +e1) cell
+    assert max(r.n_new for r in rows_out) == 10
+
+
+def test_brand_supplier_diversity_planted(spark):
+    li = spark.createDataFrame(
+        [(1, 100), (1, 101), (2, 100), (9, 300)],
+        "l_partkey long, l_suppkey long",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#A"), (2, "Brand#A"), (9, "Brand#B")],
+        "p_partkey long, p_brand string",
+    )
+    from xboard_spark.operators import tpch
+
+    out = {r.p_brand: r for r in tpch.brand_supplier_diversity(li, part).collect()}
+    a = out["Brand#A"]
+    assert (a.n_lineitems, a.n_suppliers, a.n_parts) == (3, 2, 2)
+    b = out["Brand#B"]
+    assert (b.n_lineitems, b.n_suppliers, b.n_parts) == (1, 1, 1)

@@ -1080,3 +1080,36 @@ def semantic_decontam(
         )
         .orderBy("q_id")
     )
+
+
+def ivf_delta_assign(
+    embeddings: DataFrame, watermark: int = 400, n_cells: int = N_CELLS
+) -> DataFrame:
+    """Incremental IVF index maintenance: train the index on the BASE
+    corpus (vec_id < ``watermark``), then assign only the NEW arrivals
+    (vec_id >= ``watermark``) to the frozen centroids — the delta-indexing
+    pattern that keeps a 100 TB ANN index fresh without retraining
+    (FAISS's add-after-train; periodic re-clustering is a separate
+    offline job). Returns per cell: base population, newly-assigned
+    count.
+
+    Scale shape: the base index is the cached shared artifact
+    (``ivf_index``); the delta pass touches ONLY the new rows — one
+    row-form explode, a broadcast join against the (tiny) centroid frame,
+    and a partial+final argmin. Cost is O(|delta| x cells), independent
+    of the base corpus size."""
+    base = embeddings.filter(F.col("vec_id") < watermark)
+    new = embeddings.filter(F.col("vec_id") >= watermark)
+    c1, base_assign = ivf_index(base, n_cells)
+    new_assign = _assign(_vec_dims(new), c1)
+    n_base = base_assign.groupBy("cell").agg(F.count("*").alias("n_base"))
+    n_new = new_assign.groupBy("cell").agg(F.count("*").alias("n_new"))
+    return (
+        n_base.join(n_new, "cell", "full_outer")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+        .orderBy("cell")
+    )

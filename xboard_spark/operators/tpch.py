@@ -380,3 +380,28 @@ def shipping_lag_stats(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def brand_supplier_diversity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Supply-chain diversity per brand: distinct suppliers and parts that
+    shipped under each brand, from the lineitem evidence (the TPC-H Q16
+    shape re-expressed over the tables this lake carries — no partsupp).
+
+    Scale shape: lineitem joins the part DIM on partkey — broadcast-hash
+    (part is the small side at every scale ratio; the filter-free dim
+    projection is 2 columns); the distinct aggregates are partial+final
+    with Expand, keyed on brand."""
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .orderBy("p_brand")
+    )

@@ -1073,10 +1073,13 @@ def _centroid_values_sql(n_cells: int = 8, dim: int = DIM) -> str:
     return ",\n        ".join(rows)
 
 
-def _ivf_stack(n_cells: int = 8, n_queries: int = 5, dim: int = DIM) -> str:
-    """CTE stack shared by knn_ivf / ivf_cell_sizes (mirrors
-    operators.similarity: seed centroids -> assign -> Lloyd update ->
-    final assignment)."""
+def _ivf_stack(
+    n_cells: int = 8, n_queries: int = 5, dim: int = DIM, where: str = ""
+) -> str:
+    """CTE stack shared by knn_ivf / ivf_cell_sizes / ivf_delta_assign
+    (mirrors operators.similarity: seed centroids -> assign -> Lloyd
+    update -> final assignment). ``where`` filters the TRAINING corpus
+    (the delta-assign oracle trains on the base split only)."""
     return f"""c0 AS (
   SELECT cell, i AS dim, arr[i] AS cval
   FROM (VALUES {_centroid_values_sql(n_cells, dim)}) t(cell, arr),
@@ -1085,6 +1088,7 @@ def _ivf_stack(n_cells: int = 8, n_queries: int = 5, dim: int = DIM) -> str:
 vd AS (
   SELECT vec_id, i AS dim, (embedding[i])::DOUBLE AS val
   FROM embeddings, generate_series(1, {dim}) s(i)
+  {where}
 ),
 d1 AS (
   SELECT vd.vec_id, c0.cell,
@@ -1148,6 +1152,38 @@ ranked AS (
 )
 SELECT q_id, rank::BIGINT AS rank, vec_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {k} ORDER BY q_id, rank"""
+
+
+def ivf_delta_assign_sql(
+    watermark: int = 400, n_cells: int = 8, dim: int = DIM
+) -> str:
+    """Mirrors similarity.ivf_delta_assign: index trained on
+    vec_id < watermark only; new arrivals assigned to the frozen c1."""
+    return f"""
+WITH {_ivf_stack(n_cells, dim=dim, where=f"WHERE vec_id < {watermark}")},
+vdn AS (
+  SELECT vec_id, i AS dim, (embedding[i])::DOUBLE AS val
+  FROM embeddings, generate_series(1, {dim}) s(i)
+  WHERE vec_id >= {watermark}
+),
+dn AS (
+  SELECT vdn.vec_id, c1.cell,
+         sum((vdn.val - c1.cval) * (vdn.val - c1.cval)) AS dist2
+  FROM vdn JOIN c1 USING (dim) GROUP BY 1, 2
+),
+na AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cell) AS rn FROM dn)
+  WHERE rn = 1
+),
+nb AS (SELECT cell, count(*)::BIGINT AS n_base FROM fa GROUP BY 1),
+nn AS (SELECT cell, count(*)::BIGINT AS n_new FROM na GROUP BY 1)
+SELECT coalesce(nb.cell, nn.cell)::BIGINT AS cell,
+       coalesce(n_base, 0)::BIGINT AS n_base,
+       coalesce(n_new, 0)::BIGINT AS n_new
+FROM nb FULL JOIN nn ON nb.cell = nn.cell
+ORDER BY cell"""
 
 
 def ivf_cell_sizes_sql(n_cells: int = 8) -> str:
@@ -1713,6 +1749,13 @@ FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "part_pagerank": part_pagerank_sql(),
         "keyword_pagerank": keyword_pagerank_sql(),
         "truncation_recall": truncation_recall_sql(),
+        "ivf_delta_assign": ivf_delta_assign_sql(),
+        "brand_supplier_diversity": """
+SELECT p_brand, count(*)::BIGINT AS n_lineitems,
+       count(DISTINCT l_suppkey)::BIGINT AS n_suppliers,
+       count(DISTINCT l_partkey)::BIGINT AS n_parts
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1""",
         "fk_integrity_audit": """
 SELECT * FROM (
   SELECT 'lineitem->orders' AS relationship, count(*)::BIGINT AS n_child_rows,
