@@ -229,6 +229,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_supplier_diversity": lambda s, d: tpch.brand_supplier_diversity(
             _t(s, d, "lineitem"), _t(s, d, "part")
         ),
+        "revenue_change_forecast": lambda s, d: tpch.revenue_change_forecast(
+            _t(s, d, "lineitem")
+        ),
+        "reading_level": lambda s, d: text.reading_level(
+            _t(s, d, "documents")
+        ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(
             _t(s, d, "events")

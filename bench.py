@@ -108,6 +108,8 @@ EXTENDED = [
     "quantile_sketch_error",
     "ivf_delta_assign",
     "brand_supplier_diversity",
+    "revenue_change_forecast",
+    "reading_level",
 ]
 
 

@@ -429,3 +429,52 @@ def test_brand_supplier_diversity_planted(spark):
     assert (a.n_lineitems, a.n_suppliers, a.n_parts) == (3, 2, 2)
     b = out["Brand#B"]
     assert (b.n_lineitems, b.n_suppliers, b.n_parts) == (1, 1, 1)
+
+
+def test_revenue_change_forecast_planted(spark):
+    import datetime as dt
+
+    from xboard_spark.operators import tpch
+
+    mk = lambda ship, disc, qty, price: (  # noqa: E731
+        dt.datetime(ship, 6, 1),
+        disc,
+        float(qty),
+        price,
+    )
+    rows = [
+        mk(1995, 0.06, 10, 100.0),   # in: 6.0
+        mk(1995, 0.05, 23, 200.0),   # in (boundary discount, qty 23): 10.0
+        mk(1995, 0.06, 24, 100.0),   # out: qty cap is strict
+        mk(1995, 0.04, 10, 100.0),   # out: below band
+        mk(1996, 0.06, 10, 100.0),   # out: wrong year
+    ]
+    li = spark.createDataFrame(
+        [(s, d, q, p) for s, d, q, p in rows],
+        "l_shipdate timestamp, l_discount double, l_quantity double,"
+        " l_extendedprice double",
+    )
+    r = tpch.revenue_change_forecast(li).collect()[0]
+    assert r.n_lineitems == 2
+    assert abs(r.potential_revenue - 16.0) < 1e-9
+
+
+def test_reading_level_planted(spark):
+    from xboard_spark.operators import text as text_ops
+
+    docs = _mkdocs(
+        spark,
+        [
+            # 2 sentences, 6 tokens, syllable groups: see/spot/run x2 = 6
+            (1, "See spot run. See spot run!", "en", "web"),
+            # no terminal punctuation -> sentence floor of 1
+            (2, "word", "en", "web"),
+        ],
+    )
+    out = {r.doc_id: r for r in text_ops.reading_level(docs).collect()}
+    d1 = out[1]
+    assert (d1.n_sentences, d1.n_tokens) == (2, 6)
+    assert d1.n_syllables == 6  # ee, o, u x2
+    expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(d1.flesch - expected) < 1e-9
+    assert out[2].n_sentences == 1 and out[2].n_tokens == 1

@@ -649,3 +649,42 @@ def char_lm_fluency(documents: DataFrame) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+def reading_level(documents: DataFrame) -> DataFrame:
+    """Flesch reading-ease approximation from dependency-free heuristics:
+    sentences = terminal-punctuation runs, syllables ~ vowel groups — the
+    readability facet of quality filtering (Gopher filters on similar
+    shallow signals; a real syllable model is a swap-in). All counts are
+    exact integers; the score is the identical double expression tree on
+    both engines.
+
+    Scale shape: per-row regexp expressions in one scan, no shuffle, no
+    UDF."""
+    lower = F.lower(F.col("text"))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("long")
+    n_tok = F.greatest(
+        F.size(F.regexp_extract_all(lower, F.lit(TOKEN_RE), 0)), F.lit(1)
+    ).cast("long")
+    n_syl = F.size(
+        F.regexp_extract_all(lower, F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            n_sent.alias("n_sentences"),
+            n_tok.alias("n_tokens"),
+            n_syl.alias("n_syllables"),
+        )
+        .withColumn(
+            "flesch",
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_tokens") / F.col("n_sentences"))
+            - F.lit(84.6) * (F.col("n_syllables") / F.col("n_tokens")),
+        )
+        .orderBy("doc_id")
+    )

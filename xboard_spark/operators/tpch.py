@@ -405,3 +405,36 @@ def brand_supplier_diversity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+def revenue_change_forecast(
+    lineitem: DataFrame,
+    year: int = 1995,
+    lo: float = 0.05,
+    hi: float = 0.07,
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue scan — total discount revenue
+    from a one-year window of lineitems in a discount band under a
+    quantity cap. THE pure predicate-pushdown benchmark: every filter is
+    scan-local (year range + discount band + quantity reach the parquet
+    row-group stats), the aggregate is a single global sum, and nothing
+    shuffles but one partial-sum row per partition.
+
+    Revenue is rounded to cents at the output (same 2dp convention as
+    pricing_summary; sums of doubles agree to well past 2dp on both
+    engines for this magnitude)."""
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= lo)
+            & (F.col("l_discount") <= hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(F.sum(rev), 2).alias("potential_revenue"),
+        )
+    )

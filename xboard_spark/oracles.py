@@ -1749,6 +1749,29 @@ FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "part_pagerank": part_pagerank_sql(),
         "keyword_pagerank": keyword_pagerank_sql(),
         "truncation_recall": truncation_recall_sql(),
+        "revenue_change_forecast": """
+SELECT count(*)::BIGINT AS n_lineitems,
+       round(sum(l_extendedprice * l_discount), 2) AS potential_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+        "reading_level": f"""
+WITH counts AS (
+  SELECT doc_id, source,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+           AS n_sentences,
+         greatest(len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')),
+                  1)::BIGINT AS n_tokens,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, source, n_sentences, n_tokens, n_syllables,
+       206.835 - 1.015 * (n_tokens / n_sentences)
+               - 84.6 * (n_syllables / n_tokens) AS flesch
+FROM counts ORDER BY doc_id""",
         "ivf_delta_assign": ivf_delta_assign_sql(),
         "brand_supplier_diversity": """
 SELECT p_brand, count(*)::BIGINT AS n_lineitems,
