@@ -235,6 +235,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reading_level": lambda s, d: text.reading_level(
             _t(s, d, "documents")
         ),
+        "simhash_neardup": lambda s, d: dedup.simhash_neardup_pairs(
+            _t(s, d, "documents")
+        ),
+        "part_degree_profile": lambda s, d: graph.part_degree_profile(
+            _t(s, d, "lineitem")
+        ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(
             _t(s, d, "events")

@@ -110,6 +110,8 @@ EXTENDED = [
     "brand_supplier_diversity",
     "revenue_change_forecast",
     "reading_level",
+    "simhash_neardup",
+    "part_degree_profile",
 ]
 
 

@@ -478,3 +478,42 @@ def test_reading_level_planted(spark):
     expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
     assert abs(d1.flesch - expected) < 1e-9
     assert out[2].n_sentences == 1 and out[2].n_tokens == 1
+
+
+def test_simhash_neardup_planted(spark):
+    # doc 2 = doc 1 with one token changed out of 40 -> tiny Hamming gap;
+    # doc 3 is disjoint vocabulary -> never paired with 1/2
+    base_toks = [f"tok{i}" for i in range(40)]
+    changed = base_toks[:]
+    changed[20] = "swapped"
+    docs = _mkdocs(
+        spark,
+        [
+            (1, " ".join(base_toks), "en", "web"),
+            (2, " ".join(changed), "en", "web"),
+            (3, " ".join(f"zz{i}" for i in range(40)), "en", "web"),
+        ],
+    )
+    pairs = dedup.simhash_neardup_pairs(docs, max_hamming=3).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].hamming <= 3
+
+
+def test_simhash_neardup_identical_docs_hamming_zero(spark):
+    text = " ".join(f"w{i}" for i in range(30))
+    docs = _mkdocs(spark, [(1, text, "en", "web"), (2, text, "en", "web")])
+    pairs = dedup.simhash_neardup_pairs(docs).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_part_degree_profile_planted(spark):
+    from xboard_spark.operators import graph
+
+    # order 1 basket {10,20,30} -> triangle, each degree 2;
+    # order 2 basket {10,40} -> edge, 40 gets degree 1, 10 rises to 3
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 10), (2, 40)],
+        "l_orderkey long, l_partkey long",
+    )
+    out = {r.degree: r.n_parts for r in graph.part_degree_profile(li).collect()}
+    assert out == {1: 1, 2: 2, 3: 1}

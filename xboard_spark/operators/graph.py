@@ -191,3 +191,28 @@ def keyword_pagerank(
     return _pagerank(weighted, n_iters, top).withColumnRenamed(
         "node", "term"
     )
+
+
+def part_degree_profile(lineitem: DataFrame) -> DataFrame:
+    """Degree distribution of the co-purchase graph: for each degree value
+    (number of distinct co-purchased partners), how many parts have it —
+    the first thing to look at before running graph algorithms at scale
+    (a heavy-tailed degree histogram predicts both PageRank skew and
+    pair-join hot keys).
+
+    Scale shape: reuses the basket edge list (already bounded by per-order
+    basket size); degrees are one hash agg keyed on part, the histogram a
+    second tiny agg keyed on degree."""
+    edges = copurchase_edges(lineitem)
+    deg = (
+        edges.select(F.col("part_a").alias("part"))
+        .unionAll(edges.select(F.col("part_b").alias("part")))
+        .groupBy("part")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_parts"))
+        .select(F.col("degree").cast("long").alias("degree"), "n_parts")
+        .orderBy("degree")
+    )

@@ -202,23 +202,58 @@ WHERE n_tokens >= {min_tokens}
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
-def simhash_sql(bits: int = 16) -> str:
+def _simhash_terms(bits: int) -> str:
     vote = (
         "list_sum(list_transform(fps, x -> CASE WHEN (x >> {b}) & 1 = 1 "
         "THEN 1 ELSE -1 END))"
     )
-    terms = " + ".join(
+    return " + ".join(
         f"(CASE WHEN {vote.format(b=b)} > 0 THEN {1 << b} ELSE 0 END)"
         for b in range(bits)
     )
-    return f"""
-WITH toks AS (
+
+
+_SIMHASH_TOKS_CTE = f"""toks AS (
   SELECT doc_id,
          list_transform(regexp_extract_all({_NORM_TEXT}, '{TOKEN_RE_SQL}'),
                         t -> {_fp('t')}) AS fps
   FROM documents
+)"""
+
+
+def simhash_sql(bits: int = 16) -> str:
+    return f"""
+WITH {_SIMHASH_TOKS_CTE}
+SELECT doc_id, ({_simhash_terms(bits)})::BIGINT AS simhash
+FROM toks ORDER BY doc_id"""
+
+
+def simhash_neardup_sql(
+    bits: int = 32, n_bands: int = 4, max_hamming: int = 1
+) -> str:
+    """Mirrors dedup.simhash_neardup_pairs: band-bucket candidates,
+    exact-Hamming verify."""
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH {_SIMHASH_TOKS_CTE},
+sims AS (
+  SELECT doc_id, ({_simhash_terms(bits)})::BIGINT AS simhash FROM toks
+),
+bands AS (
+  SELECT doc_id, simhash, b,
+         (simhash >> (b * {band_bits})) & {mask} AS bval
+  FROM sims, generate_series(0, {n_bands - 1}) t(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS sh_a, y.simhash AS sh_b
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id
 )
-SELECT doc_id, ({terms})::BIGINT AS simhash FROM toks ORDER BY doc_id"""
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+ORDER BY doc_a, doc_b"""
 
 
 def _plane_sql_array(p: int, dim: int = DIM) -> str:
@@ -1749,6 +1784,22 @@ FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "part_pagerank": part_pagerank_sql(),
         "keyword_pagerank": keyword_pagerank_sql(),
         "truncation_recall": truncation_recall_sql(),
+        "simhash_neardup": simhash_neardup_sql(),
+        "part_degree_profile": """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+deg AS (
+  SELECT part, count(*) AS degree FROM (
+    SELECT part_a AS part FROM e UNION ALL SELECT part_b FROM e)
+  GROUP BY 1
+)
+SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_parts
+FROM deg GROUP BY 1 ORDER BY 1""",
         "revenue_change_forecast": """
 SELECT count(*)::BIGINT AS n_lineitems,
        round(sum(l_extendedprice * l_discount), 2) AS potential_revenue
