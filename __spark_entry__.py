@@ -241,6 +241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_degree_profile": lambda s, d: graph.part_degree_profile(
             _t(s, d, "lineitem")
         ),
+        "chunk_dedup_stats": lambda s, d: text.chunk_dedup_stats(
+            _t(s, d, "documents")
+        ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(
             _t(s, d, "events")

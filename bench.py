@@ -112,6 +112,7 @@ EXTENDED = [
     "reading_level",
     "simhash_neardup",
     "part_degree_profile",
+    "chunk_dedup_stats",
 ]
 
 

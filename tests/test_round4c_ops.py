@@ -517,3 +517,24 @@ def test_part_degree_profile_planted(spark):
     )
     out = {r.degree: r.n_parts for r in graph.part_degree_profile(li).collect()}
     assert out == {1: 1, 2: 2, 3: 1}
+
+
+def test_chunk_dedup_stats_planted(spark):
+    from xboard_spark.operators import text as text_ops
+
+    # chunk_size=4: doc 1 tokens a0..a7 -> 2 chunks; doc 2 repeats doc 1's
+    # first chunk exactly; doc 3 all-unique -> 1 chunk of 4
+    c1 = "a0 a1 a2 a3"
+    docs = _mkdocs(
+        spark,
+        [
+            (1, c1 + " a4 a5 a6 a7", "en", "web"),
+            (2, c1, "en", "web"),
+            (3, "u0 u1 u2 u3", "en", "web"),
+        ],
+    )
+    r = text_ops.chunk_dedup_stats(docs, chunk_size=4).collect()[0]
+    assert r.n_chunks == 4
+    assert r.n_distinct_chunks == 3
+    assert r.n_dup_chunks == 2 and r.n_dup_groups == 1
+    assert abs(r.dup_frac - 0.5) < 1e-12

@@ -266,3 +266,32 @@ def test_stream_stream_interval_join(spark, tmp_path):
     sp = spark.read.schema(schema).json(pdir)
     static = joins.purchases_with_recent_views(sv, sp).collect()
     assert {(r.user_id, r.purchase_id, r.view_id) for r in static} == {(1, 20, 10)}
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Streaming events left-join a static user->tier dim (broadcast per
+    micro-batch, no state store); unknown users survive as 'unknown'."""
+    from xboard_spark.streaming import joins
+
+    events = [
+        {"user_id": 1, "event_id": 10, "ts": "2024-01-01T09:30:00Z"},
+        {"user_id": 2, "event_id": 11, "ts": "2024-01-01T09:31:00Z"},
+        {"user_id": 99, "event_id": 12, "ts": "2024-01-01T09:32:00Z"},
+    ]
+    edir = _mk_webhooks(tmp_path, "enrich_ev", events)
+    schema = "user_id long, event_id long, ts timestamp"
+    es = spark.readStream.schema(schema).json(edir)
+    tiers = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    out = joins.enriched_with_user_tier(es, tiers)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.event_id: r.tier for r in spark.sql("SELECT * FROM enrich_out").collect()}
+    assert rows == {10: "gold", 11: "silver", 12: "unknown"}

@@ -688,3 +688,36 @@ def reading_level(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def chunk_dedup_stats(documents: DataFrame, chunk_size: int = 64) -> DataFrame:
+    """Chunk-level duplication panel: after fixed-size chunking
+    (``doc_chunks``), how much of the CHUNK population is corpus-duplicate
+    — the dedup decision point that matters to training pipelines that
+    pack chunks, not documents (a doc-unique corpus can still feed
+    near-identical chunks into every batch via shared boilerplate).
+    One row: total chunks, distinct chunk fingerprints, chunks belonging
+    to a duplicated fingerprint, groups with >1 occurrence, and the
+    duplicate fraction.
+
+    Scale shape: doc_chunks' one hash aggregate, then a groupBy on the
+    64-bit chunk fingerprint (uniform key, no skew) and a 1-row rollup."""
+    per_fp = (
+        doc_chunks(documents, chunk_size)
+        .groupBy("chunk_fp")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_fp.agg(
+        F.sum("c").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_distinct_chunks"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_chunks"),
+        F.sum((F.col("c") > 1).cast("long")).alias("n_dup_groups"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("c")
+        ).alias("dup_frac"),
+    )

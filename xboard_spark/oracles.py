@@ -652,6 +652,33 @@ SELECT doc_id, chunk_id, n_tokens, {fp} AS chunk_fp
 FROM chunks ORDER BY doc_id, chunk_id"""
 
 
+def chunk_dedup_stats_sql(chunk_size: int = 64) -> str:
+    """Mirrors text.chunk_dedup_stats over the doc_chunks chunking."""
+    fp = _fp("chunk_text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS word,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1)
+           AS pos
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, ((pos - 1) // {chunk_size})::BIGINT AS chunk_id,
+         string_agg(word, ' ' ORDER BY pos) AS chunk_text
+  FROM tok GROUP BY doc_id, (pos - 1) // {chunk_size}
+),
+per_fp AS (
+  SELECT {fp} AS chunk_fp, count(*) AS c FROM chunks GROUP BY 1
+)
+SELECT sum(c)::BIGINT AS n_chunks,
+       count(*)::BIGINT AS n_distinct_chunks,
+       sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_chunks,
+       sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+       sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) AS dup_frac
+FROM per_fp"""
+
+
 def doc_chunks_overlapping_sql(chunk_size: int = 64, stride: int = 48) -> str:
     fp = _fp("chunk_text")
     return f"""
@@ -1785,6 +1812,7 @@ FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "keyword_pagerank": keyword_pagerank_sql(),
         "truncation_recall": truncation_recall_sql(),
         "simhash_neardup": simhash_neardup_sql(),
+        "chunk_dedup_stats": chunk_dedup_stats_sql(),
         "part_degree_profile": """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (

@@ -60,3 +60,24 @@ def purchases_with_recent_views(
         "view_id",
         "view_ts",
     )
+
+
+def enriched_with_user_tier(
+    stream: DataFrame, user_tiers: DataFrame
+) -> DataFrame:
+    """Stream-STATIC enrichment: join the live event stream against a
+    static dimension (user -> tier) — the other join shape Structured
+    Streaming supports besides stream-stream, and the standard way a
+    pipeline decorates events with slowly-changing reference data. The
+    static side is broadcast per micro-batch (no state store involved at
+    all — unlike stream-stream joins there is nothing to watermark);
+    refreshing the dim means restarting the query or reading it as its
+    own stream (Delta CDF-style), both noted here as the production
+    paths.
+
+    Left join so unknown users survive with a null tier (the stream must
+    never drop events because the dim lags)."""
+    tiers = F.broadcast(user_tiers.select("user_id", "tier"))
+    return stream.join(tiers, "user_id", "left").withColumn(
+        "tier", F.coalesce(F.col("tier"), F.lit("unknown"))
+    )
