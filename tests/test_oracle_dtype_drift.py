@@ -24,7 +24,21 @@ import pytest
 import __spark_entry__ as entrymod
 from xboard_spark.io import TESTDATA_TABLES
 
-RATIO_QUERIES = ["doc_stats", "session_stats", "repetition_stats"]
+RATIO_QUERIES = [
+    "doc_stats",
+    "session_stats",
+    "repetition_stats",
+    # round-4 continuation additions that emit raw-double ratios
+    "activity_heatmap",
+    "ngram_novelty",
+    "key_skew_profile",
+    "user_erasure_audit",
+    "volume_gaps",
+    "chunk_dedup_stats",
+    "reading_level",
+    "traffic_anomalies",
+    "shipping_lag_stats",
+]
 
 
 @pytest.fixture(scope="module")
