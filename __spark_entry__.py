@@ -244,6 +244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup_stats": lambda s, d: text.chunk_dedup_stats(
             _t(s, d, "documents")
         ),
+        "conversion_attribution": lambda s, d: events.conversion_attribution(
+            _t(s, d, "events")
+        ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(
             _t(s, d, "events")

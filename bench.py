@@ -113,6 +113,7 @@ EXTENDED = [
     "simhash_neardup",
     "part_degree_profile",
     "chunk_dedup_stats",
+    "conversion_attribution",
 ]
 
 

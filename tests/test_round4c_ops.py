@@ -538,3 +538,29 @@ def test_chunk_dedup_stats_planted(spark):
     assert r.n_distinct_chunks == 3
     assert r.n_dup_chunks == 2 and r.n_dup_groups == 1
     assert abs(r.dup_frac - 0.5) < 1e-12
+
+
+def test_conversion_attribution_planted(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 4, 1, 10, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # user 1: view -> click -> purchase (credit: click)
+        (1, m(0), 1, "view", 1.0, "{}"),
+        (2, m(1), 1, "click", 1.0, "{}"),
+        (3, m(2), 1, "purchase", 50.0, "{}"),
+        # same user, NEW session opening with a purchase (credit: direct)
+        (4, m(60), 1, "purchase", 10.0, "{}"),
+        # user 2: two purchases; second credits the view BETWEEN them
+        (5, m(0), 2, "purchase", 5.0, "{}"),   # direct
+        (6, m(1), 2, "view", 1.0, "{}"),
+        (7, m(2), 2, "purchase", 20.0, "{}"),  # view
+    ]
+    out = {r.touch: r for r in events.conversion_attribution(_mkev(spark, rows)).collect()}
+    assert out["click"].n_purchases == 1
+    assert abs(out["click"].attributed_value - 50.0) < 1e-9
+    assert out["direct"].n_purchases == 2
+    assert abs(out["direct"].attributed_value - 15.0) < 1e-9
+    assert out["view"].n_purchases == 1
+    assert abs(sum(r.purchase_share for r in out.values()) - 1.0) < 1e-12

@@ -763,3 +763,59 @@ def quantile_sketch_error(events: DataFrame, accuracy: int = 10000) -> DataFrame
         .withColumn("err_p95", F.abs(F.col("approx_p95") - F.col("exact_p95")))
         .orderBy("event_type")
     )
+
+
+def conversion_attribution(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Last-touch conversion attribution: every purchase is credited to
+    the nearest PRECEDING non-purchase event type within the same session
+    (same gaps-and-islands session definition as ``sessionize``);
+    purchases opening a session are credited 'direct'. Returns per touch
+    type: purchase count, attributed revenue, share of all purchases —
+    the canonical marketing-attribution rollup (first-touch / position
+    decay are window-frame variants of the same plan).
+
+    Scale shape: ONE shuffle on user_id that the session windows and the
+    attribution lookback all reuse; the rollup keys on the bounded
+    event-type domain, and the share divides by a post-agg global sum
+    over that tiny frame."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(by_user)
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            prev_ts.isNull()
+            | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("session_seq", F.sum("new_session").over(by_user))
+    look = (
+        Window.partitionBy("user_id", "session_seq")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(look)
+    purchases = (
+        flagged.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.coalesce("touch", F.lit("direct")).alias("touch"), "value")
+    )
+    rolled = purchases.groupBy("touch").agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("attributed_value"),
+    )
+    w_all = Window.partitionBy()
+    return (
+        rolled.select(
+            "touch",
+            F.col("n_purchases").cast("long").alias("n_purchases"),
+            "attributed_value",
+            (
+                F.col("n_purchases") / F.sum("n_purchases").over(w_all)
+            ).alias("purchase_share"),
+        )
+        .orderBy("touch")
+    )

@@ -1813,6 +1813,41 @@ FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "truncation_recall": truncation_recall_sql(),
         "simhash_neardup": simhash_neardup_sql(),
         "chunk_dedup_stats": chunk_dedup_stats_sql(),
+        "conversion_attribution": f"""
+WITH e AS (
+  SELECT user_id, {EVENTS_TS} AS ts, event_id, event_type, value FROM events
+),
+f AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM f
+),
+t AS (
+  SELECT *, last_value(CASE WHEN event_type <> 'purchase'
+                            THEN event_type END IGNORE NULLS)
+              OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS touch
+  FROM s
+),
+p AS (
+  SELECT coalesce(touch, 'direct') AS touch, value FROM t
+  WHERE event_type = 'purchase'
+),
+rolled AS (
+  SELECT touch, count(*)::BIGINT AS n_purchases,
+         round(sum(value), 2) AS attributed_value
+  FROM p GROUP BY 1
+)
+SELECT touch, n_purchases, attributed_value,
+       n_purchases / sum(n_purchases) OVER () AS purchase_share
+FROM rolled ORDER BY touch""",
         "part_degree_profile": """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
