@@ -247,6 +247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_attribution": lambda s, d: events.conversion_attribution(
             _t(s, d, "events")
         ),
+        "lsh_recall_audit": lambda s, d: dedup.lsh_recall_audit(
+            _t(s, d, "documents")
+        ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(
             _t(s, d, "events")

@@ -114,6 +114,7 @@ EXTENDED = [
     "part_degree_profile",
     "chunk_dedup_stats",
     "conversion_attribution",
+    "lsh_recall_audit",
 ]
 
 

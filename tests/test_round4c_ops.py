@@ -564,3 +564,26 @@ def test_conversion_attribution_planted(spark):
     assert abs(out["direct"].attributed_value - 15.0) < 1e-9
     assert out["view"].n_purchases == 1
     assert abs(sum(r.purchase_share for r in out.values()) - 1.0) < 1e-12
+
+
+def test_lsh_recall_audit_planted(spark):
+    # two identical docs -> one true pair; minhash banding MUST recall an
+    # identical pair (identical signatures share every band)
+    text = " ".join(f"tok{i}" for i in range(50))
+    docs = _mkdocs(
+        spark,
+        [
+            (1, text, "en", "web"),
+            (2, text, "en", "web"),
+            (3, " ".join(f"x{i}" for i in range(50)), "en", "web"),
+        ],
+    )
+    r = dedup.lsh_recall_audit(docs).collect()[0]
+    assert r.n_true_pairs == 1 and r.n_recalled == 1
+    assert r.recall == 1.0
+
+
+def test_lsh_recall_audit_empty_corpus_guard(spark):
+    docs = _mkdocs(spark, [(1, "one tiny doc only here", "en", "web")])
+    r = dedup.lsh_recall_audit(docs).collect()[0]
+    assert (r.n_true_pairs, r.n_recalled, r.recall) == (0, 0, 0.0)

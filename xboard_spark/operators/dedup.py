@@ -848,3 +848,39 @@ def simhash_neardup_pairs(
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def lsh_recall_audit(
+    documents: DataFrame,
+    n: int = 3,
+    tau: float = 0.5,
+    max_df: int = 100,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """MinHash-LSH RECALL audit — the companion to
+    ``lsh_candidate_profile`` (precision side): how many of the TRUE
+    near-dup pairs (exact Jaccard >= tau over the full inverted-index
+    pair join) the banding recalls. Because the minhash pipeline verifies
+    candidates with the same exact Jaccard over the same index, its
+    surviving pairs are a strict subset of the true set — recall is their
+    ratio, measured, not estimated from the s-curve. One row:
+    (n_true_pairs, n_recalled, recall).
+
+    Scale caveat (why this is an AUDIT, not the dedup path): the true
+    side is the bucketed-but-exhaustive shingle pair join, bounded by
+    sum(df^2) — affordable on a sample at 100 TB, which is exactly how
+    you'd calibrate (n_perms, n_bands) before the full run. Both sides
+    reuse their session-cached artifacts."""
+    tru = ngram_jaccard_pairs(documents, n, tau, max_df)
+    rec = minhash_dedup_pairs(documents, n, n_perms, n_bands, tau, max_df)
+    t = tru.agg(F.count("*").alias("n_true_pairs"))
+    r = rec.agg(F.count("*").alias("n_recalled"))
+    return t.crossJoin(r).select(
+        "n_true_pairs",
+        "n_recalled",
+        (
+            F.col("n_recalled").cast("double")
+            / F.greatest(F.col("n_true_pairs"), F.lit(1))
+        ).alias("recall"),
+    )

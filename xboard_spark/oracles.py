@@ -1813,6 +1813,25 @@ FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "truncation_recall": truncation_recall_sql(),
         "simhash_neardup": simhash_neardup_sql(),
         "chunk_dedup_stats": chunk_dedup_stats_sql(),
+        "lsh_recall_audit": f"""
+WITH {_minhash_stack(3, N_PERMS, N_BANDS, 100)},
+tshared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+  FROM inv a JOIN inv b USING (shfp)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+tru AS (
+  SELECT doc_a, doc_b
+  FROM tshared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+  WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5
+),
+rec AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5)
+SELECT (SELECT count(*) FROM tru)::BIGINT AS n_true_pairs,
+       (SELECT count(*) FROM rec)::BIGINT AS n_recalled,
+       (SELECT count(*) FROM rec)::DOUBLE
+         / greatest((SELECT count(*) FROM tru), 1) AS recall""",
         "conversion_attribution": f"""
 WITH e AS (
   SELECT user_id, {EVENTS_TS} AS ts, event_id, event_type, value FROM events
