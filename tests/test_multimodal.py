@@ -147,3 +147,39 @@ def test_real_video_decoder_y4m(spark):
     assert [r.frame_idx for r in frames] == [0, 2, 4]
     assert [r.frame_ms for r in frames] == [0, 200, 400]
     assert frames[1].frame_sha == hashlib.sha256(bytes([2]) * 8).hexdigest()[:16]
+
+
+def _ppm_bytes(pixels):
+    """pixels: 2-D list of (r,g,b) rows -> PPM P6 payload."""
+    h, w = len(pixels), len(pixels[0])
+    body = bytes(c for row in pixels for px in row for c in px)
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def test_image_ahash_and_neardup_pairs(spark):
+    import xboard_spark.operators.multimodal as mm
+
+    # 16x16 half-black/half-white pattern; a copy with ONE flipped pixel
+    # (near-dup); and its inverse (far)
+    base = [
+        [(255, 255, 255) if x < 8 else (0, 0, 0) for x in range(16)]
+        for _ in range(16)
+    ]
+    tweaked = [row[:] for row in base]
+    tweaked[0][15] = (200, 200, 200)  # light pixel in the dark half
+    inverse = [
+        [(0, 0, 0) if x < 8 else (255, 255, 255) for x in range(16)]
+        for _ in range(16)
+    ]
+    rows = [
+        (1, "image", bytearray(_ppm_bytes(base)), "image/x-ppm", 16, 16, 0),
+        (2, "image", bytearray(_ppm_bytes(tweaked)), "image/x-ppm", 16, 16, 0),
+        (3, "image", bytearray(_ppm_bytes(inverse)), "image/x-ppm", 16, 16, 0),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    hashes = {r.media_id: r.ahash for r in mm.image_ahash(media).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(hashes[1], hashes[2]) <= 5
+    assert ham(hashes[1], hashes[3]) > 5  # inverse flips every bit
+    pairs = mm.image_neardup_pairs(media).collect()
+    assert {(r.media_a, r.media_b) for r in pairs} == {(1, 2)}

@@ -126,11 +126,8 @@ def _wav_features(content: bytes) -> list[float]:
     ]
 
 
-def _ppm_features(content: bytes) -> list[float]:
-    """Real image decode for PPM P6 (the dependency-free raster format):
-    header parse + numpy pixel stats -> FEATURE_DIM floats:
-    [width/1k, height/1k, aspect, mean R/G/B, luma mean, luma std,
-    8 luma-histogram bins]."""
+def _ppm_decode(content: bytes):
+    """PPM P6 header parse + pixel decode -> (w, h, rgb[h,w,3] in [0,1])."""
     if not content.startswith(b"P6"):
         raise NotImplementedError(
             "image decoder: only PPM P6 is decodable without PIL; plug a "
@@ -153,7 +150,15 @@ def _ppm_features(content: bytes) -> list[float]:
     w, h, maxval = (int(f) for f in fields)
     pos += 1  # single whitespace after maxval
     px = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)
-    rgb = px.reshape(h, w, 3).astype(np.float64) / maxval
+    return w, h, px.reshape(h, w, 3).astype(np.float64) / maxval
+
+
+def _ppm_features(content: bytes) -> list[float]:
+    """Real image decode for PPM P6 (the dependency-free raster format):
+    header parse + numpy pixel stats -> FEATURE_DIM floats:
+    [width/1k, height/1k, aspect, mean R/G/B, luma mean, luma std,
+    8 luma-histogram bins]."""
+    w, h, rgb = _ppm_decode(content)
     luma = 0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
     hist, _ = np.histogram(luma, bins=FEATURE_DIM - 8, range=(0.0, 1.0))
     hist = hist / luma.size
@@ -371,4 +376,107 @@ def media_summary(features: DataFrame) -> DataFrame:
             F.count_distinct("content_sha").alias("n_distinct"),
         )
         .orderBy("kind")
+    )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def _ahash64(luma: np.ndarray) -> int:
+    """64-bit average hash: block-mean the luma plane to 8x8, threshold
+    at the grid mean (Hamming distance between hashes tracks perceptual
+    similarity — the classic aHash; pHash swaps the block-mean for a DCT
+    and plugs into the same pipeline)."""
+    h, w = luma.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    g = luma[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (g > g.mean()).flatten()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    # keep within signed 64-bit for Spark LongType
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual (average) hash per image — the multimodal analog of
+    SimHash: re-encoded, resized, or lightly-edited copies land within a
+    small Hamming distance while byte hashes miss them entirely. Runs the
+    real PPM decoder through the same Arrow ``mapInPandas`` plumbing as
+    ``extract_features``; at scale this is the cheap per-row pass whose
+    output feeds the banded pair join in ``image_neardup_pairs``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                if row["kind"] != "image":
+                    continue
+                _w, _h, rgb = _ppm_decode(bytes(row["content"]))
+                luma = (
+                    0.2126 * rgb[..., 0]
+                    + 0.7152 * rgb[..., 1]
+                    + 0.0722 * rgb[..., 2]
+                )
+                out.append((row["media_id"], _ahash64(luma)))
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    return media.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def image_neardup_pairs(media: DataFrame, max_hamming: int = 5) -> DataFrame:
+    """Near-duplicate IMAGE pairs: aHash fingerprints banded into 8
+    byte-slices (pigeonhole-complete for Hamming <= 7), candidates verify
+    on exact xor+popcount — the same split-and-probe layout as
+    ``dedup.simhash_neardup_pairs``, over binary media instead of text.
+    Everything after the decode is pure JVM expressions."""
+    hashes = image_ahash(media)
+    bands = hashes.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("ahash", b * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bval"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "media_id",
+        "ahash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bval").alias("bval"),
+    )
+    left = bands.select(
+        "band", "bval", F.col("media_id").alias("media_a"),
+        F.col("ahash").alias("ha"),
+    )
+    right = bands.select(
+        "band", "bval", F.col("media_id").alias("media_b"),
+        F.col("ahash").alias("hb"),
+    )
+    return (
+        left.join(right, ["band", "bval"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "ha", "hb")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+        .orderBy("media_a", "media_b")
     )
