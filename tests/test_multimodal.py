@@ -183,3 +183,40 @@ def test_image_ahash_and_neardup_pairs(spark):
     assert ham(hashes[1], hashes[3]) > 5  # inverse flips every bit
     pairs = mm.image_neardup_pairs(media).collect()
     assert {(r.media_a, r.media_b) for r in pairs} == {(1, 2)}
+
+
+def test_audio_ahash_and_neardup_pairs(spark):
+    import math
+    import struct as st
+
+    import xboard_spark.operators.multimodal as mm
+
+    def wav_bytes(samples):
+        data = b"".join(
+            st.pack("<h", max(-32768, min(32767, int(s * 32767))))
+            for s in samples
+        )
+        hdr = (
+            b"RIFF" + st.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + st.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + st.pack("<I", len(data))
+        )
+        return hdr + data
+
+    # loud burst then silence; a half-volume copy keeps the envelope
+    # SHAPE; constant-amplitude tone has a flat (far) envelope
+    burst = [math.sin(i / 3.0) for i in range(4000)] + [0.0] * 4000
+    half = [0.5 * s for s in burst]
+    tone = [0.8 * math.sin(i / 3.0) for i in range(8000)]
+    rows = [
+        (1, "audio", bytearray(wav_bytes(burst)), "audio/wav", 0, 0, 1000),
+        (2, "audio", bytearray(wav_bytes(half)), "audio/wav", 0, 0, 1000),
+        (3, "audio", bytearray(wav_bytes(tone)), "audio/wav", 0, 0, 1000),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    hashes = {r.media_id: r.ahash for r in mm.audio_ahash(media).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(hashes[1], hashes[2]) <= 5  # level shift preserves shape
+    pairs = mm.audio_neardup_pairs(media).collect()
+    assert (1, 2) in {(r.media_a, r.media_b) for r in pairs}
+    assert (1, 3) not in {(r.media_a, r.media_b) for r in pairs}

@@ -80,11 +80,9 @@ def _fake_features(content: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
 
-def _wav_features(content: bytes) -> list[float]:
-    """Real WAV decode, stdlib/numpy only: parse the RIFF container (fmt +
-    data chunks, PCM 8/16-bit), then summarize the waveform into
-    FEATURE_DIM floats: [duration_s, sample_rate/48k, n_channels, rms,
-    peak, zero-crossing rate, 10 windowed-energy bins]."""
+def _wav_decode(content: bytes):
+    """RIFF/PCM WAV parse -> (mono float64 waveform in [-1,1], rate,
+    n_channels)."""
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise NotImplementedError(
             "audio decoder: only WAV/PCM is decodable without ffmpeg/librosa; "
@@ -110,6 +108,15 @@ def _wav_features(content: bytes) -> list[float]:
         raise NotImplementedError("WAV decoder: 8/16-bit PCM only")
     if n_ch > 1:  # downmix: mean over channels
         x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, rate, n_ch
+
+
+def _wav_features(content: bytes) -> list[float]:
+    """Real WAV decode, stdlib/numpy only: parse the RIFF container (fmt +
+    data chunks, PCM 8/16-bit), then summarize the waveform into
+    FEATURE_DIM floats: [duration_s, sample_rate/48k, n_channels, rms,
+    peak, zero-crossing rate, 10 windowed-energy bins]."""
+    x, rate, n_ch = _wav_decode(content)
     n = max(len(x), 1)
     duration = n / float(rate)
     zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
@@ -430,13 +437,11 @@ def image_ahash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=AHASH_SCHEMA)
 
 
-def image_neardup_pairs(media: DataFrame, max_hamming: int = 5) -> DataFrame:
-    """Near-duplicate IMAGE pairs: aHash fingerprints banded into 8
-    byte-slices (pigeonhole-complete for Hamming <= 7), candidates verify
-    on exact xor+popcount — the same split-and-probe layout as
-    ``dedup.simhash_neardup_pairs``, over binary media instead of text.
-    Everything after the decode is pure JVM expressions."""
-    hashes = image_ahash(media)
+def _banded_hamming_pairs(hashes: DataFrame, max_hamming: int) -> DataFrame:
+    """Shared split-and-probe pair miner over (media_id, ahash) frames:
+    64-bit hashes banded into 8 byte-slices (pigeonhole-complete for
+    Hamming <= 7), candidates verify on exact xor+popcount. Pure JVM
+    expressions — the decode upstream is the only Python."""
     bands = hashes.select(
         "media_id",
         "ahash",
@@ -480,3 +485,54 @@ def image_neardup_pairs(media: DataFrame, max_hamming: int = 5) -> DataFrame:
         .select("media_a", "media_b", "hamming")
         .orderBy("media_a", "media_b")
     )
+
+
+def image_neardup_pairs(media: DataFrame, max_hamming: int = 5) -> DataFrame:
+    """Near-duplicate IMAGE pairs: perceptual aHash + the banded Hamming
+    join — SimHash's layout applied to binary media (re-encoded or
+    lightly-edited copies collide; byte hashes would miss them)."""
+    return _banded_hamming_pairs(image_ahash(media), max_hamming)
+
+
+def _audio_envelope_hash(content: bytes) -> int:
+    """64-bit energy-envelope hash: mono waveform -> 64 windowed RMS
+    energies -> threshold at the envelope mean. Re-encoded or
+    level-shifted copies of the same recording keep the envelope SHAPE,
+    so they land within a small Hamming distance (the audio analog of
+    aHash; chromaprint-style spectral fingerprints plug into the same
+    pipeline)."""
+    x, _rate, _n_ch = _wav_decode(content)
+    bins = np.array_split(x, 64)
+    env = np.array(
+        [float(np.sqrt(np.mean(b * b))) if len(b) else 0.0 for b in bins]
+    )
+    bits = env > env.mean()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def audio_ahash(media: DataFrame) -> DataFrame:
+    """Energy-envelope hash per audio row (real WAV/PCM decode) through
+    the same Arrow ``mapInPandas`` plumbing as ``image_ahash``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                if row["kind"] != "audio":
+                    continue
+                out.append(
+                    (row["media_id"], _audio_envelope_hash(bytes(row["content"])))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    return media.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def audio_neardup_pairs(media: DataFrame, max_hamming: int = 5) -> DataFrame:
+    """Near-duplicate AUDIO pairs: envelope hash + the shared banded
+    Hamming join."""
+    return _banded_hamming_pairs(audio_ahash(media), max_hamming)
