@@ -250,6 +250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_audit": lambda s, d: dedup.lsh_recall_audit(
             _t(s, d, "documents")
         ),
+        "events_json_variant": lambda s, d: events.events_json_variant(
+            _t(s, d, "events")
+        ),
         # --- never driver-checked in r1: temporal joins (as-of, range) ---
         "purchase_asof_view": lambda s, d: temporal.purchase_asof_view(
             _t(s, d, "events")

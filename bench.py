@@ -115,6 +115,7 @@ EXTENDED = [
     "chunk_dedup_stats",
     "conversion_attribution",
     "lsh_recall_audit",
+    "events_json_variant",
 ]
 
 

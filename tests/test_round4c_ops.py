@@ -587,3 +587,18 @@ def test_lsh_recall_audit_empty_corpus_guard(spark):
     docs = _mkdocs(spark, [(1, "one tiny doc only here", "en", "web")])
     r = dedup.lsh_recall_audit(docs).collect()[0]
     assert (r.n_true_pairs, r.n_recalled, r.recall) == (0, 0, 0.0)
+
+
+def test_events_json_variant_matches_classic_path(spark):
+    # the variant path and get_json_object path must agree row-for-row
+    rows = [
+        (1, __import__("datetime").datetime(2026, 1, 1), 1, "view", 1.0, '{"k": 7}'),
+        (2, __import__("datetime").datetime(2026, 1, 1), 1, "view", 1.0, '{"k": 9}'),
+        (3, __import__("datetime").datetime(2026, 1, 1), 1, "click", 1.0, '{"x": 1}'),
+    ]
+    ev = _mkev(spark, rows)
+    classic = {tuple(r) for r in events.events_json_props(ev).collect()}
+    variant = {tuple(r) for r in events.events_json_variant(ev).collect()}
+    assert classic == variant
+    v = {r.event_type: r for r in events.events_json_variant(ev).collect()}
+    assert v["view"].avg_k == 8.0 and v["click"].distinct_k == 0

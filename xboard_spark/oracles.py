@@ -1719,6 +1719,13 @@ per AS (
 SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
        (sum(duration_us)::DOUBLE / count(*)) / 1e6 AS avg_session_sec
 FROM per GROUP BY 1 ORDER BY user_id""",
+        "events_json_variant": """
+SELECT event_type,
+       round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k,
+       min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+       max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
+       count(DISTINCT json_extract_string(props, '$.k')::BIGINT) AS distinct_k
+FROM events GROUP BY 1 ORDER BY 1""",
         "events_json": """
 SELECT event_type,
        round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k,
