@@ -183,6 +183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": lambda s, d: curation.filter_funnel(
             _t(s, d, "documents")
         ),
+        "dataset_card": lambda s, d: curation.dataset_card(
+            _t(s, d, "documents")
+        ),
         "canonical_docs": lambda s, d: dedup.canonical_docs(
             _t(s, d, "documents")
         ),
@@ -239,6 +242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "part_degree_profile": lambda s, d: graph.part_degree_profile(
+            _t(s, d, "lineitem")
+        ),
+        "copurchase_triangles": lambda s, d: graph.copurchase_triangles(
             _t(s, d, "lineitem")
         ),
         "chunk_dedup_stats": lambda s, d: text.chunk_dedup_stats(

@@ -116,6 +116,8 @@ EXTENDED = [
     "conversion_attribution",
     "lsh_recall_audit",
     "events_json_variant",
+    "copurchase_triangles",
+    "dataset_card",
 ]
 
 

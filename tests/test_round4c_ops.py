@@ -602,3 +602,46 @@ def test_events_json_variant_matches_classic_path(spark):
     assert classic == variant
     v = {r.event_type: r for r in events.events_json_variant(ev).collect()}
     assert v["view"].avg_k == 8.0 and v["click"].distinct_k == 0
+
+
+def test_copurchase_triangles_planted(spark):
+    from xboard_spark.operators import graph
+
+    # order 1 basket {1,2,3} -> one triangle; order 2 adds edge (3,4):
+    # edges 4, wedges: deg(3)=3 -> 3, deg(1)=deg(2)=2 -> 1 each, deg(4)=1
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4)],
+        "l_orderkey long, l_partkey long",
+    )
+    r = graph.copurchase_triangles(li).collect()[0]
+    assert r.n_edges == 4 and r.n_triangles == 1
+    assert r.n_wedges == 3 + 1 + 1  # C(3,2) + C(2,2 choose)... deg 2 nodes give 1 each
+    assert abs(r.clustering_coefficient - 3.0 / 5.0) < 1e-12
+
+
+def test_copurchase_triangles_star_has_none(spark):
+    from xboard_spark.operators import graph
+
+    # hub basket pairs only via separate orders: star graph, no triangle
+    li = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 12), (3, 10), (3, 13)],
+        "l_orderkey long, l_partkey long",
+    )
+    r = graph.copurchase_triangles(li).collect()[0]
+    assert r.n_triangles == 0 and r.clustering_coefficient == 0.0
+
+
+def test_dataset_card_planted(spark):
+    docs = _mkdocs(
+        spark,
+        [
+            (1, "alpha beta gamma", "en", "web"),
+            (2, "alpha beta gamma", "en", "books"),  # exact dup of 1
+            (3, "uno dos", "es", "web"),
+        ],
+    )
+    r = curation.dataset_card(docs).collect()[0]
+    assert (r.n_docs, r.n_langs, r.n_sources) == (3, 2, 2)
+    assert r.total_tokens == 8
+    assert abs(r.avg_doc_tokens - 8 / 3) < 1e-12
+    assert r.exact_dup_docs == 2

@@ -134,3 +134,46 @@ def filter_funnel(documents: DataFrame) -> DataFrame:
         "4L, 'mean_token_len', f4, c4, t4"
         ") AS (gate_idx, gate, n_fail_alone, n_pass_cum, tokens_pass_cum)"
     ).orderBy("gate_idx")
+
+
+def dataset_card(documents: DataFrame) -> DataFrame:
+    """The dataset-card numbers: one row summarizing the corpus —
+    document/language/source counts, token and char mass, mean document
+    length, and the exact-duplicate footprint (docs whose normalized
+    content fingerprint occurs more than once). The panel every released
+    training set publishes, produced by the engine's own primitives.
+
+    Scale shape: one scan computes the per-doc projections; the dup
+    footprint is the exact-dedup hash aggregate folded to one row; the
+    two 1-row frames cross-join."""
+    from xboard_spark.operators.dedup import _norm_text
+    from xboard_spark.operators.text import token_count_col
+    from xboard_spark.functions.portable_hash import fingerprint64
+
+    staged = documents.select(
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        fingerprint64(_norm_text(F.col("text"))).alias("fp"),
+    )
+    base = staged.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias(
+            "avg_doc_tokens"
+        ),
+    )
+    dups = (
+        staged.groupBy("fp")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("exact_dup_docs")
+        )
+    )
+    return base.crossJoin(F.broadcast(dups))

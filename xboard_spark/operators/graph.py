@@ -216,3 +216,71 @@ def part_degree_profile(lineitem: DataFrame) -> DataFrame:
         .select(F.col("degree").cast("long").alias("degree"), "n_parts")
         .orderBy("degree")
     )
+
+
+def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
+    """Triangle census of the co-purchase graph: edge/wedge/triangle
+    counts and the global clustering coefficient (3T/W) — the cohesion
+    panel that says whether baskets form communities or hub-and-spoke
+    stars.
+
+    Scale shape — this is the DEGREE-ORIENTED algorithm, not the naive
+    3-way self-join: every edge is oriented from its lower-(degree, id)
+    endpoint to the higher one, wedge candidates are generated only from
+    each node's OUT-neighbors (out-degree is O(sqrt(m)) under this
+    orientation — Schank & Wagner 2005), and candidates close into
+    triangles via one semi-join against the canonical edge set. Total
+    work is O(m^1.5) regardless of hub degrees; the naive join is
+    sum(deg^2) and dies on the first hub. The triangle COUNT is
+    orientation-invariant, which is what the exhaustive SQL oracle
+    checks."""
+    e = copurchase_edges(lineitem).select("part_a", "part_b")
+    both = e.select(F.col("part_a").alias("node")).unionAll(
+        e.select(F.col("part_b").alias("node"))
+    )
+    deg = both.groupBy("node").agg(F.count("*").alias("deg"))
+    ed = (
+        e.join(deg.withColumnRenamed("node", "part_a"), "part_a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.withColumnRenamed("node", "part_b").withColumnRenamed(
+                "deg", "deg_b"
+            ),
+            "part_b",
+        )
+    )
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("part_a") < F.col("part_b"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
+        F.when(fwd, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
+    )
+    o1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
+    o2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
+    cands = o1.join(o2, "src").filter(F.col("v") < F.col("w"))
+    canon = e.select(
+        F.col("part_a").alias("v"), F.col("part_b").alias("w")
+    )
+    tri = cands.join(canon, ["v", "w"], "left_semi")
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    n_edge = e.agg(F.count("*").alias("n_edges"))
+    n_wedge = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges")
+    )
+    return (
+        n_edge.crossJoin(n_tri)
+        .crossJoin(n_wedge)
+        .select(
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            (
+                F.lit(3.0)
+                * F.col("n_triangles")
+                / F.greatest(F.col("n_wedges"), F.lit(1))
+            ).alias("clustering_coefficient"),
+        )
+    )

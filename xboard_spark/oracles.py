@@ -1820,6 +1820,28 @@ FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "truncation_recall": truncation_recall_sql(),
         "simhash_neardup": simhash_neardup_sql(),
         "chunk_dedup_stats": chunk_dedup_stats_sql(),
+        "dataset_card": f"""
+WITH staged AS (
+  SELECT lang, source, length(text)::BIGINT AS n_chars,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT
+           AS n_tokens,
+         {_fp(_NORM_TEXT)} AS fp
+  FROM documents
+),
+base AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         count(DISTINCT lang)::BIGINT AS n_langs,
+         count(DISTINCT source)::BIGINT AS n_sources,
+         sum(n_tokens)::BIGINT AS total_tokens,
+         sum(n_chars)::BIGINT AS total_chars,
+         sum(n_tokens)::DOUBLE / count(*) AS avg_doc_tokens
+  FROM staged
+),
+dups AS (
+  SELECT sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS exact_dup_docs
+  FROM (SELECT fp, count(*) AS c FROM staged GROUP BY 1)
+)
+SELECT * FROM base, dups""",
         "lsh_recall_audit": f"""
 WITH {_minhash_stack(3, N_PERMS, N_BANDS, 100)},
 tshared AS (
@@ -1874,6 +1896,30 @@ rolled AS (
 SELECT touch, n_purchases, attributed_value,
        n_purchases / sum(n_purchases) OVER () AS purchase_share
 FROM rolled ORDER BY touch""",
+        "copurchase_triangles": """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) GROUP BY 1
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM e e1
+  JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+  JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+)
+SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+       (SELECT t FROM tri)::BIGINT AS n_triangles,
+       (SELECT sum(deg * (deg - 1) / 2) FROM deg)::BIGINT AS n_wedges,
+       3.0 * (SELECT t FROM tri)
+         / greatest((SELECT sum(deg * (deg - 1) / 2) FROM deg), 1)
+         AS clustering_coefficient""",
         "part_degree_profile": """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
