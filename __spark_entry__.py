@@ -42,6 +42,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _sql_status_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's raw-SQL surface (the reference exposes SQL through its
+    Express routes, ``routes/analytics.js``): tables registered as temp
+    views, the query given as SQL text, Catalyst planning it exactly like
+    the DataFrame forms."""
+    from xboard_spark.io import load_tables
+
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        "SELECT o_orderstatus, count(*) AS n_orders, "
+        "round(sum(o_totalprice), 2) AS revenue, "
+        "round(avg(o_totalprice), 2) AS avg_price "
+        "FROM orders GROUP BY 1 ORDER BY 1"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the Q1-shaped pricing
     summary — scan + partial/final hash aggregate, the canonical 100 TB
@@ -186,6 +202,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": lambda s, d: curation.dataset_card(
             _t(s, d, "documents")
         ),
+        "similar_docs": lambda s, d: dedup.similar_docs(
+            _t(s, d, "documents")
+        ),
+        "sql_status_panel": _sql_status_panel,
         "canonical_docs": lambda s, d: dedup.canonical_docs(
             _t(s, d, "documents")
         ),

@@ -118,6 +118,8 @@ EXTENDED = [
     "events_json_variant",
     "copurchase_triangles",
     "dataset_card",
+    "similar_docs",
+    "sql_status_panel",
 ]
 
 

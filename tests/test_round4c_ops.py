@@ -645,3 +645,20 @@ def test_dataset_card_planted(spark):
     assert r.total_tokens == 8
     assert abs(r.avg_doc_tokens - 8 / 3) < 1e-12
     assert r.exact_dup_docs == 2
+
+
+def test_similar_docs_planted(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = _mkdocs(
+        spark,
+        [
+            (0, base, "en", "web"),                       # query
+            (1, base + " tail extra words here", "en", "web"),  # most similar
+            (2, " ".join(f"tok{i}" for i in range(20)), "en", "web"),  # partial
+            (3, " ".join(f"zz{i}" for i in range(40)), "en", "web"),   # disjoint
+        ],
+    )
+    out = dedup.similar_docs(docs, query_doc=0, k=5).collect()
+    assert out[0].doc_id == 1               # highest overlap first
+    assert out[0].jaccard > out[1].jaccard
+    assert {r.doc_id for r in out} == {1, 2}  # disjoint doc never appears

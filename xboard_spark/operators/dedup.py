@@ -884,3 +884,48 @@ def lsh_recall_audit(
             / F.greatest(F.col("n_true_pairs"), F.lit(1))
         ).alias("recall"),
     )
+
+
+def similar_docs(
+    documents: DataFrame,
+    query_doc: int = 0,
+    k: int = 10,
+    n: int = 3,
+    max_df: int = 100,
+) -> DataFrame:
+    """Similarity SEARCH against the dedup index (the point-query shape,
+    vs the all-pairs mining of ngram_jaccard_pairs): the top-k most
+    similar documents to ``query_doc`` by exact shingle Jaccard. The
+    query doc's shingles probe the shared inverted index — cost is
+    bounded by the query's shingle count times per-shingle df (already
+    capped), independent of corpus size; this is the plan an
+    interactive "find documents like this one" endpoint runs at 100 TB.
+    Returns (doc_id, shared, n_sh, jaccard) ordered by similarity."""
+    inv = cached_filtered_index(documents, n, max_df)
+    q = inv.filter(F.col("doc_id") == query_doc).select("shfp")
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    q_size = sizes.filter(F.col("doc_id") == query_doc).select(
+        F.col("n_sh").alias("q_sh")
+    )
+    shared = (
+        inv.join(F.broadcast(q), "shfp")
+        .filter(F.col("doc_id") != query_doc)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes, "doc_id")
+        .crossJoin(F.broadcast(q_size))
+        .select(
+            "doc_id",
+            F.col("shared").cast("long").alias("shared"),
+            F.col("n_sh").cast("long").alias("n_sh"),
+            F.round(
+                F.col("shared")
+                / (F.col("n_sh") + F.col("q_sh") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1820,6 +1820,26 @@ FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "truncation_recall": truncation_recall_sql(),
         "simhash_neardup": simhash_neardup_sql(),
         "chunk_dedup_stats": chunk_dedup_stats_sql(),
+        "similar_docs": f"""
+WITH {_docs_cte(3)},
+{_inv_cte(100)},
+q AS (SELECT shfp FROM inv WHERE doc_id = 0),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM inv GROUP BY 1),
+qs AS (SELECT n_sh AS q_sh FROM sizes WHERE doc_id = 0),
+shared AS (
+  SELECT inv.doc_id, count(*)::BIGINT AS shared
+  FROM inv JOIN q USING (shfp)
+  WHERE inv.doc_id <> 0 GROUP BY 1
+)
+SELECT doc_id, shared, n_sh,
+       round(shared / (n_sh + q_sh - shared), 6) AS jaccard
+FROM shared JOIN sizes USING (doc_id), qs
+ORDER BY jaccard DESC, doc_id LIMIT 10""",
+        "sql_status_panel": """
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders GROUP BY 1 ORDER BY 1""",
         "dataset_card": f"""
 WITH staged AS (
   SELECT lang, source, length(text)::BIGINT AS n_chars,
