@@ -206,6 +206,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "sql_status_panel": _sql_status_panel,
+        "prospect_customers": lambda s, d: tpch.prospect_customers(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
+        "segment_priority_chi2": lambda s, d: tpch.segment_priority_chi2(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
         "canonical_docs": lambda s, d: dedup.canonical_docs(
             _t(s, d, "documents")
         ),

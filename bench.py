@@ -120,6 +120,8 @@ EXTENDED = [
     "dataset_card",
     "similar_docs",
     "sql_status_panel",
+    "prospect_customers",
+    "segment_priority_chi2",
 ]
 
 

@@ -662,3 +662,58 @@ def test_similar_docs_planted(spark):
     assert out[0].doc_id == 1               # highest overlap first
     assert out[0].jaccard > out[1].jaccard
     assert {r.doc_id for r in out} == {1, 2}  # disjoint doc never appears
+
+
+def test_prospect_customers_planted(spark):
+    import datetime as dt
+
+    from xboard_spark.operators import tpch
+
+    cust = spark.createDataFrame(
+        [
+            (1, "a", 0, 1000.0, "B"),   # rich + dormant -> prospect
+            (2, "b", 0, 1000.0, "B"),   # rich but recently active
+            (3, "c", 1, 10.0, "B"),     # below threshold (avg=670)
+        ],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 5.0, dt.datetime(2000, 6, 1), "1-URGENT"),   # old
+            (2, 2, "O", 5.0, dt.datetime(2001, 6, 1), "1-URGENT"),   # recent
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = tpch.prospect_customers(cust, orders).collect()
+    assert [(r.c_nationkey, r.n_prospects) for r in out] == [(0, 1)]
+    assert abs(out[0].total_acctbal - 1000.0) < 1e-9
+
+
+def test_segment_priority_chi2_independent_planted(spark):
+    import datetime as dt
+
+    from xboard_spark.operators import tpch
+
+    # perfectly independent 2x2 design -> chi2 exactly 0
+    cust = spark.createDataFrame(
+        [(1, "a", 0, 1.0, "S1"), (2, "b", 0, 1.0, "S2")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    rows = []
+    ok = 0
+    for ck in (1, 2):
+        for pri in ("P1", "P2"):
+            for _ in range(5):
+                ok += 1
+                rows.append((ok, ck, "O", 1.0, dt.datetime(2001, 1, 1), pri))
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    r = tpch.segment_priority_chi2(cust, orders).collect()[0]
+    assert (r.n_cells, r.dof) == (4, 1)
+    assert r.chi2 == 0.0

@@ -14,7 +14,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -437,4 +437,95 @@ def revenue_change_forecast(
             F.count("*").alias("n_lineitems"),
             F.round(F.sum(rev), 2).alias("potential_revenue"),
         )
+    )
+
+
+def prospect_customers(
+    customer: DataFrame, orders: DataFrame, dormant_since: str = "2001-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape, dormant-customer variant: high-balance customers
+    with NO orders since ``dormant_since`` — the decorrelated form of the
+    classic scalar-subquery + NOT EXISTS pair (every customer in this
+    dataset has ordered at some point, so the pure never-ordered Q22
+    predicate is vacuous; the recent-window form is both non-empty and
+    what a win-back campaign actually asks). The global positive-balance
+    average computes once (1-row frame, broadcast); NOT EXISTS becomes a
+    left anti join on the custkey. Threshold and sums round to cents so
+    both engines compare against the identical constant.
+
+    Scale shape: one customer scan for the threshold (at 100 TB this is
+    the 1-row aggregate you'd cache), one filtered scan anti-joined
+    against the date-pruned orders keys (the date filter reaches the
+    parquet scan; anti joins shuffle only keys), then a bounded-key
+    rollup by nation."""
+    thr = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("thr")
+    )
+    rich = customer.crossJoin(F.broadcast(thr)).filter(
+        F.col("c_acctbal") > F.col("thr")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(dormant_since).cast("timestamp")
+    )
+    prospects = rich.join(
+        recent.select("o_custkey"),
+        rich["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        prospects.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_prospects"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def segment_priority_chi2(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Chi-square independence panel: is order priority independent of
+    customer market segment? Contingency cells from one join+agg, expected
+    counts from the cell frame's own marginals (windows over the bounded
+    5x5 key space, never the raw rows), and the statistic from exact
+    integer counts — the categorical-association test a feature-analysis
+    pass runs before trusting a segment feature.
+
+    Output rounds the statistic to 6dp: the per-cell terms are
+    deterministic doubles, and rounding absorbs the last-ulp association
+    difference of the final 25-term sum across engines."""
+    cells = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w_seg = Window.partitionBy("c_mktsegment")
+    w_pri = Window.partitionBy("o_orderpriority")
+    w_all = Window.partitionBy()
+    with_marginals = cells.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "n",
+        F.sum("n").over(w_seg).alias("row_tot"),
+        F.sum("n").over(w_pri).alias("col_tot"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    term = (
+        F.col("n")
+        - F.col("row_tot") * F.col("col_tot") / F.col("total")
+    )
+    chi = term * term / (
+        F.col("row_tot") * F.col("col_tot") / F.col("total")
+    )
+    return with_marginals.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        (
+            (F.countDistinct("c_mktsegment") - 1)
+            * (F.countDistinct("o_orderpriority") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.round(F.sum(chi), 6).alias("chi2"),
     )

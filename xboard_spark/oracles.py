@@ -1820,6 +1820,37 @@ FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "truncation_recall": truncation_recall_sql(),
         "simhash_neardup": simhash_neardup_sql(),
         "chunk_dedup_stats": chunk_dedup_stats_sql(),
+        "prospect_customers": """
+WITH thr AS (
+  SELECT round(avg(c_acctbal), 2) AS thr FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, count(*)::BIGINT AS n_prospects,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer, thr
+WHERE c_acctbal > thr
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY 1 ORDER BY 1""",
+        "segment_priority_chi2": """
+WITH cells AS (
+  SELECT c_mktsegment, o_orderpriority, count(*)::BIGINT AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT c_mktsegment, o_orderpriority, n,
+         sum(n) OVER (PARTITION BY c_mktsegment) AS row_tot,
+         sum(n) OVER (PARTITION BY o_orderpriority) AS col_tot,
+         sum(n) OVER () AS total
+  FROM cells
+)
+SELECT count(*)::BIGINT AS n_cells,
+       ((count(DISTINCT c_mktsegment) - 1)
+        * (count(DISTINCT o_orderpriority) - 1))::BIGINT AS dof,
+       round(sum((n - row_tot * col_tot / total)
+                 * (n - row_tot * col_tot / total)
+                 / (row_tot * col_tot / total)), 6) AS chi2
+FROM m""",
         "similar_docs": f"""
 WITH {_docs_cte(3)},
 {_inv_cte(100)},
