@@ -45,6 +45,7 @@ def clear_index_caches() -> int:
         dedup._INDEX_CACHE,
         dedup._PAIRS_CACHE,
         graph._EDGE_CACHE,
+        graph._RAW_EDGE_CACHE,
         similarity._NORM_CACHE,
         similarity._CORPUS_CACHE,
         similarity._IVF_CACHE,

@@ -35,15 +35,24 @@ DAMPING = 0.85
 # consumed by every centrality call); same cache contract as
 # dedup._PAIRS_CACHE, released by xboard_spark.clear_index_caches().
 _EDGE_CACHE: dict[int, DataFrame] = {}
+# lineitem semanticHash -> persisted raw undirected edge list. Shared by
+# part_pagerank (via the directed cache above), part_degree_profile, and
+# copurchase_triangles — the basket self-join is the expensive part of all
+# three and need only run once per corpus per session.
+_RAW_EDGE_CACHE: dict[int, DataFrame] = {}
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Undirected weighted edge list (part_a < part_b, n_orders) — the
-    full basket_pairs set without the top-N cut."""
+    full basket_pairs set without the top-N cut. Persisted + shared
+    across the graph operators (see _RAW_EDGE_CACHE)."""
+    key = lineitem.semanticHash()
+    if key in _RAW_EDGE_CACHE:
+        return _RAW_EDGE_CACHE[key]
     op = lineitem.select("l_orderkey", "l_partkey").distinct()
     a = op.alias("a")
     b = op.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -56,6 +65,8 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("w"))
     )
+    _RAW_EDGE_CACHE[key] = out.persist()
+    return _RAW_EDGE_CACHE[key]
 
 
 def part_pagerank(
