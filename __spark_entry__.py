@@ -212,6 +212,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_priority_chi2": lambda s, d: tpch.segment_priority_chi2(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),
+        "quality_weighted_sample": lambda s, d: sampling.quality_weighted_sample(
+            _t(s, d, "documents")
+        ),
+        "first_purchase_latency": lambda s, d: events.first_purchase_latency(
+            _t(s, d, "events")
+        ),
         "canonical_docs": lambda s, d: dedup.canonical_docs(
             _t(s, d, "documents")
         ),

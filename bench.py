@@ -122,6 +122,8 @@ EXTENDED = [
     "sql_status_panel",
     "prospect_customers",
     "segment_priority_chi2",
+    "quality_weighted_sample",
+    "first_purchase_latency",
 ]
 
 

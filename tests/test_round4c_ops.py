@@ -717,3 +717,53 @@ def test_segment_priority_chi2_independent_planted(spark):
     r = tpch.segment_priority_chi2(cust, orders).collect()[0]
     assert (r.n_cells, r.dof) == (4, 1)
     assert r.chi2 == 0.0
+
+
+def test_quality_weighted_sample_planted(spark):
+    from xboard_spark.operators import sampling
+
+    # long docs (>= full_weight_tokens) are ALWAYS kept; empty docs never
+    long_text = " ".join(f"w{i}" for i in range(250))
+    docs = _mkdocs(
+        spark,
+        [(i, long_text, "en", "web") for i in range(10)]
+        + [(100 + i, "", "en", "web") for i in range(5)],
+    )
+    out = {
+        (r.lang, r.source): r
+        for r in sampling.quality_weighted_sample(docs).collect()
+    }
+    r = out[("en", "web")]
+    assert r.n_docs == 15
+    assert r.n_kept == 10  # every long doc survives, no empty doc can
+    assert r.kept_tokens == 10 * 250
+
+
+def test_quality_weighted_sample_deterministic(spark):
+    from xboard_spark.operators import sampling
+
+    docs = _mkdocs(
+        spark,
+        [(i, " ".join(f"w{j}" for j in range(i % 60)), "en", "web") for i in range(200)],
+    )
+    a = sampling.quality_weighted_sample(docs).collect()
+    b = sampling.quality_weighted_sample(docs).collect()
+    assert a == b
+
+
+def test_first_purchase_latency_planted(spark):
+    import datetime as dt
+
+    t = lambda d, h=0: dt.datetime(2026, 1, 1 + d, h)  # noqa: E731
+    rows = [
+        # user 1: first event day 0, first purchase day 2 -> bucket 2
+        (1, t(0), 1, "view", 1.0, "{}"),
+        (2, t(2), 1, "purchase", 1.0, "{}"),
+        (3, t(3), 1, "purchase", 1.0, "{}"),  # later purchase ignored
+        # user 2: purchase is the first event -> bucket 0
+        (4, t(1), 2, "purchase", 1.0, "{}"),
+        # user 3: never purchases -> bucket -1
+        (5, t(0), 3, "view", 1.0, "{}"),
+    ]
+    out = {r.days_to_purchase: r.n_users for r in events.first_purchase_latency(_mkev(spark, rows)).collect()}
+    assert out == {-1: 1, 0: 1, 2: 1}

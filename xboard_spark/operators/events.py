@@ -847,3 +847,33 @@ def events_json_variant(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def first_purchase_latency(events: DataFrame) -> DataFrame:
+    """Activation funnel latency: per user, time from FIRST event to
+    FIRST purchase, summarized as a histogram over whole-day buckets
+    (plus the never-purchased population in bucket -1) — the activation
+    metric a growth pipeline tracks. Latencies are exact integer
+    microseconds; bucketing is integer division.
+
+    Scale shape: one scan -> per-user min/conditional-min hash agg ->
+    bounded-key histogram agg."""
+    us = F.unix_micros(F.col("ts"))
+    per_user = events.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("first_purchase_us"),
+    )
+    day_us = 86_400_000_000
+    bucket = F.when(F.col("first_purchase_us").isNull(), F.lit(-1)).otherwise(
+        F.floor(
+            (F.col("first_purchase_us") - F.col("first_us")) / F.lit(day_us)
+        )
+    )
+    return (
+        per_user.select(bucket.cast("long").alias("days_to_purchase"))
+        .groupBy("days_to_purchase")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("days_to_purchase")
+    )

@@ -225,3 +225,45 @@ def mixture_rebalance(
         )
         .orderBy("lang")
     )
+
+
+def quality_weighted_sample(
+    documents: DataFrame,
+    full_weight_tokens: int = 200,
+    salt: str = "qsample-v1",
+) -> DataFrame:
+    """Quality-proportional sampling: each document survives with
+    probability min(1, n_tokens / ``full_weight_tokens``) — longer
+    (higher-signal) documents always kept, short ones thinned
+    proportionally (the quality/length-weighted sampling used when a
+    mixture over-represents low-value shards). DETERMINISTIC: the coin is
+    the salted content-id fingerprint mapped to [0, 1), so reruns,
+    retries, and both engines select the identical sample — the same
+    leakage-stable contract as ``with_split`` (never rand(): a retried
+    task would flip rows). Returns the per-(lang, source) panel of kept
+    vs total docs/tokens.
+
+    Scale shape: one scan, per-row expressions, one bounded-key agg."""
+    toks = token_count_col(F.col("text"))
+    fp = fingerprint64(F.concat_ws(":", F.lit(salt), F.col("doc_id")))
+    u = (fp % 1_000_000) / 1_000_000.0
+    weight = F.least(F.lit(1.0), toks / F.lit(float(full_weight_tokens)))
+    kept = (u < weight).cast("long")
+    return (
+        documents.select(
+            "lang",
+            "source",
+            toks.cast("long").alias("n_tokens"),
+            kept.alias("kept"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.col("kept") * F.col("n_tokens"))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("lang", "source")
+    )

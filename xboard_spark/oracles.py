@@ -1820,6 +1820,37 @@ FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "truncation_recall": truncation_recall_sql(),
         "simhash_neardup": simhash_neardup_sql(),
         "chunk_dedup_stats": chunk_dedup_stats_sql(),
+        "quality_weighted_sample": f"""
+WITH staged AS (
+  SELECT lang, source,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT
+           AS n_tokens,
+         ({_fp("concat_ws(':', 'qsample-v1', doc_id)")} % 1000000)
+           / 1000000.0 AS u
+  FROM documents
+),
+flagged AS (
+  SELECT lang, source, n_tokens,
+         CASE WHEN u < least(1.0, n_tokens / 200.0) THEN 1 ELSE 0 END AS kept
+  FROM staged
+)
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+       sum(kept)::BIGINT AS n_kept,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       sum(kept * n_tokens)::BIGINT AS kept_tokens
+FROM flagged GROUP BY 1, 2 ORDER BY 1, 2""",
+        "first_purchase_latency": f"""
+WITH pu AS (
+  SELECT user_id, min(epoch_us({EVENTS_TS})) AS first_us,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us({EVENTS_TS}) END) AS fp_us
+  FROM events GROUP BY 1
+)
+SELECT (CASE WHEN fp_us IS NULL THEN -1
+             ELSE floor((fp_us - first_us) / 86400000000) END)::BIGINT
+         AS days_to_purchase,
+       count(*)::BIGINT AS n_users
+FROM pu GROUP BY 1 ORDER BY 1""",
         "prospect_customers": """
 WITH thr AS (
   SELECT round(avg(c_acctbal), 2) AS thr FROM customer WHERE c_acctbal > 0.0
