@@ -218,6 +218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_purchase_latency": lambda s, d: events.first_purchase_latency(
             _t(s, d, "events")
         ),
+        "bounce_rate_by_dow": lambda s, d: events.bounce_rate_by_dow(
+            _t(s, d, "events")
+        ),
         "canonical_docs": lambda s, d: dedup.canonical_docs(
             _t(s, d, "documents")
         ),

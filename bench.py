@@ -124,6 +124,7 @@ EXTENDED = [
     "segment_priority_chi2",
     "quality_weighted_sample",
     "first_purchase_latency",
+    "bounce_rate_by_dow",
 ]
 
 

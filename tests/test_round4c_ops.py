@@ -767,3 +767,22 @@ def test_first_purchase_latency_planted(spark):
     ]
     out = {r.days_to_purchase: r.n_users for r in events.first_purchase_latency(_mkev(spark, rows)).collect()}
     assert out == {-1: 1, 0: 1, 2: 1}
+
+
+def test_bounce_rate_by_dow_planted(spark):
+    import datetime as dt
+
+    sun = dt.datetime(2026, 8, 16, 12, 0)  # Sunday -> dow 1
+    rows = [
+        # user 1: two-event session (not a bounce)
+        (1, sun, 1, "view", 1.0, "{}"),
+        (2, sun + dt.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+        # user 1 again after a gap: single-event session (bounce)
+        (3, sun + dt.timedelta(hours=2), 1, "view", 1.0, "{}"),
+        # user 2: bounce
+        (4, sun, 2, "view", 1.0, "{}"),
+    ]
+    out = {r.dow: r for r in events.bounce_rate_by_dow(_mkev(spark, rows)).collect()}
+    r = out[1]
+    assert (r.n_sessions, r.n_bounces) == (3, 2)
+    assert abs(r.bounce_rate - 2 / 3) < 1e-12

@@ -877,3 +877,30 @@ def first_purchase_latency(events: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("days_to_purchase")
     )
+
+
+def bounce_rate_by_dow(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Bounce panel: share of single-event sessions per day-of-week of the
+    session start (same session definition as ``sessionize``) — the
+    engagement-quality counterpart to ``activity_heatmap``. All integer
+    counts; the rate is one exact division.
+
+    Scale shape: the sessionize shuffle on user_id, then a bounded 7-key
+    rollup."""
+    sess = sessionize(events, gap_minutes)
+    return (
+        sess.select(
+            F.dayofweek("session_start").cast("long").alias("dow"),
+            (F.col("n_events") == 1).cast("long").alias("bounce"),
+        )
+        .groupBy("dow")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("bounce").cast("long").alias("n_bounces"),
+        )
+        .withColumn(
+            "bounce_rate",
+            F.col("n_bounces").cast("double") / F.col("n_sessions"),
+        )
+        .orderBy("dow")
+    )

@@ -1820,6 +1820,33 @@ FROM events, anchor GROUP BY 1 ORDER BY 1""",
         "truncation_recall": truncation_recall_sql(),
         "simhash_neardup": simhash_neardup_sql(),
         "chunk_dedup_stats": chunk_dedup_stats_sql(),
+        "bounce_rate_by_dow": f"""
+WITH e AS (
+  SELECT user_id, {EVENTS_TS} AS ts, event_id FROM events
+),
+f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM f
+),
+sess AS (
+  SELECT user_id, session_seq, count(*) AS n_events,
+         min(ts) AS session_start
+  FROM s GROUP BY 1, 2
+)
+SELECT (dayofweek(session_start) + 1)::BIGINT AS dow,
+       count(*)::BIGINT AS n_sessions,
+       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+         AS bounce_rate
+FROM sess GROUP BY 1 ORDER BY 1""",
         "quality_weighted_sample": f"""
 WITH staged AS (
   SELECT lang, source,
