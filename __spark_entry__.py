@@ -221,6 +221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounce_rate_by_dow": lambda s, d: events.bounce_rate_by_dow(
             _t(s, d, "events")
         ),
+        "embedding_spectrum": lambda s, d: similarity.embedding_spectrum(
+            _t(s, d, "embeddings")
+        ),
         "canonical_docs": lambda s, d: dedup.canonical_docs(
             _t(s, d, "documents")
         ),

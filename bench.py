@@ -125,6 +125,7 @@ EXTENDED = [
     "quality_weighted_sample",
     "first_purchase_latency",
     "bounce_rate_by_dow",
+    "embedding_spectrum",
 ]
 
 

@@ -1113,3 +1113,91 @@ def ivf_delta_assign(
         )
         .orderBy("cell")
     )
+
+
+def embedding_spectrum(embeddings: DataFrame, n_iters: int = 3) -> DataFrame:
+    """Embedding-spectrum panel: covariance trace, dominant eigenvalue
+    (``n_iters`` power iterations), and the explained-variance fraction —
+    the anisotropy check run on embedding spaces (a single dominated
+    direction means cosine similarity is mostly measuring one feature;
+    cf. the anisotropy literature on contextual embeddings).
+
+    Distributed linear algebra as plain DataFrame ops: the covariance is
+    an OUTER-PRODUCT AGGREGATION — row-form (vec, dim, centered-val)
+    self-joined on vec_id, partial+final hash agg onto DIM^2 cells — the
+    canonical way X^T X scales (cells are the reduce state; no matrix
+    ever materializes on one node). Power iterations are matvecs = join +
+    agg on the tiny cell frame. Every intermediate (means, cov cells,
+    iterated vectors) is ROUNDED to 6dp so both engines iterate identical
+    constants — float-sum association differences die at each rounding
+    step instead of compounding through the iteration."""
+    vd = _vec_dims(embeddings)
+    means = vd.groupBy("dim").agg(F.round(F.avg("val"), 6).alias("m"))
+    centered = vd.join(F.broadcast(means), "dim").select(
+        "vec_id", "dim", (F.col("val") - F.col("m")).alias("cv")
+    )
+    a = centered.select(
+        "vec_id", F.col("dim").alias("i"), F.col("cv").alias("ca")
+    )
+    b_side = centered.select(
+        "vec_id", F.col("dim").alias("j"), F.col("cv").alias("cb")
+    )
+    cov = (
+        a.join(b_side, "vec_id")
+        .groupBy("i", "j")
+        .agg(
+            F.round(
+                F.sum(F.col("ca") * F.col("cb")) / F.count("*"), 6
+            ).alias("v")
+        )
+    ).persist()
+    # symmetry-breaking deterministic start: bval ~ dim index (the
+    # all-ones start is EXACTLY orthogonal to any (+1,-1)-patterned
+    # eigenvector — e.g. two anti-correlated axes — and power iteration
+    # from an orthogonal start converges to the wrong eigenpair; a
+    # monotone ramp has nonzero overlap with any realistic direction)
+    nrm0 = means.agg(
+        F.sqrt(F.sum(F.col("dim") * F.col("dim"))).alias("nrm")
+    )
+    vec = means.crossJoin(F.broadcast(nrm0)).select(
+        "dim", F.round(F.col("dim") / F.col("nrm"), 6).alias("bval")
+    )
+    for _ in range(n_iters):
+        mv = (
+            cov.join(vec, cov["j"] == vec["dim"])
+            .groupBy("i")
+            .agg(F.sum(F.col("v") * F.col("bval")).alias("raw"))
+        )
+        nrm = mv.agg(
+            F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm")
+        )
+        vec = mv.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("dim"),
+            F.round(F.col("raw") / F.col("nrm"), 6).alias("bval"),
+        )
+    mvf = (
+        cov.join(vec, cov["j"] == vec["dim"])
+        .groupBy("i")
+        .agg(F.sum(F.col("v") * F.col("bval")).alias("raw"))
+    )
+    eig = (
+        mvf.join(vec, mvf["i"] == vec["dim"])
+        .agg(F.round(F.sum(F.col("bval") * F.col("raw")), 4).alias("eig"))
+    )
+    trace = cov.filter(F.col("i") == F.col("j")).agg(
+        F.round(F.sum("v"), 4).alias("trace")
+    )
+    n = embeddings.agg(F.count("*").alias("n_vecs"))
+    out = (
+        n.crossJoin(F.broadcast(trace))
+        .crossJoin(F.broadcast(eig))
+        .select(
+            "n_vecs",
+            "trace",
+            F.col("eig").alias("top_eigenvalue"),
+            F.round(F.col("eig") / F.col("trace"), 6).alias(
+                "explained_frac"
+            ),
+        )
+    )
+    return out

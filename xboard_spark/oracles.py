@@ -1216,6 +1216,66 @@ SELECT q_id, rank::BIGINT AS rank, vec_id, round(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {k} ORDER BY q_id, rank"""
 
 
+def embedding_spectrum_sql(n_iters: int = 3, dim: int = DIM) -> str:
+    """Mirrors similarity.embedding_spectrum: rounded covariance cells,
+    rounded power-iteration vectors, Rayleigh eigenvalue."""
+    ctes = [
+        f"""vd AS (
+  SELECT vec_id, i AS dim, (embedding[i])::DOUBLE AS val
+  FROM embeddings, generate_series(1, {dim}) s(i)
+)""",
+        """means AS (SELECT dim, round(avg(val), 6) AS m FROM vd GROUP BY 1)""",
+        """c AS (
+  SELECT vec_id, vd.dim, val - m AS cv FROM vd JOIN means USING (dim)
+)""",
+        """cov AS (
+  SELECT a.dim AS i, b.dim AS j,
+         round(sum(a.cv * b.cv) / count(*), 6) AS v
+  FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2
+)""",
+        """b0 AS (
+  SELECT dim, round(dim / (SELECT sqrt(sum(dim * dim)) FROM means), 6)
+           AS bval
+  FROM means
+)""",
+    ]
+    prev = "b0"
+    for k in range(1, n_iters + 1):
+        ctes.append(
+            f"""mv{k} AS (
+  SELECT i AS dim, sum(v * bval) AS raw
+  FROM cov JOIN {prev} ON cov.j = {prev}.dim GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"""b{k} AS (
+  SELECT dim, round(raw / (SELECT sqrt(sum(raw * raw)) FROM mv{k}), 6)
+           AS bval
+  FROM mv{k}
+)"""
+        )
+        prev = f"b{k}"
+    ctes.append(
+        f"""mvf AS (
+  SELECT i AS dim, sum(v * bval) AS raw
+  FROM cov JOIN {prev} ON cov.j = {prev}.dim GROUP BY 1
+)"""
+    )
+    return (
+        "\nWITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_vecs,
+       (SELECT round(sum(v), 4) FROM cov WHERE i = j) AS trace,
+       (SELECT round(sum({prev}.bval * mvf.raw), 4)
+        FROM {prev} JOIN mvf USING (dim)) AS top_eigenvalue,
+       round((SELECT round(sum({prev}.bval * mvf.raw), 4)
+              FROM {prev} JOIN mvf USING (dim))
+             / (SELECT round(sum(v), 4) FROM cov WHERE i = j), 6)
+         AS explained_frac"""
+    )
+
+
 def ivf_delta_assign_sql(
     watermark: int = 400, n_cells: int = 8, dim: int = DIM
 ) -> str:
@@ -2068,6 +2128,7 @@ SELECT doc_id, source, n_sentences, n_tokens, n_syllables,
                - 84.6 * (n_syllables / n_tokens) AS flesch
 FROM counts ORDER BY doc_id""",
         "ivf_delta_assign": ivf_delta_assign_sql(),
+        "embedding_spectrum": embedding_spectrum_sql(),
         "brand_supplier_diversity": """
 SELECT p_brand, count(*)::BIGINT AS n_lineitems,
        count(DISTINCT l_suppkey)::BIGINT AS n_suppliers,
