@@ -27,6 +27,7 @@ from xboard_spark.operators import (
     graph,
     incremental,
     linkage,
+    ml,
     profiling,
     sampling,
     similarity,
@@ -224,6 +225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_spectrum": lambda s, d: similarity.embedding_spectrum(
             _t(s, d, "embeddings")
         ),
+        # rows-only by design: the (X^T X + lam I) solve has no ANSI-SQL
+        # twin; exact-recovery pytest pins correctness instead
+        "ridge_probe": lambda s, d: ml.ridge_probe(_t(s, d, "embeddings")),
         "canonical_docs": lambda s, d: dedup.canonical_docs(
             _t(s, d, "documents")
         ),

@@ -126,6 +126,7 @@ EXTENDED = [
     "first_purchase_latency",
     "bounce_rate_by_dow",
     "embedding_spectrum",
+    "ridge_probe",
 ]
 
 

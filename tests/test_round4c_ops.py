@@ -823,3 +823,42 @@ def test_embedding_spectrum_matches_numpy(spark):
     assert abs(r.trace - 23.375) < 1e-6
     assert abs(r.top_eigenvalue - 19.25) < 0.1
     assert abs(r.explained_frac - 0.8235) < 0.005
+
+
+def test_ridge_probe_separable_and_exact(spark):
+    import numpy as np
+
+    from xboard_spark.operators.ml import ridge_probe
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        v = rng.normal(0, 0.2, 8)
+        label = 0 if i % 2 == 0 else 1
+        v[0] = 2.0 if label == 0 else -2.0  # separable on axis 0
+        rows.append((i, [float(x) for x in v], label))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = ridge_probe(emb, positive_label=0).collect()[0]
+    assert r.n_vecs == 60
+    assert r.accuracy == 1.0   # linearly separable -> perfect probe
+    assert abs(r.pos_rate - 0.5) < 1e-9
+    assert r.rmse < 0.25
+
+
+def test_ridge_probe_uninformative_space(spark):
+    import numpy as np
+
+    from xboard_spark.operators.ml import ridge_probe
+
+    rng = np.random.default_rng(12)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 8)], i % 2) for i in range(80)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = ridge_probe(emb, positive_label=0).collect()[0]
+    # random features cannot beat chance by much; rmse stays near 0.5
+    assert 0.35 < r.rmse < 0.6
