@@ -127,6 +127,7 @@ EXTENDED = [
     "bounce_rate_by_dow",
     "embedding_spectrum",
     "ridge_probe",
+    "kmeans_inertia",
 ]
 
 

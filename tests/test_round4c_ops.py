@@ -862,3 +862,25 @@ def test_ridge_probe_uninformative_space(spark):
     r = ridge_probe(emb, positive_label=0).collect()[0]
     # random features cannot beat chance by much; rmse stays near 0.5
     assert 0.35 < r.rmse < 0.6
+
+
+def test_kmeans_inertia_monotone_descent(spark):
+    import numpy as np
+
+    from xboard_spark.operators.similarity import kmeans_inertia
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(60):
+        center = np.zeros(8)
+        center[i % 3] = 3.0  # three well-separated blobs
+        v = center + rng.normal(0, 0.3, 8)
+        rows.append((i, [float(x) for x in v], i % 3))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = kmeans_inertia(emb, n_cells=4, n_iters=2).collect()
+    inertias = [r.inertia for r in sorted(out, key=lambda r: r.iteration)]
+    assert len(inertias) == 3
+    assert inertias[0] >= inertias[1] >= inertias[2]  # Lloyd descends
+    assert inertias[2] < inertias[0]  # and actually improves from the seed

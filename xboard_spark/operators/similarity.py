@@ -1201,3 +1201,52 @@ def embedding_spectrum(embeddings: DataFrame, n_iters: int = 3) -> DataFrame:
         )
     )
     return out
+
+
+def kmeans_inertia(
+    embeddings: DataFrame, n_cells: int = N_CELLS, n_iters: int = 2
+) -> DataFrame:
+    """Lloyd's algorithm as a measured DESCENT TRACE: total inertia (sum
+    of squared distances to the nearest centroid) after 0..``n_iters``
+    update steps from the hash-seeded start — the convergence evidence
+    for the clustering the IVF index is built on (inertia must be
+    monotonically non-increasing; the pytest asserts it, the oracle
+    reproduces every value).
+
+    Scale shape: each iteration is the IVF assign/update pair — a
+    broadcast join against the centroid frame plus two hash aggregates;
+    the row-form vector frame is persisted once and reused by all
+    iterations (and shared with the IVF cache machinery's layout)."""
+    spark = embeddings.sparkSession
+    vd = _vec_dims(embeddings).persist()
+    cent = initial_centroids(spark, n_cells)
+    panels = []
+    for k in range(n_iters + 1):
+        dist = (
+            vd.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cell")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ).alias("dist2")
+            )
+        )
+        best = dist.groupBy("vec_id").agg(
+            F.min(F.struct("dist2", "cell")).alias("best")
+        )
+        panels.append(
+            best.agg(
+                F.lit(k).cast("long").alias("iteration"),
+                F.round(F.sum("best.dist2"), 4).alias("inertia"),
+            )
+        )
+        if k < n_iters:
+            assign = best.select(
+                "vec_id", F.col("best.cell").alias("cell")
+            )
+            cent = _update(vd, assign)
+    out = panels[0]
+    for p in panels[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("iteration")

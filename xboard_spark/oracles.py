@@ -1276,6 +1276,59 @@ SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_vecs,
     )
 
 
+def kmeans_inertia_sql(n_cells: int = 8, n_iters: int = 2, dim: int = DIM) -> str:
+    """Mirrors similarity.kmeans_inertia: Lloyd descent trace from the
+    hash-seeded centroids, one inertia row per iteration level."""
+    ctes = [
+        f"""c0 AS (
+  SELECT cell, i AS dim, arr[i] AS cval
+  FROM (VALUES {_centroid_values_sql(n_cells, dim)}) t(cell, arr),
+       generate_series(1, {dim}) s(i)
+)""",
+        f"""vd AS (
+  SELECT vec_id, i AS dim, (embedding[i])::DOUBLE AS val
+  FROM embeddings, generate_series(1, {dim}) s(i)
+)""",
+    ]
+    selects = []
+    for k in range(n_iters + 1):
+        ctes.append(
+            f"""d{k + 1} AS (
+  SELECT vd.vec_id, c{k}.cell,
+         sum((vd.val - c{k}.cval) * (vd.val - c{k}.cval)) AS dist2
+  FROM vd JOIN c{k} USING (dim) GROUP BY 1, 2
+)"""
+        )
+        selects.append(
+            f"""SELECT {k}::BIGINT AS iteration,
+       round((SELECT sum(m) FROM (
+          SELECT vec_id, min(dist2) AS m FROM d{k + 1} GROUP BY 1)), 4)
+         AS inertia"""
+        )
+        if k < n_iters:
+            ctes.append(
+                f"""a{k + 1} AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cell) AS rn FROM d{k + 1})
+  WHERE rn = 1
+)"""
+            )
+            ctes.append(
+                f"""c{k + 1} AS (
+  SELECT cell, dim, avg(val) AS cval
+  FROM vd JOIN a{k + 1} USING (vec_id) GROUP BY 1, 2
+)"""
+            )
+    return (
+        "\nWITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY iteration"
+    )
+
+
 def ivf_delta_assign_sql(
     watermark: int = 400, n_cells: int = 8, dim: int = DIM
 ) -> str:
@@ -2129,6 +2182,7 @@ SELECT doc_id, source, n_sentences, n_tokens, n_syllables,
 FROM counts ORDER BY doc_id""",
         "ivf_delta_assign": ivf_delta_assign_sql(),
         "embedding_spectrum": embedding_spectrum_sql(),
+        "kmeans_inertia": kmeans_inertia_sql(),
         "brand_supplier_diversity": """
 SELECT p_brand, count(*)::BIGINT AS n_lineitems,
        count(DISTINCT l_suppkey)::BIGINT AS n_suppliers,
