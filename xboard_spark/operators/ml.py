@@ -68,12 +68,12 @@ def ridge_probe(
         a.join(b, "vec_id")
         .groupBy("i", "j")
         .agg(F.sum(F.col("vi") * F.col("vj")).alias("s"))
-        .collect()
+        .collect()  # sanctioned-collect: (d+1)^2 X^T X cells (~4k doubles)
     )
     xty = (
         rows.groupBy("dim")
         .agg(F.sum(F.col("val") * F.col("y")).alias("s"))
-        .collect()
+        .collect()  # sanctioned-collect: d+1 X^T y cells
     )
     d = max(r.i for r in xtx) + 1
     A = np.zeros((d, d))
