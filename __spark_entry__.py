@@ -43,6 +43,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _sql_orders_since(
+    spark: SparkSession, sf_dir: str, cutoff: str = "1997-01-01"
+) -> DataFrame:
+    """P5 parameterized queries, Spark-natively: named-parameter SQL
+    (``spark.sql(..., args=...)``) — the injection-safe form of the
+    reference's string-built WHERE clauses (``routes/analytics.js``
+    interpolates; this binds)."""
+    from xboard_spark.io import load_tables
+
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        "SELECT CAST(o_orderdate AS DATE) AS order_date, "
+        "count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue "
+        "FROM orders WHERE o_orderdate >= CAST(:cutoff AS TIMESTAMP) "
+        "GROUP BY 1 ORDER BY 1",
+        args={"cutoff": f"{cutoff} 00:00:00"},
+    )
+
+
 def _sql_status_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's raw-SQL surface (the reference exposes SQL through its
     Express routes, ``routes/analytics.js``): tables registered as temp
@@ -207,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "sql_status_panel": _sql_status_panel,
+        "sql_orders_since": _sql_orders_since,
         "prospect_customers": lambda s, d: tpch.prospect_customers(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),

@@ -128,6 +128,7 @@ EXTENDED = [
     "embedding_spectrum",
     "ridge_probe",
     "kmeans_inertia",
+    "sql_orders_since",
 ]
 
 

@@ -2037,6 +2037,12 @@ SELECT doc_id, shared, n_sh,
        round(shared / (n_sh + q_sh - shared), 6) AS jaccard
 FROM shared JOIN sizes USING (doc_id), qs
 ORDER BY jaccard DESC, doc_id LIMIT 10""",
+        "sql_orders_since": """
+SELECT CAST(o_orderdate AS DATE) AS order_date,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1 ORDER BY 1""",
         "sql_status_panel": """
 SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
        round(sum(o_totalprice), 2) AS revenue,
