@@ -227,6 +227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sql_status_panel": _sql_status_panel,
         "sql_orders_since": _sql_orders_since,
+        "daily_type_unpivot": lambda s, d: window_ops.daily_type_unpivot(
+            _t(s, d, "events")
+        ),
         "prospect_customers": lambda s, d: tpch.prospect_customers(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),

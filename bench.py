@@ -129,6 +129,7 @@ EXTENDED = [
     "ridge_probe",
     "kmeans_inertia",
     "sql_orders_since",
+    "daily_type_unpivot",
 ]
 
 

@@ -884,3 +884,23 @@ def test_kmeans_inertia_monotone_descent(spark):
     assert len(inertias) == 3
     assert inertias[0] >= inertias[1] >= inertias[2]  # Lloyd descends
     assert inertias[2] < inertias[0]  # and actually improves from the seed
+
+
+def test_unpivot_roundtrips_pivot_with_dense_zeros(spark):
+    import datetime as dt
+
+    from xboard_spark.operators import window_ops
+
+    rows = [
+        (1, dt.datetime(2026, 1, 1), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2026, 1, 1), 1, "click", 1.0, "{}"),
+        (3, dt.datetime(2026, 1, 2), 1, "view", 1.0, "{}"),
+    ]
+    out = window_ops.daily_type_unpivot(_mkev(spark, rows)).collect()
+    # dense grid: 2 days x 5 types, zeros filled
+    assert len(out) == 10
+    vals = {(str(r.event_date), r.event_type): r.n_events for r in out}
+    assert vals[("2026-01-01", "view")] == 1
+    assert vals[("2026-01-01", "click")] == 1
+    assert vals[("2026-01-02", "click")] == 0
+    assert sum(vals.values()) == 3  # melt conserves the event count

@@ -411,3 +411,24 @@ def value_equidepth(events: DataFrame, n_buckets: int = 10) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def daily_type_unpivot(events: DataFrame) -> DataFrame:
+    """Unpivot (melt): the wide daily pivot back to long form via Spark's
+    native ``unpivot`` — the inverse relational shape of
+    ``daily_type_pivot``, and the densified long frame (every day x type
+    cell present, zeros filled) that time-series models consume. Round
+    trip covered by pytest; the oracle builds the dense grid with a
+    date x type cross join."""
+    wide = daily_type_pivot(events)
+    return (
+        wide.unpivot(
+            ["event_date"], EVENT_TYPES, "event_type", "n_events"
+        )
+        .select(
+            "event_date",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("event_date", "event_type")
+    )

@@ -2037,6 +2037,22 @@ SELECT doc_id, shared, n_sh,
        round(shared / (n_sh + q_sh - shared), 6) AS jaccard
 FROM shared JOIN sizes USING (doc_id), qs
 ORDER BY jaccard DESC, doc_id LIMIT 10""",
+        "daily_type_unpivot": f"""
+WITH d AS (
+  SELECT DISTINCT CAST({EVENTS_TS} AS DATE) AS event_date FROM events
+),
+t AS (
+  SELECT unnest(['click','error','purchase','signup','view']) AS event_type
+),
+c AS (
+  SELECT CAST({EVENTS_TS} AS DATE) AS event_date, event_type,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT d.event_date, t.event_type, coalesce(c.n, 0)::BIGINT AS n_events
+FROM d CROSS JOIN t
+LEFT JOIN c ON c.event_date = d.event_date AND c.event_type = t.event_type
+ORDER BY d.event_date, t.event_type""",
         "sql_orders_since": """
 SELECT CAST(o_orderdate AS DATE) AS order_date,
        count(*)::BIGINT AS n_orders,
