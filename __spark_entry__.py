@@ -230,6 +230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_type_unpivot": lambda s, d: window_ops.daily_type_unpivot(
             _t(s, d, "events")
         ),
+        "text_embedding_alignment": lambda s, d: (
+            similarity.text_embedding_alignment(
+                _t(s, d, "documents"), _t(s, d, "embeddings")
+            )
+        ),
         "prospect_customers": lambda s, d: tpch.prospect_customers(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),

@@ -130,6 +130,7 @@ EXTENDED = [
     "kmeans_inertia",
     "sql_orders_since",
     "daily_type_unpivot",
+    "text_embedding_alignment",
 ]
 
 

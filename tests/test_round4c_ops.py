@@ -904,3 +904,34 @@ def test_unpivot_roundtrips_pivot_with_dense_zeros(spark):
     assert vals[("2026-01-01", "click")] == 1
     assert vals[("2026-01-02", "click")] == 0
     assert sum(vals.values()) == 3  # melt conserves the event count
+
+
+def test_text_embedding_alignment_planted(spark):
+    # near-dup text pair (0,1) shares an aligned embedding direction; the
+    # background consecutive pairs are orthogonal -> positive lift
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = _mkdocs(
+        spark,
+        [
+            (0, base, "en", "web"),
+            (1, base + " tail", "en", "web"),
+            (2, " ".join(f"x{i}" for i in range(40)), "en", "web"),
+            (3, " ".join(f"y{i}" for i in range(40)), "en", "web"),
+        ],
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [1.0, 0.1, 0.0, 0.0], 0),  # near-dup text -> close vector
+            (2, [0.0, 1.0, 0.0, 0.0], 1),
+            (3, [0.0, 0.0, 1.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    from xboard_spark.operators.similarity import text_embedding_alignment
+
+    r = text_embedding_alignment(docs, emb).collect()[0]
+    assert r.n_dup_pairs == 1
+    assert r.avg_dup_cosine > 0.99
+    assert r.n_base_pairs == 3
+    assert r.lift > 0.5  # dup pair far above the mostly-orthogonal background

@@ -1250,3 +1250,66 @@ def kmeans_inertia(
     for p in panels[1:]:
         out = out.unionByName(p)
     return out.orderBy("iteration")
+
+
+def text_embedding_alignment(
+    documents: DataFrame, embeddings: DataFrame, tau: float = 0.5
+) -> DataFrame:
+    """Cross-modal dedup-signal audit: do TEXT near-duplicate pairs (the
+    verified MinHash set) sit closer in EMBEDDING space than background
+    pairs? One row: pair counts and mean cosines for the near-dup set vs
+    a deterministic background (consecutive-id pairs), plus the lift.
+    High lift validates using embeddings for semantic dedup on this
+    corpus; lift near zero means the embedding space does not encode the
+    textual similarity the shingle pipeline finds, and embedding-based
+    curation decisions would be unfounded.
+
+    Scale shape: the near-dup pair set is tiny (it IS the dedup output);
+    both cosine lookups are joins against the shared normalized corpus;
+    the background is one self-join on vec_id+1 — each side two
+    broadcast-scale joins and a 1-row aggregate. Per-pair cosines round
+    to 6dp before averaging so both engines aggregate identical values."""
+    from xboard_spark.operators.dedup import minhash_dedup_pairs
+
+    norm = _norm_corpus(embeddings)
+    a = norm.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("v_norm").alias("na"),
+    )
+    b = norm.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("v_norm").alias("nb"),
+    )
+
+    def _cos(df):
+        return df.withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ),
+        )
+
+    dup = minhash_dedup_pairs(documents, tau=tau).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    dup_cos = _cos(dup.join(a, "id_a").join(b, "id_b"))
+    base = a.join(
+        b, F.col("id_b") == F.col("id_a") + 1
+    )  # deterministic background: consecutive ids
+    base_cos = _cos(base)
+    d = dup_cos.agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.round(F.avg("cosine"), 6).alias("avg_dup_cosine"),
+    )
+    g = base_cos.agg(
+        F.count("*").alias("n_base_pairs"),
+        F.round(F.avg("cosine"), 6).alias("avg_base_cosine"),
+    )
+    return d.crossJoin(F.broadcast(g)).withColumn(
+        "lift",
+        F.round(F.col("avg_dup_cosine") - F.col("avg_base_cosine"), 6),
+    )

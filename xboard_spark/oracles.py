@@ -2037,6 +2037,26 @@ SELECT doc_id, shared, n_sh,
        round(shared / (n_sh + q_sh - shared), 6) AS jaccard
 FROM shared JOIN sizes USING (doc_id), qs
 ORDER BY jaccard DESC, doc_id LIMIT 10""",
+        "text_embedding_alignment": f"""
+WITH {_minhash_stack(3, N_PERMS, N_BANDS, 100)},
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM corpus),
+dupc AS (
+  SELECT round(list_dot_product(x.v, y.v) / (x.nn * y.nn), 6) AS cosine
+  FROM (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5) p
+  JOIN nrm x ON x.vec_id = p.doc_a
+  JOIN nrm y ON y.vec_id = p.doc_b
+),
+basec AS (
+  SELECT round(list_dot_product(x.v, y.v) / (x.nn * y.nn), 6) AS cosine
+  FROM nrm x JOIN nrm y ON y.vec_id = x.vec_id + 1
+)
+SELECT (SELECT count(*) FROM dupc)::BIGINT AS n_dup_pairs,
+       (SELECT round(avg(cosine), 6) FROM dupc) AS avg_dup_cosine,
+       (SELECT count(*) FROM basec)::BIGINT AS n_base_pairs,
+       (SELECT round(avg(cosine), 6) FROM basec) AS avg_base_cosine,
+       round((SELECT round(avg(cosine), 6) FROM dupc)
+             - (SELECT round(avg(cosine), 6) FROM basec), 6) AS lift""",
         "daily_type_unpivot": f"""
 WITH d AS (
   SELECT DISTINCT CAST({EVENTS_TS} AS DATE) AS event_date FROM events
