@@ -256,6 +256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only by design: the (X^T X + lam I) solve has no ANSI-SQL
         # twin; exact-recovery pytest pins correctness instead
         "ridge_probe": lambda s, d: ml.ridge_probe(_t(s, d, "embeddings")),
+        "logistic_probe": lambda s, d: ml.logistic_probe(
+            _t(s, d, "embeddings")
+        ),
         "kmeans_inertia": lambda s, d: similarity.kmeans_inertia(
             _t(s, d, "embeddings")
         ),

@@ -131,6 +131,7 @@ EXTENDED = [
     "sql_orders_since",
     "daily_type_unpivot",
     "text_embedding_alignment",
+    "logistic_probe",
 ]
 
 

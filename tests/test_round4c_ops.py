@@ -935,3 +935,44 @@ def test_text_embedding_alignment_planted(spark):
     assert r.avg_dup_cosine > 0.99
     assert r.n_base_pairs == 3
     assert r.lift > 0.5  # dup pair far above the mostly-orthogonal background
+
+
+def test_logistic_probe_separable(spark):
+    import numpy as np
+
+    from xboard_spark.operators.ml import logistic_probe
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for i in range(60):
+        v = rng.normal(0, 0.2, 8)
+        label = 0 if i % 2 == 0 else 1
+        v[0] = 1.5 if label == 0 else -1.5
+        rows.append((i, [float(x) for x in v], label))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = logistic_probe(emb, positive_label=0).collect()[0]
+    assert r.n_vecs == 60 and r.n_iters == 3
+    assert r.accuracy == 1.0
+    assert r.log_loss < 0.2  # Newton converges fast on separable data
+
+
+def test_logistic_probe_beats_fewer_iterations(spark):
+    import numpy as np
+
+    from xboard_spark.operators.ml import logistic_probe
+
+    rng = np.random.default_rng(22)
+    rows = []
+    for i in range(80):
+        label = i % 2
+        v = rng.normal(0, 1.0, 8)
+        v[0] += 1.2 if label == 0 else -1.2  # overlapping but informative
+        rows.append((i, [float(x) for x in v], label))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    l1 = logistic_probe(emb, positive_label=0, n_iters=1).collect()[0]
+    l3 = logistic_probe(emb, positive_label=0, n_iters=3).collect()[0]
+    assert l3.log_loss <= l1.log_loss + 1e-9  # Newton descends

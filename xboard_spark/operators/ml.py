@@ -101,3 +101,97 @@ def ridge_probe(
         F.round(F.sum(hit) / F.count("*"), 4).alias("accuracy"),
         F.round(F.avg("y"), 4).alias("pos_rate"),
     )
+
+
+def logistic_probe(
+    embeddings: DataFrame,
+    positive_label: int = 0,
+    n_iters: int = 3,
+    lam: float = 1e-3,
+) -> DataFrame:
+    """Logistic-regression probe by IRLS (Newton) — the ITERATIVE form of
+    the aggregate-then-solve pattern: each iteration computes the
+    gradient X^T (y - mu) and Hessian X^T S X as distributed aggregates
+    (the scoring pass that produces mu broadcasts the current weights —
+    d+1 doubles — never the data), solves the (d+1)^2 damped Newton
+    system on the driver, and repeats. Three iterations of Newton on a
+    well-scaled probe is effectively converged; per-iteration cluster
+    cost is one scoring join plus one outer-product aggregate, identical
+    shape every round.
+
+    Returns one row: (n_vecs, n_iters, accuracy, log_loss)."""
+    rows = _design_rows(embeddings, positive_label).persist()
+    d_frame = rows.agg(F.max("dim").alias("m")).collect()  # sanctioned-collect: 1 cell (feature dim)
+    d = int(d_frame[0].m) + 1
+    w = np.zeros(d)
+    spark = embeddings.sparkSession
+    for _ in range(n_iters):
+        wdf = spark.createDataFrame(
+            [(int(i), float(w[i])) for i in range(d)], "dim long, w double"
+        )
+        eta = (
+            rows.join(F.broadcast(wdf), "dim")
+            .groupBy("vec_id", "y")
+            .agg(F.sum(F.col("val") * F.col("w")).alias("eta"))
+        )
+        mu = eta.select(
+            "vec_id",
+            "y",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta")))).alias("mu"),
+        )
+        resid = mu.select(
+            "vec_id",
+            (F.col("y") - F.col("mu")).alias("r"),
+            (F.col("mu") * (1.0 - F.col("mu"))).alias("s"),
+        )
+        joined = rows.join(resid, "vec_id")
+        grad_rows = (
+            joined.groupBy("dim")
+            .agg(F.sum(F.col("val") * F.col("r")).alias("g"))
+            .collect()  # sanctioned-collect: d+1 gradient cells
+        )
+        a = joined.select(
+            "vec_id", F.col("dim").alias("i"), F.col("val").alias("vi"), "s"
+        )
+        b = rows.select(
+            "vec_id", F.col("dim").alias("j"), F.col("val").alias("vj")
+        )
+        hess_rows = (
+            a.join(b, "vec_id")
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("vi") * F.col("vj") * F.col("s")).alias("h"))
+            .collect()  # sanctioned-collect: (d+1)^2 Hessian cells
+        )
+        g = np.zeros(d)
+        for r in grad_rows:
+            g[r.dim] = r.g
+        H = np.zeros((d, d))
+        for r in hess_rows:
+            H[r.i, r.j] = r.h
+        w = w + np.linalg.solve(H + lam * np.eye(d), g - lam * w)
+    wdf = spark.createDataFrame(
+        [(int(i), float(w[i])) for i in range(d)], "dim long, w double"
+    )
+    final = (
+        rows.join(F.broadcast(wdf), "dim")
+        .groupBy("vec_id", "y")
+        .agg(F.sum(F.col("val") * F.col("w")).alias("eta"))
+        .select(
+            "y",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta")))).alias("mu"),
+        )
+    )
+    eps = 1e-12
+    ll = -(
+        F.col("y") * F.log(F.col("mu") + eps)
+        + (1.0 - F.col("y")) * F.log(1.0 - F.col("mu") + eps)
+    )
+    hit = ((F.col("mu") > 0.5) == (F.col("y") > 0.5)).cast("long")
+    out = final.agg(
+        F.count("*").alias("n_vecs"),
+        F.lit(n_iters).cast("long").alias("n_iters"),
+        F.round(F.sum(hit) / F.count("*"), 4).alias("accuracy"),
+        F.round(F.avg(ll), 4).alias("log_loss"),
+    )
+    rows.unpersist()
+    return out
