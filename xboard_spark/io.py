@@ -190,3 +190,29 @@ def compact_silver(
         "files_after": len(files_after),
         "bytes": total_bytes,
     }
+
+
+def write_bucketed_index(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a shared index artifact (shingle index, LSH pair set, IVF
+    assignment...) as a BUCKETED managed table — the durable form the
+    in-session caches stand in for (see ``clear_index_caches``). Bucketing
+    on the probe key means every later index probe or index-index join is
+    co-located: no Exchange on the bucketed side, the property
+    ``tests/test_bucketing.py`` proves for the fact tables and
+    ``test_index_persistence.py`` proves for a persisted index."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
+def read_index_table(spark: SparkSession, table_name: str) -> DataFrame:
+    """Load a persisted index table (bucket metadata rides the catalog, so
+    joins on the bucket key skip their shuffle)."""
+    return spark.table(table_name)
