@@ -235,6 +235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _t(s, d, "documents"), _t(s, d, "embeddings")
             )
         ),
+        "bootstrap_mean_ci": lambda s, d: sampling.bootstrap_mean_ci(
+            _t(s, d, "orders")
+        ),
         "prospect_customers": lambda s, d: tpch.prospect_customers(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),

@@ -132,6 +132,7 @@ EXTENDED = [
     "daily_type_unpivot",
     "text_embedding_alignment",
     "logistic_probe",
+    "bootstrap_mean_ci",
 ]
 
 

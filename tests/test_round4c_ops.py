@@ -976,3 +976,25 @@ def test_logistic_probe_beats_fewer_iterations(spark):
     l1 = logistic_probe(emb, positive_label=0, n_iters=1).collect()[0]
     l3 = logistic_probe(emb, positive_label=0, n_iters=3).collect()[0]
     assert l3.log_loss <= l1.log_loss + 1e-9  # Newton descends
+
+
+def test_bootstrap_mean_ci_brackets_point_and_is_deterministic(spark):
+    import datetime as dt
+
+    from xboard_spark.operators.sampling import bootstrap_mean_ci
+
+    orders = spark.createDataFrame(
+        [
+            (i, i % 7, "O", 100.0 + (i % 50), dt.datetime(2026, 1, 1), "1-URGENT")
+            for i in range(400)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    a = bootstrap_mean_ci(orders).collect()[0]
+    b = bootstrap_mean_ci(orders).collect()[0]
+    assert a == b  # hash coins -> identical replicas on rerun
+    assert a.n_rows == 400 and a.n_replicas == 32
+    assert a.ci_lo <= a.point_mean <= a.ci_hi
+    # interval width is sane for n=400, sd ~14.4: a few standard errors
+    assert 0.1 < (a.ci_hi - a.ci_lo) < 10.0

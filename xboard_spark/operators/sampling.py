@@ -267,3 +267,67 @@ def quality_weighted_sample(
         )
         .orderBy("lang", "source")
     )
+
+
+# quantized Poisson(1) inverse CDF: cumulative P(X<=k) for k=0..4, then 5.
+# Exact decimal constants so BOTH engines branch on identical thresholds.
+POISSON1_CDF = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340)
+
+
+def bootstrap_mean_ci(
+    orders: DataFrame, n_replicas: int = 32, salt: str = "boot-v1"
+) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for the mean order value —
+    the resampling scheme that actually works on distributed data
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams":
+    true resampling needs global row indexes; independent Poisson(1)
+    weights per (row, replica) need only a row-local coin). DETERMINISTIC:
+    the coin is a salted row+replica fingerprint through a quantized
+    Poisson(1) inverse CDF, so reruns and both engines draw identical
+    weights — same contract as ``with_split``.
+
+    Scale shape: one scan exploded x``n_replicas`` (column-local, no
+    shuffle), a partial+final agg keyed on the replica id (bounded
+    domain), then order statistics over the ``n_replicas``-row frame.
+    Returns (n_rows, n_replicas, point_mean, ci_lo, ci_hi) with the
+    2.5%/97.5% replica-mean order statistics as the interval."""
+    b = F.explode(
+        F.sequence(F.lit(0), F.lit(n_replicas - 1))
+    ).alias("b")
+    staged = orders.select(F.col("o_orderkey"), F.col("o_totalprice")).select(
+        "o_orderkey", "o_totalprice", b
+    )
+    fp = fingerprint64(
+        F.concat_ws(":", F.lit(salt), F.col("o_orderkey"), F.col("b"))
+    )
+    u = (fp % 1_000_000) / 1_000_000.0
+    w = F.lit(5)
+    for k in reversed(range(len(POISSON1_CDF))):
+        w = F.when(u < POISSON1_CDF[k], F.lit(k)).otherwise(w)
+    weighted = staged.withColumn("w", w.cast("double"))
+    reps = (
+        weighted.groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w"), 4
+            ).alias("rep_mean")
+        )
+    )
+    win = Window.partitionBy().orderBy("rep_mean")
+    lo_rank = max(1, int(0.025 * n_replicas))
+    hi_rank = min(n_replicas, int(0.975 * n_replicas) + 1)
+    ranked = reps.withColumn("rn", F.row_number().over(win))
+    lo = ranked.filter(F.col("rn") == lo_rank).select(
+        F.col("rep_mean").alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rn") == hi_rank).select(
+        F.col("rep_mean").alias("ci_hi")
+    )
+    point = orders.agg(
+        F.count("*").alias("n_rows"),
+        F.lit(n_replicas).cast("long").alias("n_replicas"),
+        F.round(F.avg("o_totalprice"), 4).alias("point_mean"),
+    )
+    return (
+        point.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+    )

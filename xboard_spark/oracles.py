@@ -2037,6 +2037,39 @@ SELECT doc_id, shared, n_sh,
        round(shared / (n_sh + q_sh - shared), 6) AS jaccard
 FROM shared JOIN sizes USING (doc_id), qs
 ORDER BY jaccard DESC, doc_id LIMIT 10""",
+        "bootstrap_mean_ci": f"""
+WITH staged AS (
+  SELECT o_orderkey, o_totalprice, b
+  FROM orders, generate_series(0, 31) t(b)
+),
+coined AS (
+  SELECT o_totalprice, b,
+         ({_fp("concat_ws(':', 'boot-v1', o_orderkey, b)")} % 1000000)
+           / 1000000.0 AS u
+  FROM staged
+),
+weighted AS (
+  SELECT o_totalprice, b,
+         (CASE WHEN u < 0.367879 THEN 0
+               WHEN u < 0.735759 THEN 1
+               WHEN u < 0.919699 THEN 2
+               WHEN u < 0.981012 THEN 3
+               WHEN u < 0.996340 THEN 4
+               ELSE 5 END)::DOUBLE AS w
+  FROM coined
+),
+reps AS (
+  SELECT b, round(sum(w * o_totalprice) / sum(w), 4) AS rep_mean
+  FROM weighted GROUP BY 1
+),
+ranked AS (
+  SELECT rep_mean, row_number() OVER (ORDER BY rep_mean) AS rn FROM reps
+)
+SELECT (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+       32::BIGINT AS n_replicas,
+       (SELECT round(avg(o_totalprice), 4) FROM orders) AS point_mean,
+       (SELECT rep_mean FROM ranked WHERE rn = 1) AS ci_lo,
+       (SELECT rep_mean FROM ranked WHERE rn = 32) AS ci_hi""",
         "text_embedding_alignment": f"""
 WITH {_minhash_stack(3, N_PERMS, N_BANDS, 100)},
 corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
