@@ -238,6 +238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_mean_ci": lambda s, d: sampling.bootstrap_mean_ci(
             _t(s, d, "orders")
         ),
+        "top_orders_per_segment": lambda s, d: window_ops.top_orders_per_segment(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
         "prospect_customers": lambda s, d: tpch.prospect_customers(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),

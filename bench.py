@@ -133,6 +133,7 @@ EXTENDED = [
     "text_embedding_alignment",
     "logistic_probe",
     "bootstrap_mean_ci",
+    "top_orders_per_segment",
 ]
 
 

@@ -144,3 +144,43 @@ def test_knn_label_vote_plan_quality(spark, sf_dir, qs):
     assert not r["has_python_udf"]
     pushed = " ".join(p for p in r["pushed_filters"] if p)
     assert "vec_id" in pushed
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """AQE's OptimizeSkewedJoin actually fires on a planted hot key: with
+    skew thresholds lowered, the post-execution plan reports skew
+    handling on the sort-merge join — the runtime mitigation that
+    complements the manual salting in operators/skew.py."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # hot key 0 carries 50k rows with a fat payload; other keys tiny
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") < 50_000, 0).otherwise(F.col("id") % 64).alias("k"),
+            F.concat(F.lit("x" * 100), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 64).select(F.col("id").alias("k"))
+        joined = left.join(right, "k")
+        # collect() on THIS DataFrame so the inspected QueryExecution is
+        # the one AQE finalized (count() would plan a separate query)
+        assert len(joined.collect()) == 60_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]   # SortMergeJoin(skew=true)
+        assert "skewed" in plan, plan[:2000]      # AQEShuffleRead ... skewed
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -432,3 +432,31 @@ def daily_type_unpivot(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_date", "event_type")
     )
+
+
+def top_orders_per_segment(
+    customer: DataFrame, orders: DataFrame, k: int = 3
+) -> DataFrame:
+    """Top-k WITHIN each group (vs segment_top_orders' global top-k): the
+    k largest orders per market segment via a rank window — the pattern
+    that scales because the window partitions on the group key (each
+    segment ranks independently; no global sort exists) and the rank
+    filter prunes before any further join."""
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "c_mktsegment",
+            F.col("rnk").cast("long").alias("rnk"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy("c_mktsegment", "rnk")
+    )

@@ -2037,6 +2037,16 @@ SELECT doc_id, shared, n_sh,
        round(shared / (n_sh + q_sh - shared), 6) AS jaccard
 FROM shared JOIN sizes USING (doc_id), qs
 ORDER BY jaccard DESC, doc_id LIMIT 10""",
+        "top_orders_per_segment": """
+WITH j AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, rnk::BIGINT AS rnk, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice
+FROM j WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""",
         "bootstrap_mean_ci": f"""
 WITH staged AS (
   SELECT o_orderkey, o_totalprice, b
