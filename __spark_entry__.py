@@ -241,6 +241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_segment": lambda s, d: window_ops.top_orders_per_segment(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),
+        "ann_recall_audit": lambda s, d: similarity.ann_recall_audit(
+            _t(s, d, "embeddings")
+        ),
         "prospect_customers": lambda s, d: tpch.prospect_customers(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),

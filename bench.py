@@ -134,6 +134,7 @@ EXTENDED = [
     "logistic_probe",
     "bootstrap_mean_ci",
     "top_orders_per_segment",
+    "ann_recall_audit",
 ]
 
 

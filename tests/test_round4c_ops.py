@@ -998,3 +998,30 @@ def test_bootstrap_mean_ci_brackets_point_and_is_deterministic(spark):
     assert a.ci_lo <= a.point_mean <= a.ci_hi
     # interval width is sane for n=400, sd ~14.4: a few standard errors
     assert 0.1 < (a.ci_hi - a.ci_lo) < 10.0
+
+
+def test_ann_recall_audit_perfect_on_separated_clusters(spark):
+    import numpy as np
+
+    from xboard_spark.operators import similarity as sim
+    import xboard_spark
+
+    xboard_spark.clear_index_caches()
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(80):
+        v = np.zeros(64)
+        v[i % 4] = 5.0  # four far-apart clusters
+        v += rng.normal(0, 0.05, 64)
+        rows.append((i, [float(x) for x in v], i % 4))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.method: r for r in sim.ann_recall_audit(emb, n_queries=4, k=3).collect()}
+    assert set(out) == {"ivf", "lsh", "pq"}
+    for r in out.values():
+        assert 0.0 <= r.recall <= 1.0
+        assert r.n_hits == int(r.recall * 12 + 0.5)
+    # well-separated clusters: the learned IVF cells isolate them
+    assert out["ivf"].recall >= 0.5
+    xboard_spark.clear_index_caches()

@@ -1313,3 +1313,39 @@ def text_embedding_alignment(
         "lift",
         F.round(F.col("avg_dup_cosine") - F.col("avg_base_cosine"), 6),
     )
+
+
+def ann_recall_audit(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5
+) -> DataFrame:
+    """The ANN benchmark panel: recall@k of every approximate index (LSH,
+    IVF, PQ/ADC) against the exact brute-force ground truth on the shared
+    query set — the accuracy half of the speed/accuracy trade each index
+    makes, measured on THIS corpus (ann-benchmarks methodology). One row
+    per method: (method, n_hits, recall).
+
+    Scale shape: every method reuses its session-cached index; the truth
+    set is n_queries x k rows, so each recall join is against a
+    broadcast-size frame. At 100 TB this audit runs on a query SAMPLE —
+    which is exactly what it is already."""
+    truth = knn_bruteforce(embeddings, n_queries, k).select("q_id", "vec_id")
+    denom = float(n_queries * k)
+    methods = [
+        ("ivf", knn_ivf(embeddings, n_queries, k)),
+        ("lsh", knn_lsh(embeddings, n_queries, k)),
+        ("pq", knn_pq(embeddings, n_queries, k)),
+    ]
+    panels = []
+    for name, df in methods:
+        hits = df.select("q_id", "vec_id").join(truth, ["q_id", "vec_id"])
+        panels.append(
+            hits.agg(
+                F.lit(name).alias("method"),
+                F.count("*").alias("n_hits"),
+                (F.count("*") / F.lit(denom)).alias("recall"),
+            )
+        )
+    out = panels[0]
+    for p in panels[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method")

@@ -2037,6 +2037,21 @@ SELECT doc_id, shared, n_sh,
        round(shared / (n_sh + q_sh - shared), 6) AS jaccard
 FROM shared JOIN sizes USING (doc_id), qs
 ORDER BY jaccard DESC, doc_id LIMIT 10""",
+        "ann_recall_audit": f"""
+SELECT * FROM (
+  SELECT 'ivf' AS method, count(*)::BIGINT AS n_hits,
+         count(*) / 25.0 AS recall
+  FROM ({knn_ivf_sql()}) a
+  JOIN ({knn_sql()}) t USING (q_id, vec_id)
+  UNION ALL
+  SELECT 'lsh', count(*)::BIGINT, count(*) / 25.0
+  FROM ({knn_lsh_sql()}) a
+  JOIN ({knn_sql()}) t USING (q_id, vec_id)
+  UNION ALL
+  SELECT 'pq', count(*)::BIGINT, count(*) / 25.0
+  FROM ({knn_pq_sql()}) a
+  JOIN ({knn_sql()}) t USING (q_id, vec_id)
+) ORDER BY method""",
         "top_orders_per_segment": """
 WITH j AS (
   SELECT c_mktsegment, o_orderkey, o_totalprice,
