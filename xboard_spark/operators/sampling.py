@@ -289,6 +289,11 @@ def bootstrap_mean_ci(
     Scale shape: one scan exploded x``n_replicas`` (column-local, no
     shuffle), a partial+final agg keyed on the replica id (bounded
     domain), then order statistics over the ``n_replicas``-row frame.
+    The explode IS the measured-fastest form: rewriting as 2x32 aggregate
+    expressions over one row (with or without pre-bound weight columns)
+    measured 1.5-2x SLOWER at sf0.1 — 64 wide agg buffers fed by long
+    when-chains fall out of whole-stage codegen, while the exploded form
+    keeps narrow codegen rows and a 32-key hash agg.
     Returns (n_rows, n_replicas, point_mean, ci_lo, ci_hi) with the
     2.5%/97.5% replica-mean order statistics as the interval."""
     b = F.explode(
