@@ -122,6 +122,32 @@ _ROUND4_FIRST = [
 ]
 
 
+# Round-5 rotation, READY TO SWAP: replace _ROUND4_FIRST with _ROUND5_FIRST
+# in queries() at the start of round 5. These are the first 50 of the 90
+# queries OUTSIDE the round-4 driver window (similarity family stale since
+# r3; everything else new this round, locally oracle-verified at both gate
+# scales but without a driver row yet). The remaining 40 (relational
+# basics, all green r2/r3 and untouched) are round-6's window.
+_ROUND5_FIRST = [
+    "knn_bruteforce", "knn_lsh", "embedding_neardup", "knn_ivf", "knn_pq",
+    "ivf_cell_sizes", "embedding_stats", "embedding_quantization",
+    "pq_quantization", "label_centroids", "vocab_coverage",
+    "char_lm_fluency", "truncation_recall", "knn_rrf", "filter_funnel",
+    "dataset_card", "similar_docs", "sql_status_panel", "sql_orders_since",
+    "daily_type_unpivot", "text_embedding_alignment", "bootstrap_mean_ci",
+    "top_orders_per_segment", "ann_recall_audit", "prospect_customers",
+    "segment_priority_chi2", "quality_weighted_sample",
+    "first_purchase_latency", "bounce_rate_by_dow", "embedding_spectrum",
+    "ridge_probe", "logistic_probe", "kmeans_inertia", "canonical_docs",
+    "ngram_novelty", "semantic_decontam", "activity_heatmap",
+    "key_skew_profile", "traffic_anomalies", "temporal_split_audit",
+    "session_paths", "shipping_lag_stats", "lsh_candidate_profile",
+    "fk_integrity_audit", "volume_gaps", "user_erasure_audit",
+    "quantile_sketch_error", "ivf_delta_assign", "brand_supplier_diversity",
+    "revenue_change_forecast",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate — see ``_ROUND4_FIRST``: the driver checks
     the first 50 entries per round, so entries rotate so that no registered
