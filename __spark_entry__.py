@@ -270,6 +270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_audit": lambda s, d: similarity.ann_recall_audit(
             _t(s, d, "embeddings")
         ),
+        "customer_entity_clusters": lambda s, d: (
+            linkage.customer_entity_clusters(_t(s, d, "customer"))
+        ),
         "prospect_customers": lambda s, d: tpch.prospect_customers(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),

@@ -135,6 +135,7 @@ EXTENDED = [
     "bootstrap_mean_ci",
     "top_orders_per_segment",
     "ann_recall_audit",
+    "customer_entity_clusters",
 ]
 
 

@@ -1025,3 +1025,23 @@ def test_ann_recall_audit_perfect_on_separated_clusters(spark):
     # well-separated clusters: the learned IVF cells isolate them
     assert out["ivf"].recall >= 0.5
     xboard_spark.clear_index_caches()
+
+
+def test_customer_entity_clusters_transitive_chain(spark):
+    from xboard_spark.operators.linkage import customer_entity_clusters
+
+    # names form a chain: AAAA ~ AAAB ~ AABB (each step edit dist 1, ends
+    # dist 2) -> ONE entity of 3, which pairwise output cannot express
+    cust = spark.createDataFrame(
+        [
+            (1, "AAAA", 0, 1.0, "B"),
+            (2, "AAAB", 0, 1.0, "B"),
+            (3, "AABB", 0, 1.0, "B"),
+            (9, "ZZZZ", 0, 1.0, "B"),   # singleton: never clustered
+            (10, "AAAA", 1, 1.0, "B"),  # same name, other nation: blocked
+        ],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    out = customer_entity_clusters(cust).collect()
+    assert [(r.entity_id, r.n_members, r.rep_custkey) for r in out] == [(1, 3, 1)]

@@ -107,3 +107,30 @@ def fuzzy_customer_pairs(customer: DataFrame, max_dist: int = 1) -> DataFrame:
         "custkey_b",
         F.col("name_dist").cast("long").alias("name_dist"),
     ).orderBy("custkey_a", "custkey_b")
+
+
+def customer_entity_clusters(customer: DataFrame, max_dist: int = 1) -> DataFrame:
+    """Entity RESOLUTION (pairs -> entities): connected components over
+    the fuzzy-match pair graph, one row per resolved entity:
+    (entity_id = min custkey, n_members, rep_custkey = min member) — the
+    step that turns pairwise record linkage into a deduplicated customer
+    dimension (a transitive chain A~B~C is ONE entity even when A!~C,
+    which per-pair output cannot express).
+
+    Scale shape: reuses the bounded fuzzy candidate join and the
+    checkpointed min-label propagation from the dedup family — one
+    shuffle per round over the (tiny) matched-pair graph."""
+    from xboard_spark.operators.dedup import min_label_components
+
+    pairs = fuzzy_customer_pairs(customer, max_dist).select(
+        F.col("custkey_a").alias("doc_a"), F.col("custkey_b").alias("doc_b")
+    )
+    comp = min_label_components(pairs)
+    return (
+        comp.groupBy(F.col("cluster_id").alias("entity_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("doc_id").alias("rep_custkey"),
+        )
+        .orderBy("entity_id")
+    )

@@ -2037,6 +2037,27 @@ SELECT doc_id, shared, n_sh,
        round(shared / (n_sh + q_sh - shared), 6) AS jaccard
 FROM shared JOIN sizes USING (doc_id), qs
 ORDER BY jaccard DESC, doc_id LIMIT 10""",
+        "customer_entity_clusters": """
+WITH RECURSIVE fp AS (
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+),
+edges AS (
+  SELECT ka AS s, kb AS d FROM fp
+  UNION ALL
+  SELECT kb, ka FROM fp
+),
+reach(v, m) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT r.v, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+lab AS (SELECT v AS member, min(m) AS entity_id FROM reach GROUP BY v)
+SELECT entity_id, count(*)::BIGINT AS n_members,
+       min(member) AS rep_custkey
+FROM lab GROUP BY 1 ORDER BY 1""",
         "ann_recall_audit": f"""
 SELECT * FROM (
   SELECT 'ivf' AS method, count(*)::BIGINT AS n_hits,
