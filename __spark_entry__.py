@@ -273,6 +273,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_entity_clusters": lambda s, d: (
             linkage.customer_entity_clusters(_t(s, d, "customer"))
         ),
+        "orders_mom_growth": lambda s, d: window_ops.orders_mom_growth(
+            _t(s, d, "orders")
+        ),
+        "seasonal_naive_error": lambda s, d: events.seasonal_naive_error(
+            _t(s, d, "events")
+        ),
         "prospect_customers": lambda s, d: tpch.prospect_customers(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),

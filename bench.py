@@ -136,6 +136,8 @@ EXTENDED = [
     "top_orders_per_segment",
     "ann_recall_audit",
     "customer_entity_clusters",
+    "orders_mom_growth",
+    "seasonal_naive_error",
 ]
 
 

@@ -1045,3 +1045,38 @@ def test_customer_entity_clusters_transitive_chain(spark):
     )
     out = customer_entity_clusters(cust).collect()
     assert [(r.entity_id, r.n_members, r.rep_custkey) for r in out] == [(1, 3, 1)]
+
+
+def test_orders_mom_growth_planted(spark):
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 100.0, dt.datetime(2026, 1, 10), "1-URGENT"),
+            (2, 1, "O", 100.0, dt.datetime(2026, 1, 20), "1-URGENT"),
+            (3, 1, "O", 300.0, dt.datetime(2026, 2, 5), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    from xboard_spark.operators import window_ops
+
+    out = {str(r.month): r for r in window_ops.orders_mom_growth(orders).collect()}
+    jan, feb = out["2026-01-01"], out["2026-02-01"]
+    assert jan.mom_growth is None and jan.revenue == 200.0
+    assert abs(feb.mom_growth - 0.5) < 1e-12  # 200 -> 300
+
+
+def test_seasonal_naive_error_planted(spark):
+    import datetime as dt
+
+    rows, eid = [], 0
+    # hour 9 on day 1: 10 events; on day 8 (one week later): 13 events
+    for day, n in [(1, 10), (8, 13)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, dt.datetime(2026, 3, day, 9, 0), 1, "view", 1.0, "{}"))
+    r = events.seasonal_naive_error(_mkev(spark, rows)).collect()[0]
+    assert r.n_hours == 1
+    assert abs(r.mae - 3.0) < 1e-12
+    assert abs(r.mape - 3 / 13) < 1e-6

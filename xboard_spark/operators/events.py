@@ -904,3 +904,38 @@ def bounce_rate_by_dow(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+def seasonal_naive_error(events: DataFrame) -> DataFrame:
+    """Forecast-baseline evaluation: the seasonal-naive predictor (this
+    hour's count = same hour ONE WEEK earlier) scored over every hour
+    that has a week-old twin — the baseline any traffic forecasting
+    model must beat, and the standard first row of a forecast eval
+    table. MAE/MAPE from exact integer counts.
+
+    Scale shape: one scan -> (date, hour) agg (calendar-bounded), a
+    self-join shifted by 7 days on the tiny hourly frame, one 1-row
+    rollup."""
+    hourly = (
+        events.select(
+            F.to_date("ts").alias("d"),
+            F.hour("ts").cast("long").alias("h"),
+        )
+        .groupBy("d", "h")
+        .agg(F.count("*").alias("n"))
+    )
+    actual = hourly.select("d", "h", F.col("n").alias("actual"))
+    lagged = hourly.select(
+        F.date_add("d", 7).alias("d"), "h", F.col("n").alias("predicted")
+    )
+    scored = actual.join(lagged, ["d", "h"])
+    err = F.abs(F.col("actual") - F.col("predicted"))
+    return scored.agg(
+        F.count("*").alias("n_hours"),
+        (F.sum(err).cast("double") / F.count("*")).alias("mae"),
+        F.round(
+            F.sum(err / F.greatest(F.col("actual"), F.lit(1)))
+            / F.count("*"),
+            6,
+        ).alias("mape"),
+    )

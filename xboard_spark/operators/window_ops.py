@@ -460,3 +460,38 @@ def top_orders_per_segment(
         )
         .orderBy("c_mktsegment", "rnk")
     )
+
+
+def orders_mom_growth(orders: DataFrame) -> DataFrame:
+    """Month-over-month revenue growth: monthly rollup + lag over the
+    bounded month frame — the growth-reporting shape (rolling_revenue is
+    the daily moving average; this is the percentage-change ladder).
+    Revenue rounds to cents BEFORE the ratio so both engines divide the
+    identical constants; growth is emitted where a prior month exists."""
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    w = Window.partitionBy().orderBy("month")
+    return (
+        monthly.withColumn("prev_revenue", F.lag("revenue").over(w))
+        .withColumn(
+            "mom_growth",
+            F.when(
+                F.col("prev_revenue").isNotNull(),
+                (F.col("revenue") - F.col("prev_revenue"))
+                / F.col("prev_revenue"),
+            ),
+        )
+        .select(
+            F.to_date("month").alias("month"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "revenue",
+            "prev_revenue",
+            "mom_growth",
+        )
+        .orderBy("month")
+    )

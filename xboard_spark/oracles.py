@@ -2037,6 +2037,35 @@ SELECT doc_id, shared, n_sh,
        round(shared / (n_sh + q_sh - shared), 6) AS jaccard
 FROM shared JOIN sizes USING (doc_id), qs
 ORDER BY jaccard DESC, doc_id LIMIT 10""",
+        "orders_mom_growth": """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         count(*)::BIGINT AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders, revenue,
+       lag(revenue) OVER w AS prev_revenue,
+       CASE WHEN lag(revenue) OVER w IS NOT NULL
+            THEN (revenue - lag(revenue) OVER w) / lag(revenue) OVER w
+       END AS mom_growth
+FROM m WINDOW w AS (ORDER BY month) ORDER BY month""",
+        "seasonal_naive_error": f"""
+WITH hourly AS (
+  SELECT CAST({EVENTS_TS} AS DATE) AS d, hour({EVENTS_TS})::BIGINT AS h,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT a.n AS actual, p.n AS predicted
+  FROM hourly a JOIN hourly p
+    ON a.d = p.d + INTERVAL 7 DAY AND a.h = p.h
+)
+SELECT count(*)::BIGINT AS n_hours,
+       sum(abs(actual - predicted))::DOUBLE / count(*) AS mae,
+       round(sum(abs(actual - predicted)::DOUBLE
+                 / greatest(actual, 1)) / count(*), 6) AS mape
+FROM scored""",
         "customer_entity_clusters": """
 WITH RECURSIVE fp AS (
   SELECT a.c_custkey AS ka, b.c_custkey AS kb
