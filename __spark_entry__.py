@@ -279,6 +279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_error": lambda s, d: events.seasonal_naive_error(
             _t(s, d, "events")
         ),
+        "effective_tokens": lambda s, d: curation.effective_tokens(
+            _t(s, d, "documents")
+        ),
         "prospect_customers": lambda s, d: tpch.prospect_customers(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),

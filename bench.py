@@ -138,6 +138,7 @@ EXTENDED = [
     "customer_entity_clusters",
     "orders_mom_growth",
     "seasonal_naive_error",
+    "effective_tokens",
 ]
 
 

@@ -1080,3 +1080,24 @@ def test_seasonal_naive_error_planted(spark):
     assert r.n_hours == 1
     assert abs(r.mae - 3.0) < 1e-12
     assert abs(r.mape - 3 / 13) < 1e-6
+
+
+def test_effective_tokens_planted(spark):
+    # doc 2 duplicates doc 1 (8 tokens); doc 3 shares doc 1's first
+    # 4-token chunk but adds a unique second chunk
+    c1, c2 = "a0 a1 a2 a3", "b0 b1 b2 b3"
+    docs = _mkdocs(
+        spark,
+        [
+            (1, f"{c1} {c2}", "en", "web"),
+            (2, f"{c1} {c2}", "en", "web"),   # exact dup
+            (3, f"{c1} u0 u1 u2 u3", "en", "web"),
+        ],
+    )
+    r = curation.effective_tokens(docs, chunk_size=4).collect()[0]
+    assert r.total_tokens == 24
+    assert r.doc_unique_tokens == 16  # dup doc collapses
+    # unique chunks: c1, c2, "u0 u1 u2 u3" -> 12 tokens
+    assert r.chunk_unique_tokens == 12
+    assert abs(r.doc_unique_frac - 16 / 24) < 1e-12
+    assert abs(r.chunk_unique_frac - 0.5) < 1e-12

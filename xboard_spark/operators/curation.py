@@ -177,3 +177,54 @@ def dataset_card(documents: DataFrame) -> DataFrame:
         )
     )
     return base.crossJoin(F.broadcast(dups))
+
+
+def effective_tokens(documents: DataFrame, chunk_size: int = 64) -> DataFrame:
+    """EFFECTIVE dataset size: the token mass that survives each dedup
+    granularity — raw, after document-level exact dedup, after chunk-level
+    dedup — the headline number of the dedup literature (what fraction of
+    the corpus is genuinely distinct training signal). One row:
+    (total_tokens, doc_unique_tokens, chunk_unique_tokens,
+    doc_unique_frac, chunk_unique_frac).
+
+    Scale shape: three parallel aggregates over content fingerprints
+    (uniform 64-bit keys — no skew); identical text implies identical
+    token count, so one member's count stands for its group (min for
+    determinism)."""
+    from xboard_spark.functions.portable_hash import fingerprint64
+    from xboard_spark.operators.dedup import _norm_text
+    from xboard_spark.operators.text import doc_chunks, token_count_col
+
+    staged = documents.select(
+        token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        fingerprint64(_norm_text(F.col("text"))).alias("fp"),
+    )
+    total = staged.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    doc_u = (
+        staged.groupBy("fp")
+        .agg(F.min("n_tokens").alias("t"))
+        .agg(F.sum("t").cast("long").alias("doc_unique_tokens"))
+    )
+    chunk_u = (
+        doc_chunks(documents, chunk_size)
+        .groupBy("chunk_fp")
+        .agg(F.min("n_tokens").alias("t"))
+        .agg(F.sum("t").cast("long").alias("chunk_unique_tokens"))
+    )
+    return (
+        total.crossJoin(F.broadcast(doc_u))
+        .crossJoin(F.broadcast(chunk_u))
+        .select(
+            "total_tokens",
+            "doc_unique_tokens",
+            "chunk_unique_tokens",
+            (
+                F.col("doc_unique_tokens").cast("double")
+                / F.col("total_tokens")
+            ).alias("doc_unique_frac"),
+            (
+                F.col("chunk_unique_tokens").cast("double")
+                / F.col("total_tokens")
+            ).alias("chunk_unique_frac"),
+        )
+    )

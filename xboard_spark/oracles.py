@@ -2037,6 +2037,40 @@ SELECT doc_id, shared, n_sh,
        round(shared / (n_sh + q_sh - shared), 6) AS jaccard
 FROM shared JOIN sizes USING (doc_id), qs
 ORDER BY jaccard DESC, doc_id LIMIT 10""",
+        "effective_tokens": f"""
+WITH staged AS (
+  SELECT len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT
+           AS n_tokens,
+         {_fp(_NORM_TEXT)} AS fp
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS word,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1)
+           AS pos
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, ((pos - 1) // 64)::BIGINT AS chunk_id,
+         count(*)::BIGINT AS n_tokens,
+         string_agg(word, ' ' ORDER BY pos) AS chunk_text
+  FROM tok GROUP BY doc_id, (pos - 1) // 64
+),
+t AS (SELECT sum(n_tokens)::BIGINT AS total_tokens FROM staged),
+du AS (
+  SELECT sum(t)::BIGINT AS doc_unique_tokens
+  FROM (SELECT fp, min(n_tokens) AS t FROM staged GROUP BY 1)
+),
+cu AS (
+  SELECT sum(t)::BIGINT AS chunk_unique_tokens
+  FROM (SELECT {_fp("chunk_text")} AS cfp, min(n_tokens) AS t
+        FROM chunks GROUP BY 1)
+)
+SELECT total_tokens, doc_unique_tokens, chunk_unique_tokens,
+       doc_unique_tokens::DOUBLE / total_tokens AS doc_unique_frac,
+       chunk_unique_tokens::DOUBLE / total_tokens AS chunk_unique_frac
+FROM t, du, cu""",
         "orders_mom_growth": """
 WITH m AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
