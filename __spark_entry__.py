@@ -282,6 +282,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_tokens": lambda s, d: curation.effective_tokens(
             _t(s, d, "documents")
         ),
+        "customer_spend_percentiles": lambda s, d: (
+            window_ops.customer_spend_percentiles(
+                _t(s, d, "customer"), _t(s, d, "orders")
+            )
+        ),
+        "order_fanout_profile": lambda s, d: tpch.order_fanout_profile(
+            _t(s, d, "lineitem")
+        ),
         "prospect_customers": lambda s, d: tpch.prospect_customers(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),

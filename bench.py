@@ -139,6 +139,8 @@ EXTENDED = [
     "orders_mom_growth",
     "seasonal_naive_error",
     "effective_tokens",
+    "customer_spend_percentiles",
+    "order_fanout_profile",
 ]
 
 

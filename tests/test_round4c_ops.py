@@ -1101,3 +1101,64 @@ def test_effective_tokens_planted(spark):
     assert r.chunk_unique_tokens == 12
     assert abs(r.doc_unique_frac - 16 / 24) < 1e-12
     assert abs(r.chunk_unique_frac - 0.5) < 1e-12
+
+
+def test_native_session_window_agrees_with_gaps_and_islands(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 6, 1, 10, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        (1, m(0), 1, "view", 1.0, "{}"),
+        (2, m(10), 1, "view", 1.0, "{}"),   # same session
+        (3, m(50), 1, "view", 1.0, "{}"),   # 40-min gap -> new session
+        (4, m(0), 2, "view", 1.0, "{}"),
+    ]
+    ev = _mkev(spark, rows)
+    from pyspark.sql import functions as F
+
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    ours = (
+        events.sessionize(ev)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    n = {r.user_id: r.n_sessions for r in native.collect()}
+    o = {r.user_id: r.n_sessions for r in ours.collect()}
+    assert n == o == {1: 2, 2: 1}
+
+
+def test_customer_spend_percentiles_planted(spark):
+    import datetime as dt
+
+    from xboard_spark.operators import window_ops
+
+    cust = spark.createDataFrame(
+        [(i, f"c{i}", 0, 1.0, "B") for i in range(1, 11)],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(i, i, "O", float(i * 100), dt.datetime(2026, 1, 1), "1-URGENT") for i in range(1, 11)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = window_ops.customer_spend_percentiles(cust, orders).collect()
+    # 10 customers, spends 100..1000: percent_rank >= 0.9 keeps only the top
+    assert [(r.c_custkey, r.pct_rank) for r in out] == [(10, 1.0)]
+
+
+def test_order_fanout_profile_planted(spark):
+    from xboard_spark.operators import tpch
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 10), (3, 11), (3, 12)],
+        "l_orderkey long, l_partkey long",
+    )
+    out = {r.n_lines: r.n_orders for r in tpch.order_fanout_profile(li).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}

@@ -529,3 +529,18 @@ def segment_priority_chi2(customer: DataFrame, orders: DataFrame) -> DataFrame:
         .alias("dof"),
         F.round(F.sum(chi), 6).alias("chi2"),
     )
+
+
+def order_fanout_profile(lineitem: DataFrame) -> DataFrame:
+    """Fact fan-out profile: how many orders have k lineitems — the
+    distribution that prices every orders-lineitem join (expected output
+    rows = sum k * n_orders(k)) and the basket-size histogram behind the
+    co-purchase operators' cost bounds."""
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines")
+    )
+    return (
+        per_order.groupBy(F.col("n_lines").cast("long").alias("n_lines"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("n_lines")
+    )

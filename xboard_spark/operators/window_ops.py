@@ -495,3 +495,37 @@ def orders_mom_growth(orders: DataFrame) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def customer_spend_percentiles(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Within-nation spend standing: percent_rank and cume_dist of each
+    customer's total spend inside their nation (the two rank-normalizing
+    window functions the surface did not yet exercise) — top decile per
+    nation returned. Spend rounds to cents before ranking so both engines
+    order identical values.
+
+    Scale shape: per-customer agg, then windows partitioned on the nation
+    key (each nation ranks independently — no global sort), rank filter
+    prunes to the decile."""
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("spend", "c_custkey")
+    ranked = spend.select(
+        "c_nationkey",
+        "c_custkey",
+        "spend",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    return (
+        ranked.filter(F.col("pct_rank") >= 0.9)
+        .orderBy("c_nationkey", "c_custkey")
+    )

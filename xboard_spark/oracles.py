@@ -2037,6 +2037,27 @@ SELECT doc_id, shared, n_sh,
        round(shared / (n_sh + q_sh - shared), 6) AS jaccard
 FROM shared JOIN sizes USING (doc_id), qs
 ORDER BY jaccard DESC, doc_id LIMIT 10""",
+        "customer_spend_percentiles": """
+WITH spend AS (
+  SELECT c_nationkey, c_custkey, round(sum(o_totalprice), 2) AS spend
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_nationkey, c_custkey, spend,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+  FROM spend
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend, c_custkey)
+)
+SELECT * FROM ranked WHERE pct_rank >= 0.9
+ORDER BY c_nationkey, c_custkey""",
+        "order_fanout_profile": """
+WITH per_order AS (
+  SELECT l_orderkey, count(*)::BIGINT AS n_lines FROM lineitem GROUP BY 1
+)
+SELECT n_lines, count(*)::BIGINT AS n_orders
+FROM per_order GROUP BY 1 ORDER BY 1""",
         "effective_tokens": f"""
 WITH staged AS (
   SELECT len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT
