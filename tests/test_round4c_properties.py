@@ -113,3 +113,78 @@ def test_canonical_docs_cover_every_cluster_once(spark, texts):
     for r in canon:
         assert r.rep_doc_id in by_cluster[r.cluster_id]
         assert r.n_members == len(by_cluster[r.cluster_id])
+
+
+order_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=400),   # day offset
+        st.floats(min_value=1.0, max_value=5000.0, allow_nan=False),
+    ),
+    min_size=2,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=order_lists)
+def test_mom_growth_telescopes(spark, rows):
+    # product of (1 + growth) over the ladder == last/first month revenue
+    from xboard_spark.operators import window_ops
+
+    data = [
+        (i, 1, "O", round(v, 2), dt.datetime(2026, 1, 1) + dt.timedelta(days=d), "P")
+        for i, (d, v) in enumerate(rows)
+    ]
+    orders = spark.createDataFrame(
+        data,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = sorted(window_ops.orders_mom_growth(orders).collect(), key=lambda r: r.month)
+    prod = 1.0
+    for r in out[1:]:
+        prod *= 1.0 + r.mom_growth
+    if len(out) > 1:
+        assert abs(prod - out[-1].revenue / out[0].revenue) < 1e-6
+
+
+line_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=12),   # orderkey
+        st.integers(min_value=1, max_value=40),   # partkey
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=line_lists)
+def test_fanout_profile_conserves_lineitems_and_orders(spark, rows):
+    from xboard_spark.operators import tpch
+
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = tpch.order_fanout_profile(li).collect()
+    assert sum(r.n_lines * r.n_orders for r in out) == len(rows)
+    assert sum(r.n_orders for r in out) == len({k for k, _ in rows})
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=event_lists)
+def test_unpivot_conserves_events(spark, rows):
+    from xboard_spark.operators import window_ops
+
+    out = window_ops.daily_type_unpivot(_ev_df(spark, rows)).collect()
+    assert sum(r.n_events for r in out) == len(rows)
