@@ -39,3 +39,21 @@ def test_bucketed_index_roundtrip_and_shuffle_free_probe(spark):
     # distribution instead of re-shuffling it)
     assert "Bucketed: true" in plan
     spark.sql("DROP TABLE IF EXISTS t_shingle_idx")
+
+
+def test_parquet_layout_report_reads_footers(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from xboard_spark.io import parquet_layout_report
+
+    p = str(tmp_path / "t")
+    spark.range(0, 10_000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("cat"),  # low-card -> dict
+    ).write.parquet(p)
+    rows = {r["column"]: r for r in parquet_layout_report(p)}
+    assert set(rows) == {"id", "cat"}
+    assert rows["cat"]["n_values"] == 10_000
+    # the 3-value string column must dictionary-encode
+    assert any("DICTIONARY" in e for e in rows["cat"]["encodings"])
+    assert rows["cat"]["ratio"] >= 1.0

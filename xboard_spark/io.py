@@ -216,3 +216,64 @@ def read_index_table(spark: SparkSession, table_name: str) -> DataFrame:
     """Load a persisted index table (bucket metadata rides the catalog, so
     joins on the bucket key skip their shuffle)."""
     return spark.table(table_name)
+
+
+def parquet_layout_report(path: str) -> list[dict]:
+    """Physical-layout report for a parquet file/directory from the
+    FOOTERS only (no data read): per column, encodings, compressed and
+    raw bytes, and the compression ratio — the feedback loop for schema
+    and encoding decisions at scale (a column that stops
+    dictionary-encoding after a cardinality explosion shows up here long
+    before it shows up in the storage bill). Driver-side metadata walk:
+    footers are KB-sized; at lake scale this parallelizes per file with a
+    mapInPandas over the file listing — same per-footer logic."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else [
+            f
+            for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(f)
+        ]
+    )
+    agg: dict[str, dict] = {}
+    for f in files:
+        meta = _pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                name = col.path_in_schema
+                d = agg.setdefault(
+                    name,
+                    {
+                        "column": name,
+                        "encodings": set(),
+                        "compressed_bytes": 0,
+                        "raw_bytes": 0,
+                        "n_values": 0,
+                    },
+                )
+                d["encodings"].update(col.encodings)
+                d["compressed_bytes"] += col.total_compressed_size
+                d["raw_bytes"] += col.total_uncompressed_size
+                d["n_values"] += col.num_values
+    out = []
+    for name in sorted(agg):
+        d = agg[name]
+        out.append(
+            {
+                "column": name,
+                "encodings": sorted(d["encodings"]),
+                "compressed_bytes": d["compressed_bytes"],
+                "raw_bytes": d["raw_bytes"],
+                "ratio": round(
+                    d["raw_bytes"] / max(d["compressed_bytes"], 1), 3
+                ),
+                "n_values": d["n_values"],
+            }
+        )
+    return out
