@@ -290,6 +290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_fanout_profile": lambda s, d: tpch.order_fanout_profile(
             _t(s, d, "lineitem")
         ),
+        "watermark_delay_profile": lambda s, d: events.watermark_delay_profile(
+            _t(s, d, "events")
+        ),
         "prospect_customers": lambda s, d: tpch.prospect_customers(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),

@@ -141,6 +141,7 @@ EXTENDED = [
     "effective_tokens",
     "customer_spend_percentiles",
     "order_fanout_profile",
+    "watermark_delay_profile",
 ]
 
 

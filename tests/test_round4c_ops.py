@@ -1162,3 +1162,22 @@ def test_order_fanout_profile_planted(spark):
     )
     out = {r.n_lines: r.n_orders for r in tpch.order_fanout_profile(li).collect()}
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_watermark_delay_profile_planted(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    # arrival order (event_id) vs event time: event 3 arrives AFTER the
+    # max-so-far of t=100 but carries t=40 -> 60s late; others in order
+    rows = [
+        (1, t(0), 1, "view", 1.0, "{}"),
+        (2, t(100), 1, "view", 1.0, "{}"),
+        (3, t(40), 1, "view", 1.0, "{}"),   # 60s late
+        (4, t(150), 1, "view", 1.0, "{}"),
+        (5, t(0), 2, "view", 1.0, "{}"),    # other user: independent clock
+    ]
+    r = events.watermark_delay_profile(_mkev(spark, rows)).collect()[0]
+    assert r.n_events == 5 and r.n_late == 1
+    assert abs(r.late_frac - 0.2) < 1e-12
+    assert abs(r.max_lateness_sec - 60.0) < 1e-9

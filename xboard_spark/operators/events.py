@@ -939,3 +939,43 @@ def seasonal_naive_error(events: DataFrame) -> DataFrame:
             6,
         ).alias("mape"),
     )
+
+
+def watermark_delay_profile(events: DataFrame) -> DataFrame:
+    """Out-of-orderness profile: treating event_id as arrival order, each
+    event's LATENESS is how far its event time sits behind the running
+    maximum event time already seen for that user — exactly the quantity
+    a Structured Streaming watermark must cover. One row: event count,
+    late-event count/fraction, and the max and p99 lateness in seconds —
+    read it and you know what ``withWatermark`` delay loses how much data
+    (the empirical version of the watermark-tuning guesswork).
+
+    Scale shape: one shuffle on user_id for the running-max window, then
+    a 1-row aggregate; lateness stays exact integer micros until the
+    final division."""
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = events.select(
+        us.alias("us"), F.max(us).over(w).alias("seen_max")
+    ).select(
+        F.greatest(
+            F.col("seen_max") - F.col("us"), F.lit(0)
+        ).alias("late_us")
+    )
+    return staged.agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("late_us") > 0).cast("long")).alias("n_late"),
+        (
+            F.sum((F.col("late_us") > 0).cast("long")).cast("double")
+            / F.count("*")
+        ).alias("late_frac"),
+        (F.max("late_us").cast("double") / 1e6).alias("max_lateness_sec"),
+        (
+            F.floor(F.expr("percentile(late_us, 0.99)")).cast("double")
+            / 1e6
+        ).alias("p99_lateness_sec"),
+    )

@@ -2037,6 +2037,23 @@ SELECT doc_id, shared, n_sh,
        round(shared / (n_sh + q_sh - shared), 6) AS jaccard
 FROM shared JOIN sizes USING (doc_id), qs
 ORDER BY jaccard DESC, doc_id LIMIT 10""",
+        "watermark_delay_profile": f"""
+WITH st AS (
+  SELECT epoch_us({EVENTS_TS}) AS us,
+         max(epoch_us({EVENTS_TS})) OVER (PARTITION BY user_id
+             ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_max
+  FROM events
+),
+lat AS (SELECT greatest(seen_max - us, 0) AS late_us FROM st)
+SELECT count(*)::BIGINT AS n_events,
+       sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+       sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+         AS late_frac,
+       max(late_us)::DOUBLE / 1e6 AS max_lateness_sec,
+       floor(quantile_cont(late_us, 0.99))::DOUBLE / 1e6
+         AS p99_lateness_sec
+FROM lat""",
         "customer_spend_percentiles": """
 WITH spend AS (
   SELECT c_nationkey, c_custkey, round(sum(o_totalprice), 2) AS spend
