@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_delay_profile": lambda s, d: events.watermark_delay_profile(
             _t(s, d, "events")
         ),
+        "supplier_panel": lambda s, d: tpch.supplier_panel(
+            _t(s, d, "supplier"), _t(s, d, "nation")
+        ),
         "prospect_customers": lambda s, d: tpch.prospect_customers(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),

@@ -142,6 +142,7 @@ EXTENDED = [
     "customer_spend_percentiles",
     "order_fanout_profile",
     "watermark_delay_profile",
+    "supplier_panel",
 ]
 
 

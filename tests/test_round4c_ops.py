@@ -1181,3 +1181,21 @@ def test_watermark_delay_profile_planted(spark):
     assert r.n_events == 5 and r.n_late == 1
     assert abs(r.late_frac - 0.2) < 1e-12
     assert abs(r.max_lateness_sec - 60.0) < 1e-9
+
+
+def test_supplier_panel_planted(spark):
+    from xboard_spark.operators import tpch
+
+    sup = spark.createDataFrame(
+        [(1, "s1", 0, 100.0), (2, "s2", 0, -50.0), (3, "s3", 1, 10.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    nat = spark.createDataFrame(
+        [(0, "N_A", 0), (1, "N_B", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    out = {r.n_name: r for r in tpch.supplier_panel(sup, nat).collect()}
+    a = out["N_A"]
+    assert (a.n_suppliers, a.n_negative) == (2, 1)
+    assert abs(a.total_acctbal - 50.0) < 1e-9
+    assert out["N_B"].n_suppliers == 1 and out["N_B"].n_negative == 0

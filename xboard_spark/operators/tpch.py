@@ -544,3 +544,27 @@ def order_fanout_profile(lineitem: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .orderBy("n_lines")
     )
+
+
+def supplier_panel(supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """Supplier dimension panel per nation: counts, account-balance mass,
+    and the negative-balance (at-risk) cohort — first-class coverage for
+    the one base table the query surface touched only in passing.
+
+    Scale shape: dim-dim broadcast join, bounded-key agg."""
+    return (
+        supplier.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.avg("s_acctbal"), 2).alias("avg_acctbal"),
+            F.sum((F.col("s_acctbal") < 0).cast("long")).alias(
+                "n_negative"
+            ),
+        )
+        .orderBy("n_name")
+    )

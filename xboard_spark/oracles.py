@@ -2037,6 +2037,14 @@ SELECT doc_id, shared, n_sh,
        round(shared / (n_sh + q_sh - shared), 6) AS jaccard
 FROM shared JOIN sizes USING (doc_id), qs
 ORDER BY jaccard DESC, doc_id LIMIT 10""",
+        "supplier_panel": """
+SELECT n_name,
+       count(*)::BIGINT AS n_suppliers,
+       round(sum(s_acctbal), 2) AS total_acctbal,
+       round(avg(s_acctbal), 2) AS avg_acctbal,
+       sum(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1""",
         "watermark_delay_profile": f"""
 WITH st AS (
   SELECT epoch_us({EVENTS_TS}) AS us,
