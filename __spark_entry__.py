@@ -296,6 +296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_panel": lambda s, d: tpch.supplier_panel(
             _t(s, d, "supplier"), _t(s, d, "nation")
         ),
+        "revenue_concentration": lambda s, d: window_ops.revenue_concentration(
+            _t(s, d, "orders")
+        ),
         "prospect_customers": lambda s, d: tpch.prospect_customers(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),

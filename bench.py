@@ -143,6 +143,7 @@ EXTENDED = [
     "order_fanout_profile",
     "watermark_delay_profile",
     "supplier_panel",
+    "revenue_concentration",
 ]
 
 

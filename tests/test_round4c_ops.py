@@ -1199,3 +1199,26 @@ def test_supplier_panel_planted(spark):
     assert (a.n_suppliers, a.n_negative) == (2, 1)
     assert abs(a.total_acctbal - 50.0) < 1e-9
     assert out["N_B"].n_suppliers == 1 and out["N_B"].n_negative == 0
+
+
+def test_revenue_concentration_planted(spark):
+    import datetime as dt
+
+    from xboard_spark.operators import window_ops
+
+    # 10 customers: nine spend 100, one whale spends 900 -> whale holds
+    # 50% of revenue and sits above every fence
+    rows = [
+        (i, i, "O", 900.0 if i == 9 else 100.0, dt.datetime(2026, 1, 1), "P")
+        for i in range(10)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    r = window_ops.revenue_concentration(orders).collect()[0]
+    assert r.n_customers == 10
+    assert abs(r.total_revenue - 1800.0) < 1e-9
+    assert abs(r.top1_share - 0.5) < 1e-12     # only the whale clears p99
+    assert r.top10_share >= r.top5_share >= r.top1_share  # Lorenz monotone

@@ -529,3 +529,40 @@ def customer_spend_percentiles(
         ranked.filter(F.col("pct_rank") >= 0.9)
         .orderBy("c_nationkey", "c_custkey")
     )
+
+
+def revenue_concentration(orders: DataFrame) -> DataFrame:
+    """Revenue concentration (whale analysis): the share of total revenue
+    held by the top 1% / 5% / 10% of customers by spend — the Lorenz
+    points a pricing or risk review starts from. Per-customer spend is
+    fixed to integer CENTS before any comparison (doubles would make the
+    percentile fences engine-dependent); fences are exact interpolated
+    percentiles floored to whole cents, and every share is a division of
+    exact integer sums.
+
+    Scale shape: per-customer agg, one percentile aggregate over the
+    customer frame (approx_percentile is the drop-in at scale), broadcast
+    fences, conditional 1-row rollup. No global sort."""
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.round(F.sum("o_totalprice"), 2) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    fences = spend.agg(
+        F.floor(F.expr("percentile(cents, 0.99)")).cast("long").alias("f99"),
+        F.floor(F.expr("percentile(cents, 0.95)")).cast("long").alias("f95"),
+        F.floor(F.expr("percentile(cents, 0.90)")).cast("long").alias("f90"),
+    )
+    joined = spend.crossJoin(F.broadcast(fences))
+    share = lambda fence: (  # noqa: E731
+        F.sum(F.when(F.col("cents") >= F.col(fence), F.col("cents")).otherwise(0))
+        .cast("double")
+        / F.sum("cents")
+    )
+    return joined.agg(
+        F.count("*").alias("n_customers"),
+        (F.sum("cents").cast("double") / 100.0).alias("total_revenue"),
+        share("f99").alias("top1_share"),
+        share("f95").alias("top5_share"),
+        share("f90").alias("top10_share"),
+    )

@@ -2037,6 +2037,27 @@ SELECT doc_id, shared, n_sh,
        round(shared / (n_sh + q_sh - shared), 6) AS jaccard
 FROM shared JOIN sizes USING (doc_id), qs
 ORDER BY jaccard DESC, doc_id LIMIT 10""",
+        "revenue_concentration": """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+f AS (
+  SELECT floor(quantile_cont(cents, 0.99))::BIGINT AS f99,
+         floor(quantile_cont(cents, 0.95))::BIGINT AS f95,
+         floor(quantile_cont(cents, 0.90))::BIGINT AS f90
+  FROM spend
+)
+SELECT count(*)::BIGINT AS n_customers,
+       sum(cents)::DOUBLE / 100.0 AS total_revenue,
+       sum(CASE WHEN cents >= f99 THEN cents ELSE 0 END)::DOUBLE
+         / sum(cents) AS top1_share,
+       sum(CASE WHEN cents >= f95 THEN cents ELSE 0 END)::DOUBLE
+         / sum(cents) AS top5_share,
+       sum(CASE WHEN cents >= f90 THEN cents ELSE 0 END)::DOUBLE
+         / sum(cents) AS top10_share
+FROM spend, f""",
         "supplier_panel": """
 SELECT n_name,
        count(*)::BIGINT AS n_suppliers,
