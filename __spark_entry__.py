@@ -299,6 +299,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentration": lambda s, d: window_ops.revenue_concentration(
             _t(s, d, "orders")
         ),
+        "cluster_size_profile": lambda s, d: dedup.cluster_size_profile(
+            _t(s, d, "documents")
+        ),
+        "props_key_coverage": lambda s, d: events.props_key_coverage(
+            _t(s, d, "events")
+        ),
         "prospect_customers": lambda s, d: tpch.prospect_customers(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),

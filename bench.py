@@ -144,6 +144,8 @@ EXTENDED = [
     "watermark_delay_profile",
     "supplier_panel",
     "revenue_concentration",
+    "cluster_size_profile",
+    "props_key_coverage",
 ]
 
 

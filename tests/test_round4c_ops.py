@@ -1222,3 +1222,35 @@ def test_revenue_concentration_planted(spark):
     assert abs(r.total_revenue - 1800.0) < 1e-9
     assert abs(r.top1_share - 0.5) < 1e-12     # only the whale clears p99
     assert r.top10_share >= r.top5_share >= r.top1_share  # Lorenz monotone
+
+
+def test_cluster_size_profile_planted(spark):
+    # one 3-family, one 2-family (identical texts), singletons excluded
+    t3 = " ".join(f"p{i}" for i in range(30))
+    t2 = " ".join(f"q{i}" for i in range(30))
+    docs = _mkdocs(
+        spark,
+        [
+            (1, t3, "en", "web"),
+            (2, t3, "en", "web"),
+            (3, t3, "en", "web"),
+            (7, t2, "en", "web"),
+            (8, t2, "en", "web"),
+            (50, "lonely unique text here", "en", "web"),
+        ],
+    )
+    out = {r.cluster_size: r.n_clusters for r in dedup.cluster_size_profile(docs).collect()}
+    assert out == {2: 1, 3: 1}
+
+
+def test_props_key_coverage_planted(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2026, 1, 1), 1, "view", 1.0, '{"k": 1}'),
+        (2, dt.datetime(2026, 1, 1), 1, "view", 1.0, '{"x": 1}'),
+        (3, dt.datetime(2026, 1, 1), 1, "click", 1.0, '{"k": 2}'),
+    ]
+    out = {r.event_type: r for r in events.props_key_coverage(_mkev(spark, rows)).collect()}
+    assert out["view"].n_with_key == 1 and abs(out["view"].coverage - 0.5) < 1e-12
+    assert out["click"].coverage == 1.0

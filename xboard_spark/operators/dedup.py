@@ -929,3 +929,30 @@ def similar_docs(
         .orderBy(F.desc("jaccard"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def cluster_size_profile(
+    documents: DataFrame,
+    n: int = 3,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    tau: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Near-dup family-size distribution: how many components have k
+    members — the shape that decides the dedup strategy (many pairs ->
+    keep-one policies suffice; giant components -> boilerplate/template
+    contamination needing a different fix). Reuses the cached cluster
+    frame; one tiny agg on top."""
+    return (
+        dedup_clusters(documents, n, n_perms, n_bands, tau, max_df)
+        .groupBy(F.col("cluster_size").cast("long").alias("cluster_size"))
+        .agg(F.count("*").alias("n_members"))
+        .select(
+            "cluster_size",
+            (F.col("n_members") / F.col("cluster_size"))
+            .cast("long")
+            .alias("n_clusters"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -979,3 +979,22 @@ def watermark_delay_profile(events: DataFrame) -> DataFrame:
             / 1e6
         ).alias("p99_lateness_sec"),
     )
+
+
+def props_key_coverage(events: DataFrame, key: str = "k") -> DataFrame:
+    """Semi-structured column hygiene: per event type, what fraction of
+    ``props`` payloads carry the ``key`` field — the first check before
+    trusting any JSON extraction in a pipeline (a silently-missing key
+    reads as NULL and quietly skews every downstream aggregate)."""
+    present = F.get_json_object(F.col("props"), f"$.{key}").isNotNull()
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(present.cast("long")).alias("n_with_key"),
+            (
+                F.sum(present.cast("long")).cast("double") / F.count("*")
+            ).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )

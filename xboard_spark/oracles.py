@@ -2037,6 +2037,31 @@ SELECT doc_id, shared, n_sh,
        round(shared / (n_sh + q_sh - shared), 6) AS jaccard
 FROM shared JOIN sizes USING (doc_id), qs
 ORDER BY jaccard DESC, doc_id LIMIT 10""",
+        "cluster_size_profile": f"""
+WITH RECURSIVE {_minhash_stack(3, N_PERMS, N_BANDS, 100)},
+dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM dup
+  UNION ALL
+  SELECT doc_b, doc_a FROM dup
+),
+reach(v, m) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT r.v, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+lab AS (SELECT v AS doc_id, min(m) AS cluster_id FROM reach GROUP BY v),
+csz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+        FROM lab GROUP BY 1)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM csz GROUP BY 1 ORDER BY 1""",
+        "props_key_coverage": """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_with_key,
+       sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                THEN 1 ELSE 0 END)::DOUBLE / count(*) AS coverage
+FROM events GROUP BY 1 ORDER BY 1""",
         "revenue_concentration": """
 WITH spend AS (
   SELECT o_custkey,
