@@ -122,15 +122,16 @@ _ROUND4_FIRST = [
 ]
 
 
-# Round-5 rotation, READY TO SWAP: replace _ROUND4_FIRST with _ROUND5_FIRST
-# in queries() at the start of round 5. These are the first 50 of the 90
-# queries OUTSIDE the round-4 driver window (similarity family stale since
-# r3; everything else new this round, locally oracle-verified at both gate
-# scales but without a driver row yet). The remaining 40 (relational
-# basics, all green r2/r3 and untouched) are round-6's window.
+# Round-5 rotation (ACTIVE). Head: doc_stats + session_stats re-enter the
+# window so the round-5 oracle ::BIGINT cast fix (the 4-round-old driver
+# hash failure) gets a driver row THIS round, per VERDICT r4 #2. To make
+# room, two r3-driver-green similarity entries (knn_pq,
+# embedding_quantization) are displaced to _ROUND6_FIRST. The rest are the
+# first 48 of the 90 queries outside the round-4 driver window.
 _ROUND5_FIRST = [
-    "knn_bruteforce", "knn_lsh", "embedding_neardup", "knn_ivf", "knn_pq",
-    "ivf_cell_sizes", "embedding_stats", "embedding_quantization",
+    "doc_stats", "session_stats",
+    "knn_bruteforce", "knn_lsh", "embedding_neardup", "knn_ivf",
+    "ivf_cell_sizes", "embedding_stats",
     "pq_quantization", "label_centroids", "vocab_coverage",
     "char_lm_fluency", "truncation_recall", "knn_rrf", "filter_funnel",
     "dataset_card", "similar_docs", "sql_status_panel", "sql_orders_since",
@@ -148,8 +149,40 @@ _ROUND5_FIRST = [
 ]
 
 
+# Round-6 rotation, STAGED (swap _ROUND5_FIRST -> _ROUND6_FIRST in queries()
+# at the start of round 6). Head: the 19 registered queries that have NEVER
+# had a driver row (round-4 additions outside every window so far), then the
+# relational basics last driver-checked r2/r3, then the two r3-green
+# similarity entries displaced from the round-5 window. Exactly 50; the
+# spill-over for round 7's head is: events_json, user_rollup,
+# hourly_windows (all r3-green, untouched).
+_ROUND6_FIRST = [
+    # -- never driver-checked (19) --
+    "customer_entity_clusters", "orders_mom_growth", "seasonal_naive_error",
+    "effective_tokens", "customer_spend_percentiles", "order_fanout_profile",
+    "watermark_delay_profile", "supplier_panel", "revenue_concentration",
+    "cluster_size_profile", "props_key_coverage", "reading_level",
+    "simhash_neardup", "part_degree_profile", "copurchase_triangles",
+    "chunk_dedup_stats", "conversion_attribution", "lsh_recall_audit",
+    "events_json_variant",
+    # -- relational basics, driver rows stale since r2/r3 (29) --
+    "status_distinct_aggs", "revenue_rollup", "value_percentiles",
+    "daily_type_pivot", "customers_without_orders", "rolling_revenue",
+    "customer_order_gaps", "orders_cube", "rfm_segments",
+    "funnel_conversion", "term_cooccurrence", "overview", "orders_by_date",
+    "orders_by_date_range", "top_customers", "recent_orders",
+    "customer_lookup", "upsert_merge", "pricing_summary",
+    "revenue_by_nation", "top_parts_by_revenue", "segment_top_orders",
+    "order_priority_counts", "nation_market_share", "orders_above_cust_avg",
+    "part_type_breakdown", "brand_promo_revenue", "tenant_orders_overview",
+    "events_daily",
+    # -- displaced from the round-5 window (r3 driver-green) (2) --
+    "knn_pq", "embedding_quantization",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dict ORDER is deliberate — see ``_ROUND4_FIRST``: the driver checks
+    """Dict ORDER is deliberate — see ``_ROUND5_FIRST``: the driver checks
     the first 50 entries per round, so entries rotate so that no registered
     query's driver correctness row goes more than one round stale.
     """
@@ -580,7 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "customer"), _t(s, d, "orders")
         ),
     }
-    ordered = {name: base[name] for name in _ROUND4_FIRST}
+    ordered = {name: base[name] for name in _ROUND5_FIRST}
     ordered.update(base)  # remaining entries keep their relative order
     return ordered
 

@@ -307,20 +307,27 @@ def main() -> None:
                     regressions.append(f"{name}: {dt}s vs baseline {b}s "
                                        f"({dt / b:.1f}x)")
 
-    # single-pass extension timings (see EXTENDED comment); failures are
-    # recorded per-query and do not abort the run
+    # min-of-2 extension timings (see EXTENDED comment); failures are
+    # recorded per-query and do not abort the run. Round-4 lesson: the
+    # section was single-pass and one cold index/cache build polluted the
+    # number irreproducibly (bootstrap_mean_ci measured 8.9s and 19.9s on
+    # the same tree by different sessions); pass 1 absorbs the build,
+    # pass 2 measures steady state, and the recorded value is the min —
+    # same discipline as the gated section.
     extended: dict[str, float] = {}
-    spark.sparkContext._jvm.System.gc()
-    for name in EXTENDED:
-        if name not in qs:
-            continue
-        t0 = time.time()
-        try:
-            qs[name](spark, sf_dir).collect()
-        except Exception as exc:
-            errors[name] = f"{type(exc).__name__}: {exc}".splitlines()[0][:200]
-            continue
-        extended[name] = round(time.time() - t0, 3)
+    for _pass in range(2):
+        spark.sparkContext._jvm.System.gc()
+        for name in EXTENDED:
+            if name not in qs or name in errors:
+                continue
+            t0 = time.time()
+            try:
+                qs[name](spark, sf_dir).collect()
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}".splitlines()[0][:200]
+                continue
+            dt = round(time.time() - t0, 3)
+            extended[name] = min(extended.get(name, dt), dt)
 
     cal_post = _calibrate()
     total = round(sum(timings.values()), 3)

@@ -11,12 +11,25 @@ This pins BOTH properties for the ratio-emitting queries at sf0.001:
   never hash-compare equal in the driver, whatever the values);
 * value agreement — identical expression trees (one IEEE division of
   exact integers) must produce bit-identical doubles.
+
+Round-4 postmortem (the hole this file itself had): the ``fetchall()``
+path above converts DuckDB HUGEINT to Python ``int``, so it PASSED on
+``doc_stats``/``session_stats`` while the driver — which hashes the
+**pandas** representations — failed them for four consecutive rounds:
+DuckDB ``sum(INTEGER)`` returns HUGEINT, ``.df()`` converts HUGEINT to
+``float64``, Spark's ``toPandas()`` side is ``int64``, and ``9444482.0``
+never string-compares equal to ``9444482``. The fix was ``::BIGINT`` casts
+in the oracle; the guard below (``test_pandas_dtype_kind_agreement``)
+sweeps EVERY oracle-checked query on the pandas path so no oracle can
+ship a HUGEINT/DECIMAL-shaped column again. Removing the ``::BIGINT``
+cast from the ``doc_stats`` oracle makes that test fail (verified).
 """
 
 from __future__ import annotations
 
 import decimal
 import math
+import sys
 
 import duckdb
 import pytest
@@ -85,3 +98,31 @@ def test_ratio_query_dtype_and_value_agreement(spark, sf_dir, duck, name):
                 assert sv == dv, f"{name}.{col}: {sv!r} != {dv!r} (bit drift)"
             else:
                 assert sv == dv, f"{name}.{col}: {sv!r} != {dv!r}"
+
+
+sys.path.insert(0, "/root/repo/tools")
+from check_oracle import _dtype_mismatches  # noqa: E402  (shared guard logic)
+
+_ALL_ORACLE_QUERIES = sorted(
+    set(entrymod.oracle_sql()) & set(entrymod.queries())
+)
+
+
+@pytest.mark.parametrize("name", _ALL_ORACLE_QUERIES)
+def test_pandas_dtype_kind_agreement(spark, sf_dir, duck, name):
+    """The driver hashes pandas representations (Spark ``toPandas()`` vs
+    DuckDB ``.df()``). Sweep EVERY oracle-checked query and assert the
+    pandas dtype *family* agrees per column (shared with
+    ``tools/check_oracle.py`` so the local gate and this guard cannot
+    diverge). Allowed pairings, both driver-proven benign: int vs float
+    when NULL-promotion actually occurred, and object-of-dates vs
+    datetime64 (Spark DATE surfaces as object of ``datetime.date``)."""
+    pdf_s = entrymod.queries()[name](spark, sf_dir).toPandas()
+    pdf_d = duck.execute(entrymod.oracle_sql()[name]).df()
+
+    assert sorted(pdf_s.columns) == sorted(pdf_d.columns)
+    mismatches = _dtype_mismatches(pdf_s, pdf_d)
+    assert not mismatches, (
+        f"{name}: pandas-path dtype drift (driver hash would fail): "
+        + "; ".join(mismatches)
+    )

@@ -2,7 +2,9 @@
 ``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB over
 the same parquet dir, compare row count, column names, and an
 order-insensitive value comparison (sorted rows of stringified values,
-floats normalized).
+floats normalized), AND pandas-path dtype families (Spark ``toPandas()``
+vs DuckDB ``.df()`` — what the driver actually hashes; the fetchall()
+path alone hid a HUGEINT-to-float64 vs int64 drift for four rounds).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -40,6 +42,45 @@ def _norm_cell(v):
 def _normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def _dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype to the family the driver's hash sees.
+    datetime64 ns-vs-us is not drift; int-vs-float is."""
+    return {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "M": "datetime", "m": "timedelta"}.get(dtype.kind, "object")
+
+
+def _is_datelike_object(col) -> bool:
+    """True if an object-dtype column holds only date/datetime (or NULL)
+    cells — Spark surfaces DATE as object-of-datetime.date while DuckDB
+    gives datetime64[us]; driver rows prove that pairing hashes equal."""
+    import datetime
+
+    vals = col.dropna()
+    return len(vals) == 0 or all(
+        isinstance(v, (datetime.date, datetime.datetime)) for v in vals
+    )
+
+
+def _dtype_mismatches(pdf_s, pdf_d):
+    """Pandas-path dtype drift, allowing int/float only under real NULLs
+    and object-of-dates vs datetime64 (both driver-proven benign)."""
+    out = []
+    for col in pdf_s.columns:
+        ks, kd = _dtype_kind(pdf_s[col].dtype), _dtype_kind(pdf_d[col].dtype)
+        if ks == kd:
+            continue
+        if {ks, kd} == {"int", "float"}:
+            fcol = pdf_s[col] if ks == "float" else pdf_d[col]
+            if fcol.isna().any():
+                continue
+        if {ks, kd} == {"object", "datetime"}:
+            ocol = pdf_s[col] if ks == "object" else pdf_d[col]
+            if _is_datelike_object(ocol):
+                continue
+        out.append(f"{col}: spark={pdf_s[col].dtype} duck={pdf_d[col].dtype}")
+    return out
 
 
 def main() -> int:
@@ -98,6 +139,19 @@ def main() -> int:
             print(f"FAIL {name}: value mismatch ({len(srows)} rows); first diffs:")
             for a, b in diffs:
                 print(f"   spark={a}\n   duck ={b}")
+            failures.append(name)
+            continue
+        # pandas-path dtype families — the representation the driver hashes
+        try:
+            pdf_s = sdf.toPandas()
+            pdf_d = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: pandas-path error: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        dmis = _dtype_mismatches(pdf_s, pdf_d)
+        if dmis:
+            print(f"FAIL {name}: pandas dtype drift: {'; '.join(dmis)}")
             failures.append(name)
             continue
         print(f"PASS {name} ({len(srows)} rows, {dt:.1f}s)")

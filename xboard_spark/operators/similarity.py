@@ -1142,6 +1142,11 @@ def embedding_spectrum(embeddings: DataFrame, n_iters: int = 3) -> DataFrame:
     b_side = centered.select(
         "vec_id", F.col("dim").alias("j"), F.col("cv").alias("cb")
     )
+    # lineage-truncate the DIM^2 cell frame before the iteration loop —
+    # same discipline as min_label_components (dedup.py): without it each
+    # unrolled matvec round re-embeds the full outer-product subtree and
+    # the static plan carried 307 Exchange nodes (plan audit, round 4);
+    # checkpointed, every round joins a materialized leaf.
     cov = (
         a.join(b_side, "vec_id")
         .groupBy("i", "j")
@@ -1150,7 +1155,7 @@ def embedding_spectrum(embeddings: DataFrame, n_iters: int = 3) -> DataFrame:
                 F.sum(F.col("ca") * F.col("cb")) / F.count("*"), 6
             ).alias("v")
         )
-    ).persist()
+    ).localCheckpoint(eager=True)
     # symmetry-breaking deterministic start: bval ~ dim index (the
     # all-ones start is EXACTLY orthogonal to any (+1,-1)-patterned
     # eigenvector — e.g. two anti-correlated axes — and power iteration
@@ -1171,10 +1176,12 @@ def embedding_spectrum(embeddings: DataFrame, n_iters: int = 3) -> DataFrame:
         nrm = mv.agg(
             F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm")
         )
+        # DIM-row frame: checkpoint per round so the matvec chain stays
+        # O(1) plan size instead of re-embedding every prior round
         vec = mv.crossJoin(F.broadcast(nrm)).select(
             F.col("i").alias("dim"),
             F.round(F.col("raw") / F.col("nrm"), 6).alias("bval"),
-        )
+        ).localCheckpoint(eager=True)
     mvf = (
         cov.join(vec, cov["j"] == vec["dim"])
         .groupBy("i")

@@ -1829,7 +1829,7 @@ per AS (
          (epoch_us(max(ts)) - epoch_us(min(ts))) AS duration_us
   FROM sess GROUP BY 1, 2
 )
-SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+SELECT user_id, count(*) AS n_sessions, sum(n_events)::BIGINT AS n_events,
        (sum(duration_us)::DOUBLE / count(*)) / 1e6 AS avg_session_sec
 FROM per GROUP BY 1 ORDER BY user_id""",
         "events_json_variant": """
@@ -1855,9 +1855,9 @@ SELECT user_id, count(*) AS n_events,
 FROM events GROUP BY 1 ORDER BY user_id""",
         "doc_stats": f"""
 SELECT lang, source, count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       sum(n_chars)::BIGINT AS total_chars,
        sum(n_chars)::DOUBLE / count(*) AS avg_chars,
-       sum(n_tokens) AS total_tokens,
+       sum(n_tokens)::BIGINT AS total_tokens,
        sum(n_tokens)::DOUBLE / count(*) AS avg_tokens
 FROM (SELECT *, len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT
              AS n_tokens
