@@ -581,6 +581,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_rebalance": lambda s, d: sampling.mixture_rebalance(
             _t(s, d, "documents")
         ),
+        "temperature_mixture": lambda s, d: sampling.temperature_mixture(
+            _t(s, d, "documents")
+        ),
+        "training_order_audit": lambda s, d: sampling.training_order_audit(
+            _t(s, d, "documents")
+        ),
+        "delta_dedup_stats": lambda s, d: dedup.delta_dedup_stats(
+            _t(s, d, "documents")
+        ),
         "length_histogram": lambda s, d: sampling.length_histogram(
             _t(s, d, "documents")
         ),

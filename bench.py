@@ -146,6 +146,9 @@ EXTENDED = [
     "revenue_concentration",
     "cluster_size_profile",
     "props_key_coverage",
+    "temperature_mixture",
+    "training_order_audit",
+    "delta_dedup_stats",
 ]
 
 

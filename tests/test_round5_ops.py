@@ -1,0 +1,119 @@
+"""Round-5 operators: temperature-scaled mixture weights, training-order
+shuffle audit, and incremental (delta) dedup against a base fingerprint
+index — planted-structure tests proving the semantics, not just shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from xboard_spark.operators import dedup, sampling
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    """900 en / 90 de / 10 zh — a deliberately skewed language mixture."""
+    rows = []
+    for i in range(1000):
+        lang = "en" if i < 900 else ("de" if i < 990 else "zh")
+        rows.append((i, f"doc {i} body text", lang, "web", 20))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_temperature_mixture_upweights_low_resource(skewed_docs):
+    out = {r.lang: r for r in sampling.temperature_mixture(skewed_docs).collect()}
+    assert set(out) == {"en", "de", "zh"}
+    # shares reflect the planted skew
+    assert abs(out["en"].share - 0.9) < 1e-6
+    assert abs(out["zh"].share - 0.01) < 1e-6
+    # alpha<1 moves mass toward low-resource langs: zh up, en down
+    assert out["zh"].sampling_factor > 1.0
+    assert out["en"].sampling_factor < 1.0
+    # temperature shares still form a distribution
+    assert abs(sum(r.temp_share for r in out.values()) - 1.0) < 1e-4
+    # monotone: rarer lang gets the larger up-weighting factor
+    assert out["zh"].sampling_factor > out["de"].sampling_factor
+
+
+def test_temperature_mixture_alpha_one_is_natural_sampling(skewed_docs):
+    out = sampling.temperature_mixture(skewed_docs, alpha=1.0).collect()
+    for r in out:
+        assert abs(r.sampling_factor - 1.0) < 1e-4, r
+        assert abs(r.temp_share - r.share) < 1e-4, r
+
+
+def test_training_order_audit_conserves_and_shuffles(skewed_docs):
+    out = sampling.training_order_audit(skewed_docs, n_shards=8).collect()
+    assert len(out) == 8
+    assert sum(r.n_docs for r in out) == 1000
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+    # hash-sharding is near-balanced (no shard > 2x the uniform share)
+    assert max(r.n_docs for r in out) < 2 * (1000 / 8)
+    # shuffledness: consecutive training examples come from far-apart
+    # source positions — a sorted (unshuffled) order would give gap ~= 8
+    # (every 8th doc lands in the same shard); the hash order gives ~n/3
+    assert all(r.mean_source_gap > 100 for r in out)
+
+
+def test_training_order_audit_salt_changes_order_not_balance(skewed_docs):
+    a = sampling.training_order_audit(skewed_docs, salt="epoch-1").collect()
+    b = sampling.training_order_audit(skewed_docs, salt="epoch-2").collect()
+    assert sum(r.n_docs for r in a) == sum(r.n_docs for r in b) == 1000
+    # different epoch salts really produce different shard assignments
+    assert [r.n_docs for r in a] != [r.n_docs for r in b] or [
+        round(r.mean_source_gap, 3) for r in a
+    ] != [round(r.mean_source_gap, 3) for r in b]
+    # and each is itself deterministic
+    a2 = sampling.training_order_audit(skewed_docs, salt="epoch-1").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in a2]
+
+
+@pytest.fixture(scope="module")
+def delta_docs(spark):
+    """doc_id % 5 == 0 is the incoming batch. Planted:
+    - doc 0  duplicates base doc 1   (dup_vs_base)
+    - docs 5 and 10 duplicate each other but no base doc
+      (5 -> new_unique, 10 -> dup_within_batch; min doc_id wins)
+    - doc 15 is unique                (new_unique)
+    - doc 20 duplicates base doc 21 AND incoming doc 25:
+      both 20 and 25 are dup_vs_base (base index has precedence)
+    """
+    rows = [
+        (0, "shared with base one", "web"),
+        (1, "shared with base one", "web"),          # base
+        (2, "base only text a", "web"),              # base
+        (5, "batch internal dup", "wiki"),
+        (10, "batch internal dup", "wiki"),
+        (15, "totally unique text", "wiki"),
+        (20, "tri duplicate text", "web"),
+        (21, "tri duplicate text", "web"),           # base
+        (25, "tri duplicate text", "web"),
+        (3, "base only text b", "wiki"),             # base
+    ]
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_delta_dedup_classifies_planted_duplicates(delta_docs):
+    out = {r.source: r for r in dedup.delta_dedup_stats(delta_docs).collect()}
+    # web incoming: 0 (vs base), 20 + 25 (vs base via doc 21)
+    assert out["web"].n_incoming == 3
+    assert out["web"].n_dup_vs_base == 3
+    assert out["web"].n_dup_within_batch == 0
+    assert out["web"].n_new_unique == 0
+    # wiki incoming: 5 (new unique), 10 (within-batch dup of 5), 15 (unique)
+    assert out["wiki"].n_incoming == 3
+    assert out["wiki"].n_dup_vs_base == 0
+    assert out["wiki"].n_dup_within_batch == 1
+    assert out["wiki"].n_new_unique == 2
+
+
+def test_delta_dedup_counts_are_a_partition(delta_docs):
+    for r in dedup.delta_dedup_stats(delta_docs).collect():
+        assert (
+            r.n_dup_vs_base + r.n_dup_within_batch + r.n_new_unique
+            == r.n_incoming
+        )

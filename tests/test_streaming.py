@@ -326,24 +326,28 @@ def test_transform_with_state_counters_survive_restart(spark, tmp_path):
             "\n".join(json.dumps(r) for r in rows)
         )
 
+    sink = str(tmp_path / "tws_sink")
+
     def run_pass():
         stream = spark.readStream.schema(schema).json(str(src))
         out = user_counters_tws(stream)
+        # memory sink cannot recover from a checkpoint; foreachBatch can —
+        # append each micro-batch to parquet and read the latest row per key
         q = (
-            out.writeStream.format("memory")
-            .queryName("tws_out")
+            out.writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+            )
             .outputMode("update")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(120)
-        return {
-            r.user_id: r
-            for r in spark.sql(
-                "SELECT * FROM tws_out"
-            ).collect()
-        }
+        best = {}
+        for r in spark.read.parquet(sink).collect():
+            if r.user_id not in best or r.n_events > best[r.user_id].n_events:
+                best[r.user_id] = r
+        return best
 
     write_batch("b1.json", [
         {"user_id": 1, "value": 10.0, "ts": "2024-01-01T09:00:00Z"},
@@ -353,6 +357,69 @@ def test_transform_with_state_counters_survive_restart(spark, tmp_path):
     first = run_pass()
     assert first[1].n_events == 2 and abs(first[1].total_value - 15.0) < 1e-9
     assert first[2].n_events == 1
+
+    # NEW file, FRESH query object, SAME checkpoint -> state must resume
+    write_batch("b2.json", [
+        {"user_id": 1, "value": 1.0, "ts": "2024-01-01T10:00:00Z"},
+    ])
+    second = run_pass()
+    assert second[1].n_events == 3
+    assert abs(second[1].total_value - 16.0) < 1e-9
+
+
+def test_apply_in_pandas_with_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState: per-user profile state accumulates across
+    micro-batches AND across a query RESTART (state rides the checkpoint).
+    This is the non-gated sibling of the transformWithState test above —
+    the applyInPandasWithState worker path does NOT need protobuf, so the
+    restart-resume property of the executor state store is PROVEN in this
+    container, not skipped."""
+    import json
+
+    from xboard_spark.streaming.stateful import user_profiles_stream
+
+    src = tmp_path / "aipws_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "aipws_ckpt")
+    schema = "user_id long, value double, ts timestamp"
+
+    def write_batch(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    sink = str(tmp_path / "aipws_sink")
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).json(str(src))
+        # 1h idle timeout: the default 30s can fire between availableNow
+        # micro-batches on a loaded host and close the state mid-test
+        out = user_profiles_stream(stream, timeout_ms=3_600_000)
+        # memory sink cannot recover from a checkpoint; foreachBatch can —
+        # append each micro-batch to parquet and read the latest row per key
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        best = {}
+        for r in spark.read.parquet(sink).collect():
+            if r.user_id not in best or r.n_events > best[r.user_id].n_events:
+                best[r.user_id] = r
+        return best
+
+    write_batch("b1.json", [
+        {"user_id": 1, "value": 10.0, "ts": "2024-01-01T09:00:00Z"},
+        {"user_id": 1, "value": 5.0, "ts": "2024-01-01T09:01:00Z"},
+        {"user_id": 2, "value": 7.0, "ts": "2024-01-01T09:02:00Z"},
+    ])
+    first = run_pass()
+    assert first[1].n_events == 2 and abs(first[1].total_value - 15.0) < 1e-9
+    assert first[2].n_events == 1
+    assert not first[1].closed_by_timeout
 
     # NEW file, FRESH query object, SAME checkpoint -> state must resume
     write_batch("b2.json", [

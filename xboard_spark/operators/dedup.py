@@ -956,3 +956,66 @@ def cluster_size_profile(
         )
         .orderBy("cluster_size")
     )
+
+
+def delta_dedup_stats(documents: DataFrame, mod: int = 5) -> DataFrame:
+    """Incremental (delta) dedup: dedup an INCOMING batch against an
+    already-deduped base corpus without re-scanning the base pairs — the
+    recurring-crawl shape (every ingest run dedups only its delta against
+    the persisted fingerprint index; re-deduping 100 TB per crawl is the
+    anti-pattern). The deterministic split ``doc_id % mod == 0`` stands in
+    for the new crawl (~1/mod of the corpus); the base is everything else.
+
+    Per source, each incoming doc is classified by precedence:
+    ``dup_vs_base`` (normalized-content fingerprint already in the base
+    index), else ``dup_within_batch`` (an earlier incoming doc — min
+    doc_id wins — has the same fingerprint), else ``new_unique`` (what
+    actually enters the corpus).
+
+    Scale shape: the base side reduces to a DISTINCT fingerprint INDEX
+    (exactly what ``io.write_bucketed_index`` persists between runs) —
+    the join is fingerprint-hash-partitioned index-lookup, never
+    text-vs-text; within-batch dedup is one window over the SAME
+    fingerprint partitioning, so the whole operator is a single exchange
+    on fp plus a k-row rollup. All counts are exact int64.
+
+    Reference parity: extends ``exact_dedup_groups`` (dedup.py:44) the
+    way ST5's backfill bookkeeping extends ingest — state from the last
+    run bounds the work of this run."""
+    from pyspark.sql import Window
+
+    fp = fingerprint64(_norm_text(F.col("text")))
+    docs = documents.select("doc_id", "source", fp.alias("fp"))
+    base = docs.filter(F.col("doc_id") % mod != 0)
+    incoming = docs.filter(F.col("doc_id") % mod == 0)
+    base_index = base.select("fp").distinct().withColumn(
+        "in_base", F.lit(1)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    classified = (
+        incoming.join(base_index, "fp", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "source",
+            F.when(F.col("in_base").isNotNull(), F.lit("dup_vs_base"))
+            .when(F.col("rn") > 1, F.lit("dup_within_batch"))
+            .otherwise(F.lit("new_unique"))
+            .alias("verdict"),
+        )
+    )
+    return (
+        classified.groupBy("source")
+        .agg(
+            F.count("*").alias("n_incoming"),
+            F.sum((F.col("verdict") == "dup_vs_base").cast("long")).alias(
+                "n_dup_vs_base"
+            ),
+            F.sum(
+                (F.col("verdict") == "dup_within_batch").cast("long")
+            ).alias("n_dup_within_batch"),
+            F.sum((F.col("verdict") == "new_unique").cast("long")).alias(
+                "n_new_unique"
+            ),
+        )
+        .orderBy("source")
+    )

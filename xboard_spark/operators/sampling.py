@@ -336,3 +336,114 @@ def bootstrap_mean_ci(
     return (
         point.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
     )
+
+
+def temperature_mixture(documents: DataFrame, alpha: float = 0.7) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights: the per-language
+    sampling distribution q_i ∝ p_i^alpha that multilingual LM training
+    uses to up-weight low-resource languages without flattening the
+    mixture entirely (alpha=0.7 is the XLM-R / mBERT convention; alpha=1
+    is natural sampling, alpha=0 uniform — Conneau et al. 2020 §3.1).
+    Complements ``mixture_rebalance`` (explicit target shares, downsample
+    only): here the target IS a function of the corpus, and the factor
+    column is the up/down-sampling multiplier a weighted data loader
+    would apply per language.
+
+    Scale shape: one partial/final hash aggregate over the corpus to get
+    per-lang counts (the only pass over the data), then all arithmetic on
+    the k-row lang frame via broadcast cross-joins — no second scan, no
+    driver collect, identical plan at 100 TB.
+
+    Float discipline: share is rounded 6dp BEFORE pow() so both engines
+    exponentiate identical doubles (JVM Math.pow vs C pow differ in ulps
+    on unrounded inputs); the normalizer is a rounded sum of rounded
+    terms; every emitted double is one identical expression tree."""
+    # k-row lang frame, lineage-truncated: every downstream consumer
+    # (total, z, final projection) would otherwise re-embed the corpus
+    # scan subtree — measured 5 Scan nodes before, 1 after; the corpus
+    # is read exactly once at any scale
+    counts = (
+        documents.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    shares = counts.crossJoin(F.broadcast(total)).withColumn(
+        "share", F.round(F.col("n_docs") / F.col("total"), 6)
+    )
+    powd = shares.withColumn(
+        "w", F.round(F.pow(F.col("share"), F.lit(float(alpha))), 6)
+    )
+    z = powd.agg(F.round(F.sum("w"), 6).alias("z"))
+    return (
+        powd.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            "share",
+            F.round(F.col("w") / F.col("z"), 6).alias("temp_share"),
+            F.round((F.col("w") / F.col("z")) / F.col("share"), 6).alias(
+                "sampling_factor"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def training_order_audit(
+    documents: DataFrame, n_shards: int = 8, salt: str = "shuffle-v1"
+) -> DataFrame:
+    """Deterministic global training-order shuffle, audited: assign every
+    doc to a shard by salted fingerprint and order within the shard by the
+    fingerprint itself — a reproducible full-corpus shuffle with NO global
+    sort (the classic "shuffle 100 TB for epoch order" problem: a total
+    order is one giant range partition; hash-sharding + within-shard sort
+    is embarrassingly parallel and a data loader streams shards
+    round-robin). The audit emits, per shard: size and share (balance —
+    a skewed shard gates loader throughput) and the mean source-position
+    gap between CONSECUTIVE examples in shuffle order (mean |doc_id -
+    lag(doc_id)|): a well-shuffled order has a large mean gap (~n/3 for
+    uniform), while any residual source locality — crawl order leaking
+    into training order — drags it down.
+
+    Scale shape: ONE hash-partition shuffle on shard (the same exchange
+    the write itself needs), window per shard in sorted order, then a
+    k-row aggregate. Salt change = new epoch order, same plan.
+
+    Float discipline: gaps are exact int64 diffs; the mean is one
+    cast-then-divide, 6dp."""
+    fp = fingerprint64(F.concat_ws(":", F.lit(salt), F.col("doc_id")))
+    assigned = documents.select(
+        "doc_id",
+        (fp % n_shards).alias("shard"),
+        fp.alias("pos_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("pos_key", "doc_id")
+    gaps = assigned.withColumn(
+        "gap", F.abs(F.col("doc_id") - F.lag("doc_id").over(w))
+    )
+    # n_shards-row frame, lineage-truncated: the total agg and the final
+    # projection would otherwise each re-embed the scan+window subtree
+    # (measured 4 Scan nodes before, 1 after — one corpus pass)
+    per_shard = (
+        gaps.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("gap").alias("gap_sum"),
+            F.count("gap").alias("n_gaps"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    total = per_shard.agg(F.sum("n_docs").alias("total"))
+    return (
+        per_shard.crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("gap_sum").cast("double") / F.col("n_gaps"), 6
+            ).alias("mean_source_gap"),
+        )
+        .orderBy("shard")
+    )

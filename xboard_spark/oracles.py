@@ -903,6 +903,71 @@ SELECT lang, n_docs, share, rate, n_kept::BIGINT AS n_kept,
 FROM kept ORDER BY lang"""
 
 
+def temperature_mixture_sql(alpha: float = 0.7) -> str:
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+s AS (
+  SELECT lang, n_docs,
+         round(n_docs / (SELECT sum(n_docs) FROM counts)::DOUBLE, 6) AS share
+  FROM counts
+),
+p AS (
+  SELECT lang, n_docs, share, round(pow(share, {float(alpha)!r}), 6) AS w
+  FROM s
+),
+z AS (SELECT round(sum(w), 6) AS z FROM p)
+SELECT lang, n_docs, share,
+       round(w / (SELECT z FROM z), 6) AS temp_share,
+       round((w / (SELECT z FROM z)) / share, 6) AS sampling_factor
+FROM p ORDER BY lang"""
+
+
+def training_order_audit_sql(
+    n_shards: int = 8, salt: str = "shuffle-v1"
+) -> str:
+    fp = _fp(f"concat_ws(':', '{salt}', doc_id)")
+    return f"""
+WITH a AS (
+  SELECT doc_id, ({fp}) % {n_shards} AS shard, {fp} AS pos_key FROM documents
+),
+g AS (
+  SELECT shard,
+         abs(doc_id - lag(doc_id) OVER (PARTITION BY shard
+                                        ORDER BY pos_key, doc_id)) AS gap
+  FROM a
+),
+per AS (
+  SELECT shard, count(*) AS n_docs, sum(gap)::BIGINT AS gap_sum,
+         count(gap) AS n_gaps
+  FROM g GROUP BY shard
+)
+SELECT shard, n_docs,
+       round(n_docs / (SELECT sum(n_docs) FROM per)::DOUBLE, 6) AS share,
+       round(gap_sum::DOUBLE / n_gaps, 6) AS mean_source_gap
+FROM per ORDER BY shard"""
+
+
+def delta_dedup_stats_sql(mod: int = 5) -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source, {_fp(_NORM_TEXT)} AS fp FROM documents
+),
+base AS (SELECT DISTINCT fp FROM docs WHERE doc_id % {mod} != 0),
+inc AS (
+  SELECT d.source, (b.fp IS NOT NULL) AS in_base,
+         row_number() OVER (PARTITION BY d.fp ORDER BY d.doc_id) AS rn
+  FROM docs d LEFT JOIN base b ON d.fp = b.fp
+  WHERE d.doc_id % {mod} = 0
+)
+SELECT source, count(*) AS n_incoming,
+       sum(CASE WHEN in_base THEN 1 ELSE 0 END)::BIGINT AS n_dup_vs_base,
+       sum(CASE WHEN NOT in_base AND rn > 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_dup_within_batch,
+       sum(CASE WHEN NOT in_base AND rn = 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_new_unique
+FROM inc GROUP BY source ORDER BY source"""
+
+
 def train_test_split_sql(test_pct: int = 10, salt: str = "split-v1") -> str:
     fp = _fp(f"concat_ws(':', '{salt}', doc_id)")
     return f"""
@@ -2865,6 +2930,9 @@ ORDER BY o_custkey, version""",
         "top_supplier_revenue": top_supplier_revenue_sql(),
         "stratified_sample": stratified_sample_sql(),
         "mixture_rebalance": mixture_rebalance_sql(),
+        "temperature_mixture": temperature_mixture_sql(),
+        "training_order_audit": training_order_audit_sql(),
+        "delta_dedup_stats": delta_dedup_stats_sql(),
         "length_histogram": length_histogram_sql(),
         "knn_ivf": knn_ivf_sql(),
         "ivf_cell_sizes": ivf_cell_sizes_sql(),

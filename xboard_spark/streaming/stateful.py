@@ -39,48 +39,57 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _update_user_profile(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.hasTimedOut:
-        n, total, _ = state.get
-        state.remove()
+def _make_update_user_profile(timeout_ms: int):
+    def _update_user_profile(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "closed_by_timeout": [True],
+                }
+            )
+            return
+
+        n, total, last_ms = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                last_ms = max(
+                    last_ms, int(pdf["ts"].max().value // 1_000_000)
+                )
+        state.update((n, total, last_ms))
+        state.setTimeoutDuration(timeout_ms)  # close after idle period
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
                 "n_events": [n],
-                "total_value": [total],
-                "closed_by_timeout": [True],
+                "total_value": [round(total, 2)],
+                "closed_by_timeout": [False],
             }
         )
-        return
 
-    n, total, last_ms = state.get if state.exists else (0, 0.0, 0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        if len(pdf):
-            last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
-    state.update((n, total, last_ms))
-    state.setTimeoutDuration(30_000)  # close the profile after 30s idle
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n],
-            "total_value": [round(total, 2)],
-            "closed_by_timeout": [False],
-        }
-    )
+    return _update_user_profile
 
 
-def user_profiles_stream(events_stream: DataFrame) -> DataFrame:
+def user_profiles_stream(
+    events_stream: DataFrame, timeout_ms: int = 30_000
+) -> DataFrame:
     """events (ts, user_id, value) -> running per-user profile rows, with a
-    timeout-closed summary row when a user goes idle."""
+    timeout-closed summary row when a user goes quiet for ``timeout_ms``
+    of processing time (closure factory, not a default-arg lambda — the
+    timeout must bind at plan build)."""
     return events_stream.groupBy("user_id").applyInPandasWithState(
-        _update_user_profile,
+        _make_update_user_profile(timeout_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
