@@ -590,6 +590,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dedup_stats": lambda s, d: dedup.delta_dedup_stats(
             _t(s, d, "documents")
         ),
+        "zipf_fit": lambda s, d: text.zipf_fit(_t(s, d, "documents")),
+        "bpe_merge_candidates": lambda s, d: text.bpe_merge_candidates(
+            _t(s, d, "documents")
+        ),
+        "epochs_plan": lambda s, d: sampling.epochs_plan(
+            _t(s, d, "documents")
+        ),
         "length_histogram": lambda s, d: sampling.length_histogram(
             _t(s, d, "documents")
         ),

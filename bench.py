@@ -149,6 +149,9 @@ EXTENDED = [
     "temperature_mixture",
     "training_order_audit",
     "delta_dedup_stats",
+    "zipf_fit",
+    "bpe_merge_candidates",
+    "epochs_plan",
 ]
 
 

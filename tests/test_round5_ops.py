@@ -117,3 +117,48 @@ def test_delta_dedup_counts_are_a_partition(delta_docs):
             r.n_dup_vs_base + r.n_dup_within_batch + r.n_new_unique
             == r.n_incoming
         )
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    # word_r appears floor(200/r) times -> freq ~ 1/rank, slope ~ -1
+    rows = []
+    doc_words = []
+    for r in range(1, 41):
+        doc_words += [f"w{r:02d}"] * (200 // r)
+    # spread across a few docs so the plan is non-trivial
+    for i in range(10):
+        rows.append((i, " ".join(doc_words[i::10]), "en", "web", 100))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from xboard_spark.operators.text import zipf_fit
+
+    out = zipf_fit(docs).collect()[0]
+    assert out.n_terms == 40
+    assert -1.2 < out.slope < -0.8, out
+    assert out.r2 > 0.95, out
+
+
+def test_bpe_merge_candidates_exact_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab", "en", "web", 9), (1, "abba", "en", "web", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from xboard_spark.operators.text import bpe_merge_candidates
+
+    out = {r.pair: r.cnt for r in bpe_merge_candidates(docs).collect()}
+    # aaab x2 -> aa,aa,ab each occurrence; abba -> ab,bb,ba
+    assert out == {"aa": 4, "ab": 3, "bb": 1, "ba": 1}
+
+
+def test_epochs_plan_identity_and_upweighting(skewed_docs):
+    out = {r.lang: r for r in sampling.epochs_plan(skewed_docs).collect()}
+    # temperature mixture repeats low-resource langs more
+    assert out["zh"].epochs > out["de"].epochs > out["en"].epochs
+    # budget=1x, alpha=1 (natural sampling) => exactly one epoch of each
+    nat = sampling.epochs_plan(skewed_docs, budget_factor=1.0, alpha=1.0)
+    for r in nat.collect():
+        assert abs(r.epochs - 1.0) < 1e-3, r
+        assert not r.repeat_warning
+    # token accounting: shares sum to 1
+    assert abs(sum(r.token_share for r in out.values()) - 1.0) < 1e-4

@@ -447,3 +447,59 @@ def training_order_audit(
         )
         .orderBy("shard")
     )
+
+
+def epochs_plan(
+    documents: DataFrame, budget_factor: float = 2.0, alpha: float = 0.7
+) -> DataFrame:
+    """Data-constrained training plan: given a token budget of
+    ``budget_factor`` x the corpus and a temperature-``alpha`` language
+    mixture, compute how many EPOCHS of each language the plan implies —
+    the repetition accounting of data-constrained scaling (Muennighoff
+    et al. 2023: value per epoch decays, ~4 epochs is where repetition
+    stops helping, hence the ``repeat_warning`` flag).
+
+    Scale shape: ONE pass over the corpus for per-lang doc/token counts
+    (the k-row frame is lineage-truncated like ``temperature_mixture``),
+    then broadcast arithmetic on k rows.
+
+    Float discipline: shares rounded 6dp before pow(); epochs is one
+    identical rounded expression tree over the rounded temp share."""
+    from xboard_spark.operators.text import token_count_col
+
+    per_lang = (
+        documents.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count_col(F.col("text"))).alias("corpus_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    total = per_lang.agg(F.sum("corpus_tokens").alias("total_tokens"))
+    shares = per_lang.crossJoin(F.broadcast(total)).withColumn(
+        "token_share",
+        F.round(F.col("corpus_tokens") / F.col("total_tokens"), 6),
+    )
+    powd = shares.withColumn(
+        "w", F.round(F.pow(F.col("token_share"), F.lit(float(alpha))), 6)
+    )
+    z = powd.agg(F.round(F.sum("w"), 6).alias("z"))
+    out = powd.crossJoin(F.broadcast(z)).withColumn(
+        "temp_share", F.round(F.col("w") / F.col("z"), 6)
+    )
+    epochs = F.round(
+        F.lit(float(budget_factor))
+        * F.col("total_tokens")
+        * F.col("temp_share")
+        / F.col("corpus_tokens"),
+        4,
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        "corpus_tokens",
+        "token_share",
+        "temp_share",
+        epochs.alias("epochs"),
+        (epochs > 4.0).alias("repeat_warning"),
+    ).orderBy("lang")

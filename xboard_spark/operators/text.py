@@ -721,3 +721,97 @@ def chunk_dedup_stats(documents: DataFrame, chunk_size: int = 64) -> DataFrame:
             / F.sum("c")
         ).alias("dup_frac"),
     )
+
+
+def zipf_fit(documents: DataFrame, top_n: int = 1000) -> DataFrame:
+    """Zipf power-law fit over the term-frequency distribution: OLS of
+    log(freq) on log(rank) for the top-``top_n`` terms — slope ~ -1 is
+    the natural-language signature; a much flatter or steeper slope (or
+    low R^2) flags template/boilerplate corpora and tokenizer-hostile
+    text before training (Zipf 1949; used as a corpus-health check in
+    data-quality pipelines).
+
+    Scale shape: one token-count aggregate keyed on the term (the only
+    full-corpus pass), a TakeOrderedAndProject top-N — never a global
+    sort — then rank + regression on the bounded N-row frame (the
+    no-partition window is post-limit, SCALE.md rule 2). The regression
+    is sufficient-statistics arithmetic on one aggregate row.
+
+    Float discipline: log values rounded 6dp per term BEFORE summing,
+    the five sums rounded 6dp (association order differs across engines
+    at ~1e-12 relative), every output one identical expression tree."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("word")
+    )
+    top = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(top_n)
+    )
+    w = Window.partitionBy().orderBy(F.desc("cnt"), "word")
+    pts = top.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rank").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 6).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("sxx"),
+        F.round(F.sum(F.col("x") * F.col("y")), 6).alias("sxy"),
+        F.round(F.sum(F.col("y") * F.col("y")), 6).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_terms"),
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("r2"),
+    )
+
+
+def bpe_merge_candidates(documents: DataFrame, top_k: int = 20) -> DataFrame:
+    """First BPE merge iteration at corpus scale: count every adjacent
+    character pair inside every token occurrence and rank the top-``k``
+    merge candidates — the inner step of byte-pair-encoding vocabulary
+    induction (Sennrich et al. 2016), here as the distributed aggregate
+    you would iterate to bootstrap a tokenizer on a 100 TB corpus (each
+    merge round is the SAME count-and-rank plan over re-segmented
+    tokens).
+
+    Scale shape: pair extraction is pure array expressions computed
+    where the data lives (flatten/transform/sequence — no Python, no
+    shuffle), then ONE partial/final count keyed on the pair and a
+    TakeOrderedAndProject top-k. Deterministic total order: count desc,
+    pair asc. Counts are exact int64."""
+    words = F.filter(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0),
+        lambda w: F.length(w) >= 2,
+    )
+    pairs = F.flatten(
+        F.transform(
+            words,
+            lambda w: F.transform(
+                F.sequence(F.lit(1), F.length(w) - F.lit(1)),
+                lambda i: w.substr(i, F.lit(2)),
+            ),
+        )
+    )
+    return (
+        documents.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(top_k)
+    )

@@ -968,6 +968,84 @@ SELECT source, count(*) AS n_incoming,
 FROM inc GROUP BY source ORDER BY source"""
 
 
+def zipf_fit_sql(top_n: int = 1000) -> str:
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS word
+  FROM documents
+),
+top AS (
+  SELECT word, count(*) AS cnt FROM tok GROUP BY 1
+  ORDER BY cnt DESC, word LIMIT {top_n}
+),
+pts AS (
+  SELECT round(ln((row_number() OVER (ORDER BY cnt DESC, word))::DOUBLE), 6)
+             AS x,
+         round(ln(cnt::DOUBLE), 6) AS y
+  FROM top
+),
+s AS (
+  SELECT count(*)::BIGINT AS n, round(sum(x), 6) AS sx,
+         round(sum(y), 6) AS sy, round(sum(x*x), 6) AS sxx,
+         round(sum(x*y), 6) AS sxy, round(sum(y*y), 6) AS syy
+  FROM pts
+)
+SELECT n AS n_terms,
+       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
+       round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4)
+           AS intercept,
+       round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+             / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS r2
+FROM s"""
+
+
+def bpe_merge_candidates_sql(top_k: int = 20) -> str:
+    return f"""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS word
+  FROM documents
+),
+p AS (
+  SELECT unnest(list_transform(range(1, len(word)),
+                               i -> substr(word, i, 2))) AS pair
+  FROM w WHERE len(word) >= 2
+)
+SELECT pair, count(*) AS cnt FROM p GROUP BY 1
+ORDER BY cnt DESC, pair LIMIT {top_k}"""
+
+
+def epochs_plan_sql(budget_factor: float = 2.0, alpha: float = 0.7) -> str:
+    return f"""
+WITH per AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')))::BIGINT
+             AS corpus_tokens
+  FROM documents GROUP BY 1
+),
+t AS (SELECT sum(corpus_tokens)::BIGINT AS total_tokens FROM per),
+s AS (
+  SELECT lang, n_docs, corpus_tokens,
+         round(corpus_tokens / (SELECT total_tokens FROM t)::DOUBLE, 6)
+             AS token_share
+  FROM per
+),
+p AS (
+  SELECT *, round(pow(token_share, {float(alpha)!r}), 6) AS w FROM s
+),
+z AS (SELECT round(sum(w), 6) AS z FROM p),
+e AS (
+  SELECT lang, n_docs, corpus_tokens, token_share,
+         round(w / (SELECT z FROM z), 6) AS temp_share
+  FROM p
+)
+SELECT lang, n_docs, corpus_tokens, token_share, temp_share,
+       round({float(budget_factor)!r} * (SELECT total_tokens FROM t)
+             * temp_share / corpus_tokens, 4) AS epochs,
+       (round({float(budget_factor)!r} * (SELECT total_tokens FROM t)
+              * temp_share / corpus_tokens, 4) > 4.0) AS repeat_warning
+FROM e ORDER BY lang"""
+
+
 def train_test_split_sql(test_pct: int = 10, salt: str = "split-v1") -> str:
     fp = _fp(f"concat_ws(':', '{salt}', doc_id)")
     return f"""
@@ -2933,6 +3011,9 @@ ORDER BY o_custkey, version""",
         "temperature_mixture": temperature_mixture_sql(),
         "training_order_audit": training_order_audit_sql(),
         "delta_dedup_stats": delta_dedup_stats_sql(),
+        "zipf_fit": zipf_fit_sql(),
+        "bpe_merge_candidates": bpe_merge_candidates_sql(),
+        "epochs_plan": epochs_plan_sql(),
         "length_histogram": length_histogram_sql(),
         "knn_ivf": knn_ivf_sql(),
         "ivf_cell_sizes": ivf_cell_sizes_sql(),
