@@ -244,6 +244,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_daily_rollup": lambda s, d: (
             incremental.incremental_daily_rollup(_t(s, d, "orders"))
         ),
+        "incremental_nation_rollup": lambda s, d: (
+            incremental.incremental_nation_rollup(
+                _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation")
+            )
+        ),
         "orders_cdc_summary": lambda s, d: incremental.orders_cdc_summary(
             _t(s, d, "orders")
         ),

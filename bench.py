@@ -152,6 +152,7 @@ EXTENDED = [
     "zipf_fit",
     "bpe_merge_candidates",
     "epochs_plan",
+    "incremental_nation_rollup",
 ]
 
 

@@ -162,3 +162,24 @@ def test_epochs_plan_identity_and_upweighting(skewed_docs):
         assert not r.repeat_warning
     # token accounting: shares sum to 1
     assert abs(sum(r.token_share for r in out.values()) - 1.0) < 1e-4
+
+
+def test_incremental_nation_rollup_cutoff_invariant(spark):
+    """The defining IVM contract: merging base partials with the delta's
+    partials must equal the full recompute at EVERY cutoff — including
+    the degenerate all-base and all-delta splits."""
+    from xboard_spark.operators import incremental
+    from xboard_spark.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    nation = read_table(spark, sf, "nation")
+    results = []
+    for cutoff in ["1900-01-01", "1995-06-15", "1997-01-01", "2999-01-01"]:
+        rows = incremental.incremental_nation_rollup(
+            orders, customer, nation, cutoff=cutoff
+        ).collect()
+        results.append([tuple(r) for r in rows])
+    assert all(r == results[0] for r in results[1:])
+    assert len(results[0]) == 25  # every nation present

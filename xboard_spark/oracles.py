@@ -2902,6 +2902,13 @@ SELECT from_type, to_type, n_transitions,
 FROM counts ORDER BY from_type, to_type""",
         # full-recompute oracle for the INCREMENTAL rollup — the gate
         # verifies incremental-merge == recompute, the maintenance contract
+        "incremental_nation_rollup": """
+SELECT n_name AS nation, count(*)::BIGINT AS order_count,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1""",
         "incremental_daily_rollup": """
 SELECT CAST(o_orderdate AS DATE) AS order_date,
        count(*)::BIGINT AS order_count,
