@@ -220,3 +220,41 @@ def test_audio_ahash_and_neardup_pairs(spark):
     pairs = mm.audio_neardup_pairs(media).collect()
     assert (1, 2) in {(r.media_a, r.media_b) for r in pairs}
     assert (1, 3) not in {(r.media_a, r.media_b) for r in pairs}
+
+
+def test_resize_images_geometry_and_neardup_property(spark):
+    import xboard_spark.operators.multimodal as mm
+
+    base = [
+        [(255, 255, 255) if x < 8 else (0, 0, 0) for x in range(16)]
+        for _ in range(16)
+    ]
+    rows = [(1, "image", bytearray(_ppm_bytes(base)), "image/x-ppm", 16, 16, 0),
+            (2, "audio", bytearray(b"RIFF"), "audio/wav", 0, 0, 0)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    out = mm.resize_images(media, out_w=8, out_h=8).collect()
+    # non-image rows are excluded; geometry and payload size are exact
+    assert [r.media_id for r in out] == [1]
+    r = out[0]
+    assert (r.width, r.height) == (8, 8)
+    body = bytes(r.content)
+    assert body.startswith(b"P6\n8 8\n255\n")
+    assert r.n_bytes == len(body) == len(b"P6\n8 8\n255\n") + 8 * 8 * 3
+    # the resized payload decodes with the SAME decoder (round-trip)
+    w, h, rgb = mm._ppm_decode(body)
+    assert (w, h) == (8, 8)
+    # structure preserved: left half light, right half dark
+    assert rgb[:, :4].mean() > 0.9 and rgb[:, 4:].mean() < 0.1
+
+    # near-dup property: a resized copy stays within ahash distance 5 of
+    # the original (the whole point of perceptual dedup on thumbnails)
+    both = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_ppm_bytes(base)), "image/x-ppm", 16, 16, 0),
+            (2, "image", bytearray(body), "image/x-ppm", 8, 8, 0),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    pairs = mm.image_neardup_pairs(both, max_hamming=5).collect()
+    assert any({p.media_a, p.media_b} == {1, 2} for p in pairs)

@@ -536,3 +536,66 @@ def audio_neardup_pairs(media: DataFrame, max_hamming: int = 5) -> DataFrame:
     """Near-duplicate AUDIO pairs: envelope hash + the shared banded
     Hamming join."""
     return _banded_hamming_pairs(audio_ahash(media), max_hamming)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def _ppm_resize(content: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of a PPM P6 payload to (out_w, out_h),
+    re-encoded as PPM P6 (maxval 255). Pure numpy index arithmetic —
+    the same kernel _ahash64 uses for its 8x8 reduction, exposed as a
+    real pixel transform."""
+    w, h, rgb = _ppm_decode(content)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    resized = (rgb[ys][:, xs] * 255.0).round().clip(0, 255).astype(np.uint8)
+    header = f"P6\n{out_w} {out_h}\n255\n".encode()
+    return header + resized.tobytes()
+
+
+def resize_images(
+    media: DataFrame, out_w: int = 64, out_h: int = 64
+) -> DataFrame:
+    """Image resize as an Arrow-batched pipeline stage: decode each PPM
+    payload, nearest-neighbor resample to (``out_w``, ``out_h``), and
+    re-encode — the thumbnail/normalize step every multimodal training
+    pipeline runs before feature extraction or dedup (fixed input
+    geometry for the encoder, ~100x byte shrink for the lake copy).
+
+    Scale shape: mapInPandas over the media frame — pure per-row compute
+    where the rows live, no shuffle; the output column is the new binary
+    payload plus typed geometry metadata, so downstream stages
+    (``image_ahash``, ``extract_features``) consume it unchanged. Only
+    image rows are transformed (non-image kinds pass through the filter
+    upstream); non-PPM payloads raise at the documented codec boundary
+    exactly like ``_ppm_decode``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _ppm_resize(b or b"", out_w, out_h) for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": np.int32(out_w),
+                    "height": np.int32(out_h),
+                    "n_bytes": [len(b) for b in out],
+                    "content": out,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
