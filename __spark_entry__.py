@@ -528,6 +528,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": lambda s, d: tpch.order_priority_counts(
             _t(s, d, "orders"), _t(s, d, "lineitem")
         ),
+        "volume_shipping": lambda s, d: tpch.volume_shipping(
+            _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer"),
+            _t(s, d, "supplier"), _t(s, d, "nation")
+        ),
+        "returned_items_report": lambda s, d: tpch.returned_items_report(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem"),
+            _t(s, d, "nation")
+        ),
+        "customer_order_distribution": lambda s, d: (
+            tpch.customer_order_distribution(
+                _t(s, d, "customer"), _t(s, d, "orders")
+            )
+        ),
+        "small_qty_part_revenue": lambda s, d: tpch.small_qty_part_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        "large_volume_orders": lambda s, d: tpch.large_volume_orders(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
         "nation_market_share": lambda s, d: tpch.nation_market_share(
             _t(s, d, "customer"),
             _t(s, d, "orders"),

@@ -153,6 +153,11 @@ EXTENDED = [
     "bpe_merge_candidates",
     "epochs_plan",
     "incremental_nation_rollup",
+    "volume_shipping",
+    "returned_items_report",
+    "customer_order_distribution",
+    "small_qty_part_revenue",
+    "large_volume_orders",
 ]
 
 

@@ -183,3 +183,61 @@ def test_incremental_nation_rollup_cutoff_invariant(spark):
         results.append([tuple(r) for r in rows])
     assert all(r == results[0] for r in results[1:])
     assert len(results[0]) == 25  # every nation present
+
+
+def test_customer_order_distribution_includes_zero_bucket(spark):
+    from xboard_spark.operators import tpch
+
+    customer = spark.createDataFrame(
+        [(1, "a", 0, 0.0, "SEG"), (2, "b", 0, 0.0, "SEG"), (3, "c", 0, 0.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "O", 5.0, "1996-01-01", "P"), (11, 1, "O", 5.0, "1996-01-02", "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    out = {r.n_orders: r.n_customers
+           for r in tpch.customer_order_distribution(customer, orders).collect()}
+    # cust 1 has 2 orders; custs 2,3 have ZERO — the left-join point
+    assert out == {2: 1, 0: 2}
+
+
+def test_small_qty_part_revenue_decorrelated_threshold(spark):
+    from xboard_spark.operators import tpch
+
+    part = spark.createDataFrame(
+        [(1, "p1", "Brand#13", "T", 1, 1.0), (2, "p2", "Brand#99", "T", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size long, p_retailprice double",
+    )
+    # part 1 avg qty = 10 -> cut 2.0; rows with qty 1 qualify, qty 19 not.
+    # part 2 is the wrong brand entirely.
+    li_rows = [(100, 1, 1, 1, 1.0, 50.0), (100, 1, 1, 2, 19.0, 999.0),
+               (101, 1, 1, 1, 10.0, 999.0), (102, 2, 1, 1, 1.0, 999.0)]
+    lineitem = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, l_quantity double, l_extendedprice double",
+    )
+    out = tpch.small_qty_part_revenue(lineitem, part).collect()[0]
+    assert out.n_small_lineitems == 1           # only the qty-1 Brand#13 row
+    assert abs(out.avg_yearly - 50.0 / 7.0) < 0.01
+
+
+def test_large_volume_orders_threshold_semantics(spark):
+    from xboard_spark.operators import tpch
+
+    customer = spark.createDataFrame(
+        [(1, "big", 0, 0.0, "S")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "O", 100.0, "1996-01-01", "P"), (11, 1, "O", 200.0, "1996-01-02", "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(10, 1, 1, 1, 301.0, 1.0), (11, 1, 1, 1, 300.0, 1.0)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, l_quantity double, l_extendedprice double",
+    )
+    out = tpch.large_volume_orders(customer, orders, lineitem).collect()
+    # strictly-greater threshold: order 10 (301) in, order 11 (300) out
+    assert [r.o_orderkey for r in out] == [10]
+    assert out[0].total_qty == 301.0

@@ -568,3 +568,182 @@ def supplier_panel(supplier: DataFrame, nation: DataFrame) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — revenue shipped between a
+    nation PAIR (either direction), by supplier nation, customer nation,
+    and ship year. The two nation dims broadcast; lineitem joins orders
+    on the shared orderkey; the pair predicate keeps both directions and
+    the grouped panel separates them.
+
+    Scale shape: the selective nation filters reduce customer/supplier
+    BEFORE their joins (predicate-first, like segment_top_orders); the
+    only big-side shuffle is lineitem⋈orders on orderkey. Revenue is the
+    repo-standard 2dp-rounded double sum."""
+    n_s = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    s = supplier.join(
+        F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk")
+    ).select("s_suppkey", "supp_nation")
+    c = customer.join(
+        F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nk")
+    ).select("c_custkey", "cust_nation")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def returned_items_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue ranking — customers whose RETURNED
+    items (l_returnflag = 'R') cost the most revenue in a window; the
+    returns-management / fraud triage query. Orders carry the window
+    predicate (pushed to the scan), lineitem carries the flag predicate,
+    the nation dim broadcasts, and the top-k plans
+    TakeOrderedAndProject with a full deterministic tie-break."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    )
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    rev = (
+        returned.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("lost_revenue")
+        )
+    )
+    return rev.orderBy(F.desc("lost_revenue"), F.asc("c_custkey")).limit(k)
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13 shape: the order-count distribution over ALL customers —
+    how many customers placed exactly N orders, INCLUDING the
+    zero-order bucket the inner join would silently drop (the left join
+    + count(order) is the point of the query; customers_without_orders
+    is this query's N=0 row). Two aggregations: per-customer count,
+    then the count-of-counts histogram — both partial/final hash aggs;
+    the second one's key domain is tiny."""
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+def small_qty_part_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#13"
+) -> DataFrame:
+    """TPC-H Q17 shape: the decorrelated correlated subquery — revenue
+    lost to small one-off orders: lineitems of one brand whose quantity
+    is below 20% of that PART's average quantity. The correlated
+    per-part average decorrelates into ONE aggregate keyed on partkey
+    joined back to the fact — the standard rewrite every optimizer
+    (and every hand-written Spark job) uses; the per-part avg frame is
+    brand-filtered first so it broadcasts.
+
+    Output is a single audited row (avg_yearly = sum/7.0 per the Q17
+    convention), COALESCEd to 0 when no lineitem qualifies."""
+    p = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        F.round((F.avg("l_quantity") * 0.2), 6).alias("qty_cut")
+    )
+    small = li.join(
+        F.broadcast(avg_qty), F.col("l_partkey") == F.col("ak")
+    ).filter(F.col("l_quantity") < F.col("qty_cut"))
+    return small.agg(
+        F.count("*").alias("n_small_lineitems"),
+        F.round(
+            F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2
+        ).alias("avg_yearly"),
+    )
+
+
+def large_volume_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: int = 300,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — orders whose TOTAL lineitem
+    quantity exceeds ``min_qty``, with their customers, top-k by order
+    value. The HAVING-sum semi-filter is one aggregate on the orderkey
+    (the same shuffle the join needs) — no correlated subquery, no
+    second lineitem scan; the qualifying-key frame is small and
+    broadcasts back onto orders⋈customer."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(
+            F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+    )

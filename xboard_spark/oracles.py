@@ -1903,6 +1903,65 @@ WHERE EXISTS (
     AND l_shipdate > o_orderdate + INTERVAL 30 DAY
 )
 GROUP BY 1 ORDER BY 1""",
+        "volume_shipping": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "returned_items_report": """
+SELECT c_custkey, c_name, n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1996-01-01'::TIMESTAMP
+  AND o_orderdate < '1997-01-01'::TIMESTAMP
+GROUP BY 1, 2, 3
+ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20""",
+        "customer_order_distribution": """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+GROUP BY 1 ORDER BY n_customers DESC, n_orders DESC""",
+        "small_qty_part_revenue": """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+),
+cuts AS (
+  SELECT l_partkey AS ak, round(avg(l_quantity) * 0.2, 6) AS qty_cut
+  FROM li GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_small_lineitems,
+       round(coalesce(sum(l_extendedprice), 0) / 7.0, 2) AS avg_yearly
+FROM li JOIN cuts ON l_partkey = ak
+WHERE l_quantity < qty_cut""",
+        "large_volume_orders": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date, o_totalprice, total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
         "nation_market_share": f"""
 SELECT year(o_orderdate)::BIGINT AS order_year,
        round(sum(CASE WHEN n_name = 'NATION_7' THEN {rev} ELSE 0 END)
