@@ -34,3 +34,28 @@ def test_rows_only_queries_are_the_documented_set():
         "ridge_probe",
         "logistic_probe",
     }, "a query lost (or silently gained) rows-only status"
+
+
+def test_rotation_lists_are_valid():
+    """The driver checks the first 50 queries() entries per round; the
+    staged rotation lists must stay consistent: exactly 50 entries, all
+    registered, no duplicates, and the staged next-round window disjoint
+    from the active one (otherwise a slot is wasted re-checking a fresh
+    row while a stale one ages another round)."""
+    q = set(entrymod.queries())
+    active = entrymod._ROUND5_FIRST
+    staged = entrymod._ROUND6_FIRST
+    for name, lst in [("active", active), ("staged", staged)]:
+        assert len(lst) == 50, f"{name} window must be exactly 50"
+        assert len(set(lst)) == 50, f"{name} window has duplicates"
+        missing = [n for n in lst if n not in q]
+        assert missing == [], f"{name} window names unregistered: {missing}"
+    assert not set(active) & set(staged), "windows overlap"
+
+
+def test_queries_dict_leads_with_active_window():
+    names = list(entrymod.queries())
+    assert names[:50] == entrymod._ROUND5_FIRST, (
+        "queries() must emit the active rotation window first — the "
+        "driver only checks the first 50 entries"
+    )
