@@ -158,6 +158,7 @@ EXTENDED = [
     "customer_order_distribution",
     "small_qty_part_revenue",
     "large_volume_orders",
+    "bpe_learn",
 ]
 
 

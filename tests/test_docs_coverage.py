@@ -33,6 +33,7 @@ def test_rows_only_queries_are_the_documented_set():
         "quantile_sketch_error",
         "ridge_probe",
         "logistic_probe",
+        "bpe_learn",
     }, "a query lost (or silently gained) rows-only status"
 
 

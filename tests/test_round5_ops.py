@@ -241,3 +241,53 @@ def test_large_volume_orders_threshold_semantics(spark):
     # strictly-greater threshold: order 10 (301) in, order 11 (300) out
     assert [r.o_orderkey for r in out] == [10]
     assert out[0].total_qty == 301.0
+
+
+def _py_bpe(word_freqs, n_merges):
+    """Pure-Python reference BPE trainer (Sennrich alg. 1 on a freq dict)."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in vocab.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        # count desc, then lexicographic — the operator's tie-break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, a + b, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_learn_matches_reference_trainer(spark):
+    from xboard_spark.operators.text import bpe_learn
+
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    text_blob = " ".join(
+        w for w, f in sorted(words.items()) for _ in range(f)
+    )
+    docs = spark.createDataFrame(
+        [(0, text_blob, "en", "web", len(text_blob))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [
+        (r.left, r.right, r.merged, r.pair_count)
+        for r in sorted(bpe_learn(docs, n_merges=4).collect(),
+                        key=lambda r: r.round)
+    ]
+    want = _py_bpe(words, 4)
+    assert got == want, (got, want)
+    # the classic outcome: 'es'/'est' family merges dominate ("newest" +
+    # "widest" share the suffix with total freq 9)
+    assert got[0][:2] == ("e", "s") and got[0][3] == 9

@@ -815,3 +815,82 @@ def bpe_merge_candidates(documents: DataFrame, top_k: int = 20) -> DataFrame:
         .orderBy(F.desc("cnt"), "pair")
         .limit(top_k)
     )
+
+
+def bpe_learn(documents: DataFrame, n_merges: int = 5) -> DataFrame:
+    """Byte-pair-encoding vocabulary TRAINING, distributed: learn the
+    first ``n_merges`` merges over the corpus (Sennrich et al. 2016) and
+    return the merge table (round, left, right, merged, pair_count).
+    ``bpe_merge_candidates`` is one iteration of this loop; here the loop
+    actually re-segments and continues.
+
+    Scale shape — the two tricks that make corpus-scale BPE tractable:
+    (1) train on the WORD-FREQUENCY table, not the token stream: one
+    corpus pass aggregates (word, freq) — vocabulary-sized, ~10^5 rows
+    at any corpus size — and every merge round then runs on that small
+    frame with counts weighted by freq (exactly how reference BPE
+    trainers work); (2) the per-round re-segmentation is a pure JVM
+    ``aggregate`` fold over the symbol array (greedy left-to-right,
+    non-overlapping — the fold's last-element comparison gives
+    non-overlap for free), and the frame is lineage-truncated per round
+    so the plan stays O(1) like every iterative operator here.
+
+    The per-round top-pair pick is a 1-row collect
+    (sanctioned-collect: the merge table IS the k-row driver-side
+    output of the algorithm, k = n_merges). Ties break (count desc,
+    left asc, right asc) so the merge sequence is deterministic.
+    Symbols stay [a-z0-9]+ (TOKEN_RE), so embedding them in expression
+    literals is injection-safe."""
+    word_freq = (
+        documents.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(TOKEN_RE), 0
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(F.split("word", "").alias("sym"), "freq")
+        .localCheckpoint(eager=True)
+    )
+
+    spark = documents.sparkSession
+    merges: list[tuple] = []
+    syms = word_freq
+    for rnd in range(1, n_merges + 1):
+        pairs = (
+            syms.filter(F.size("sym") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sym) - 1), "
+                        "i -> struct(sym[i-1] AS a, sym[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
+        merged = a + b
+        merges.append((rnd, a, b, merged, cnt))
+        fold = (
+            "aggregate(sym, cast(array() as array<string>), (acc, s) -> "
+            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}' "
+            f"AND s = '{b}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
+            "ELSE concat(acc, array(s)) END)"
+        )
+        syms = syms.select(
+            F.expr(fold).alias("sym"), "freq"
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges,
+        "round int, left string, right string, merged string, pair_count long",
+    )
