@@ -215,6 +215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_vote": lambda s, d: similarity.knn_label_vote(
             _t(s, d, "embeddings")
         ),
+        "hard_negative_mining": lambda s, d: similarity.hard_negative_mining(
+            _t(s, d, "embeddings")
+        ),
         "boilerplate_ngrams": lambda s, d: text.boilerplate_ngrams(
             _t(s, d, "documents")
         ),

@@ -159,6 +159,7 @@ EXTENDED = [
     "small_qty_part_revenue",
     "large_volume_orders",
     "bpe_learn",
+    "hard_negative_mining",
 ]
 
 

@@ -291,3 +291,32 @@ def test_bpe_learn_matches_reference_trainer(spark):
     # the classic outcome: 'es'/'est' family merges dominate ("newest" +
     # "widest" share the suffix with total freq 9)
     assert got[0][:2] == ("e", "s") and got[0][3] == 9
+
+
+def test_hard_negative_mining_planted_geometry(spark):
+    from xboard_spark.operators.similarity import hard_negative_mining
+
+    # 2-d toy space. Query 0 (label 0) at (1,0); same-label friend at
+    # (0.95, 0.05); wrong-label vectors at increasing angles — the
+    # hardest negative must be the closest wrong-label one (vec 2).
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.95, 0.05], 0),
+        (2, [0.9, 0.2], 1),    # hardest negative for q=0
+        (3, [0.5, 0.5], 1),
+        (4, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    out = hard_negative_mining(emb, n_queries=1, k=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.label == 0 and r.n_queries_with_negatives == 1
+    import math
+
+    expect = (0.9 * 1.0 + 0.2 * 0.0) / (math.hypot(0.9, 0.2) * 1.0)
+    assert abs(r.avg_hardest_neg_cos - round(expect, 6)) < 2e-6
+    # vec 1 (same label, cos ~0.9986) outranks it, so the hardest
+    # negative sits at rank 2 of the cosine ordering
+    assert r.avg_hardest_neg_rank == 2.0

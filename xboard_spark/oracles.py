@@ -373,6 +373,38 @@ SELECT actual::BIGINT AS label, count(*)::BIGINT AS n_queries,
 FROM pred JOIN actual USING (q_id) GROUP BY 1 ORDER BY 1"""
 
 
+def hard_negative_mining_sql(n_queries: int = 25, k: int = 10) -> str:
+    """Mirrors similarity.hard_negative_mining: hardest wrong-label
+    neighbor in the exact-cosine top-k, per query label. Shares
+    ``_knn_ranked_cte`` so the neighbor sets cannot drift."""
+    return f"""
+WITH {_knn_ranked_cte(n_queries)},
+nbrs AS (
+  SELECT q_id, vec_id, rank, round(cosine, 6) AS cosine
+  FROM ranked WHERE rank <= {k}
+),
+cand AS (
+  SELECT nbrs.q_id, nbrs.vec_id, nbrs.rank, nbrs.cosine,
+         e.label, q.label AS q_label
+  FROM nbrs
+  JOIN embeddings e ON e.vec_id = nbrs.vec_id
+  JOIN embeddings q ON q.vec_id = nbrs.q_id
+  WHERE e.label <> q.label
+),
+hardest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, vec_id) AS rn
+    FROM cand) WHERE rn = 1
+)
+SELECT q_label::BIGINT AS label,
+       count(*)::BIGINT AS n_queries_with_negatives,
+       round(sum(round(cosine * 1000000.0, 0)) / (count(*) * 1000000.0), 6)
+           AS avg_hardest_neg_cos,
+       round(sum(rank)::DOUBLE / count(*), 6) AS avg_hardest_neg_rank
+FROM hardest GROUP BY 1 ORDER BY 1"""
+
+
 def boilerplate_ngrams_sql(n: int = 3, min_df: int = 2, top: int = 20) -> str:
     """Mirrors text.boilerplate_ngrams: cross-doc repeated n-grams ranked
     by document frequency (deterministic total order: df desc,
@@ -3054,6 +3086,7 @@ ORDER BY o_custkey, version""",
         "simhash": simhash_sql(),
         "knn_bruteforce": knn_sql(),
         "knn_label_vote": knn_label_vote_sql(),
+        "hard_negative_mining": hard_negative_mining_sql(),
         "boilerplate_ngrams": boilerplate_ngrams_sql(),
         "knn_lsh": knn_lsh_sql(),
         "embedding_neardup": embedding_neardup_sql(),
