@@ -873,7 +873,9 @@ def bpe_learn(documents: DataFrame, n_merges: int = 5) -> DataFrame:
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(
+            1
+        ).collect()  # sanctioned-collect: 1 row/round — the merge table IS the k-row driver output
         if not top:
             break
         a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
