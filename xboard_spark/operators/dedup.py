@@ -522,7 +522,7 @@ def dedup_clusters(
     n_bands: int = N_BANDS,
     tau: float = 0.5,
     max_df: int = 100,
-    max_iters: int = 8,
+    max_iters: int | None = None,
 ) -> DataFrame:
     """Connected components over the verified MinHash near-dup pairs:
     (doc_id, cluster_id, cluster_size) for every document in at least one
@@ -542,52 +542,79 @@ def dedup_clusters(
     references labels twice per round and doubles the plan each round).
 
     Convergence: labels reach the component minimum within
-    graph-diameter rounds, so the fixed ``max_iters=8`` is exact for any
-    component of diameter <= 8 — in practice near-dup components are
-    dense (near-cliques at tau >= 0.5; a chain A~B~C where A!~C requires
-    similarity exactly straddling tau), and the driver's oracle
-    cross-check would surface an unconverged corpus. At 100 TB this runs
-    as a driver LOOP over a persisted label table with a convergence
-    count per round (or doubles reach per round via pointer-jumping,
-    O(log d) rounds — Rastogi et al. 2013 hash-to-min); the in-plan fixed
-    unroll keeps the operator a single declarative, oracle-comparable
-    query, which a bounded diameter makes exact."""
+    graph-diameter rounds; the loop now runs TO THE FIXPOINT by default
+    (see ``min_label_components`` — a 1-cell label-sum probe per round),
+    after the sf0.1 differential gate caught the earlier fixed 8-round
+    unroll under-merging a diameter-9+ graph. Near-dup components are
+    usually dense near-cliques (tau >= 0.5) that converge in 2-3
+    rounds, so the probe costs almost nothing in the common case; the
+    pointer-jumping alternative (O(log d) rounds — Rastogi et al. 2013
+    hash-to-min) stays the upgrade path for adversarially long chains."""
     pairs = minhash_dedup_pairs(
         documents, n, n_perms, n_bands, tau, max_df
     ).select("doc_a", "doc_b")
     return min_label_components(pairs, max_iters)
 
 
-def min_label_components(pairs: DataFrame, max_iters: int = 8) -> DataFrame:
+def min_label_components(
+    pairs: DataFrame, max_iters: int | None = None
+) -> DataFrame:
     """Min-label propagation over an undirected pair graph — the
-    clustering core of ``dedup_clusters``, factored out so the
-    convergence bound (exact for component diameter <= ``max_iters``) is
-    directly testable on a planted edge list. Input: ``(doc_a, doc_b)``
+    clustering core of ``dedup_clusters``. Input: ``(doc_a, doc_b)``
     pairs; output: ``(doc_id, cluster_id, cluster_size)`` with
     ``cluster_id`` = MIN doc_id of the component.
 
-    The edge list is lineage-truncated (``localCheckpoint``) before the
-    loop: without it every unrolled round re-embeds the FULL upstream
-    plan (for ``dedup_clusters``, the whole MinHash pipeline — the plan
-    audit counted 877 static Exchange nodes at ``max_iters=8``, and
-    Catalyst re-optimized all of them every round). Checkpointed, each
-    round's join references a materialized leaf, so plan size — and
-    optimizer time — is O(1) per round. This is the standard iterative-
-    algorithm pattern (GraphX checkpoints the same way); at cluster scale
-    swap ``localCheckpoint`` (executor-local storage, lost on executor
-    failure) for ``checkpoint()`` against reliable storage."""
+    ``max_iters=None`` (the default) iterates to the FIXPOINT: each
+    round ends with a 1-cell convergence probe — the label sum, which is
+    strictly decreasing until the components are exact (labels only ever
+    drop toward the component minimum), the Pregel/GraphX
+    "no-messages" halt test as a one-row aggregate. This termination is
+    scale-independent: a fixed unroll (the previous design, exact only
+    for diameter <= 8) was caught UNDER-MERGING by the sf0.1
+    differential gate — customer_entity_clusters' fuzzy-name graph grew
+    chains of diameter > 8 at 10x data and Spark reported 2236 clusters
+    vs the oracle's true 1997. Passing an integer runs exactly that many
+    rounds with no probe (the diameter-bound property tests use it).
+
+    The edge list AND each round's label frame are lineage-truncated
+    (``localCheckpoint``): without it every round re-embeds the full
+    upstream plan (the plan audit counted 877 static Exchange nodes for
+    the 8-round unroll over the MinHash pipeline). Checkpointed, each
+    round joins a materialized leaf — O(1) plan per round, and the
+    convergence probe reads the same leaf. At cluster scale swap
+    ``localCheckpoint`` (executor-local, lost on executor failure) for
+    ``checkpoint()`` against reliable storage."""
     edges = pairs.union(
         pairs.select(F.col("doc_b"), F.col("doc_a"))
     ).toDF("s", "d").localCheckpoint(eager=True)
     nodes = edges.select(F.col("s").alias("node")).distinct()
-    labels = nodes.withColumn("lbl", F.col("node"))
+    labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint(
+        eager=True
+    )
     edges_self = edges.union(nodes.select("node", "node"))
-    for _ in range(max_iters):
+
+    def _label_sum(frame: DataFrame):
+        # decimal(38,0): label ids are 60-bit fingerprints; an int64 sum
+        # of millions of them overflows
+        agg = frame.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        )
+        return agg.collect()[0].s  # sanctioned-collect: 1-cell fixpoint probe per round
+
+    prev_sum = None if max_iters is not None else _label_sum(labels)
+    rounds = 0
+    while rounds < (max_iters if max_iters is not None else 10_000):
         labels = (
             edges_self.join(labels, edges_self["s"] == labels["node"])
             .groupBy(F.col("d").alias("node"))
             .agg(F.min("lbl").alias("lbl"))
-        )
+        ).localCheckpoint(eager=True)
+        rounds += 1
+        if max_iters is None:
+            cur = _label_sum(labels)
+            if cur == prev_sum:
+                break
+            prev_sum = cur
     from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id")
