@@ -63,3 +63,32 @@ def test_min_label_components_matches_union_find(spark, pairs):
     ).collect()
     got = {r.doc_id: (r.cluster_id, r.cluster_size) for r in rows}
     assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(edges_strategy)
+def test_components_star_matches_union_find(spark, pairs):
+    expected = _union_find(pairs)
+    rows = dedup.components_star(
+        spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    ).collect()
+    got = {r.doc_id: (r.cluster_id, r.cluster_size) for r in rows}
+    assert got == expected
+
+
+def test_components_star_collapses_chains_in_log_rounds(spark):
+    """The reason components_star exists: a 64-node path needs 63
+    propagation rounds but only O(log n) star cycles."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "doc_a long, doc_b long"
+    )
+    rows = dedup.components_star(pairs).collect()
+    assert all(r.cluster_id == 1 for r in rows)
+    assert len(rows) == 64  # nodes 1..64
+    assert dedup.components_star.last_rounds <= 8, (
+        dedup.components_star.last_rounds
+    )
