@@ -92,3 +92,31 @@ def test_components_star_collapses_chains_in_log_rounds(spark):
     assert dedup.components_star.last_rounds <= 8, (
         dedup.components_star.last_rounds
     )
+
+
+def test_star_and_propagation_agree_on_real_fuzzy_graph(spark):
+    """Cross-implementation agreement on REAL data: the sf0.001 fuzzy
+    customer-match graph must resolve to identical entities under
+    min-label propagation (fixpoint) and large-star/small-star — two
+    independent algorithms, one contract."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from xboard_spark.io import read_table
+    from xboard_spark.operators.linkage import fuzzy_customer_pairs
+    from pyspark.sql import functions as F
+
+    cust = read_table(spark, "/root/testdata/sf0.001", "customer")
+    pairs = fuzzy_customer_pairs(cust).select(
+        F.col("custkey_a").alias("doc_a"), F.col("custkey_b").alias("doc_b")
+    )
+    prop = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup.min_label_components(pairs).collect()
+    }
+    star = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup.components_star(pairs).collect()
+    }
+    assert prop == star
+    assert len(prop) > 0
