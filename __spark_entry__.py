@@ -181,6 +181,36 @@ _ROUND6_FIRST = [
 ]
 
 
+# Round-7 rotation, STAGED AHEAD (swap _ROUND6_FIRST -> _ROUND7_FIRST at
+# the start of round 7; re-validate against whatever round 6 adds — new
+# round-6 queries should displace tail entries here). Head: the 14
+# round-5 additions (never driver-checked) + the 3 round-6 spill-overs;
+# backfill: the oldest r4-green rows (the _ROUND4_FIRST prefix outside
+# the r5/r6 windows). The remaining 15 r4-greens
+# (value_outliers..keyword_pagerank tail) roll to round 8.
+_ROUND7_FIRST = [
+    # -- round-5 additions, never driver-checked (14) --
+    "hard_negative_mining", "incremental_nation_rollup", "volume_shipping",
+    "returned_items_report", "customer_order_distribution",
+    "small_qty_part_revenue", "large_volume_orders", "temperature_mixture",
+    "training_order_audit", "delta_dedup_stats", "zipf_fit",
+    "bpe_merge_candidates", "bpe_learn", "epochs_plan",
+    # -- round-6 window spill (3) --
+    "events_json", "user_rollup", "hourly_windows",
+    # -- oldest r4-green rows (33) --
+    "cohort_retention", "top_supplier_revenue", "approx_cardinality",
+    "quality_scores", "language_id", "doc_fingerprints", "tfidf_top_terms",
+    "doc_chunks", "doc_chunks_overlapping", "train_test_split",
+    "stratified_sample", "mixture_rebalance", "length_histogram",
+    "sequence_packing", "dedup_exact", "dedup_prefix", "ngram_jaccard",
+    "minhash_dedup", "decontamination", "simhash", "curation_stats",
+    "nation_customer_ranks", "segment_setops", "events_dedup",
+    "purchase_asof_view", "views_before_purchase", "repetition_stats",
+    "pii_scan", "dedup_clusters", "knn_label_vote", "boilerplate_ngrams",
+    "dup_span_stats", "basket_pairs",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate — see ``_ROUND5_FIRST``: the driver checks
     the first 50 entries per round, so entries rotate so that no registered
