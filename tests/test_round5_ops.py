@@ -320,3 +320,20 @@ def test_hard_negative_mining_planted_geometry(spark):
     # vec 1 (same label, cos ~0.9986) outranks it, so the hardest
     # negative sits at rank 2 of the cosine ordering
     assert r.avg_hardest_neg_rank == 2.0
+
+
+def test_zipf_fit_flat_on_uniform_corpus(spark):
+    """Negative control: a uniform-frequency vocabulary has NO power law —
+    the fitted slope must be ~0 (every word 10 times), distinguishing the
+    health check from one that always reports 'zipfian'."""
+    from xboard_spark.operators.text import zipf_fit
+
+    words = [f"word{i:03d}" for i in range(50)]
+    text_blob = " ".join(w for w in words for _ in range(10))
+    docs = spark.createDataFrame(
+        [(0, text_blob, "en", "web", len(text_blob))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = zipf_fit(docs).collect()[0]
+    assert out.n_terms == 50
+    assert abs(out.slope) < 0.05, out
