@@ -122,7 +122,8 @@ _ROUND4_FIRST = [
 ]
 
 
-# Round-5 rotation (ACTIVE). Head: doc_stats + session_stats re-enter the
+# Round-5 rotation (retired — kept for the round-5 correctness record).
+# Head: doc_stats + session_stats re-enter the
 # window so the round-5 oracle ::BIGINT cast fix (the 4-round-old driver
 # hash failure) gets a driver row THIS round, per VERDICT r4 #2. To make
 # room, two r3-driver-green similarity entries (knn_pq,
@@ -149,8 +150,7 @@ _ROUND5_FIRST = [
 ]
 
 
-# Round-6 rotation, STAGED (swap _ROUND5_FIRST -> _ROUND6_FIRST in queries()
-# at the start of round 6). Head: the 19 registered queries that have NEVER
+# Round-6 rotation (ACTIVE since round 6). Head: the 19 registered queries that have NEVER
 # had a driver row (round-4 additions outside every window so far), then the
 # relational basics last driver-checked r2/r3, then the two r3-green
 # similarity entries displaced from the round-5 window. Exactly 50; the
@@ -212,7 +212,7 @@ _ROUND7_FIRST = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dict ORDER is deliberate — see ``_ROUND5_FIRST``: the driver checks
+    """Dict ORDER is deliberate — see ``_ROUND6_FIRST``: the driver checks
     the first 50 entries per round, so entries rotate so that no registered
     query's driver correctness row goes more than one round stale.
     """
@@ -690,7 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "customer"), _t(s, d, "orders")
         ),
     }
-    ordered = {name: base[name] for name in _ROUND5_FIRST}
+    ordered = {name: base[name] for name in _ROUND6_FIRST}
     ordered.update(base)  # remaining entries keep their relative order
     return ordered
 

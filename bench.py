@@ -61,12 +61,15 @@ HEADLINE = [
     "nation_customer_ranks",
 ]
 
-# Round-4 extension operators: timed in a single extra pass and reported
-# under "extended" in the JSON — NOT part of the gated total or the
-# regression comparison (they have no entry in the recorded baseline, and
-# adding them to HEADLINE would distort the total-vs-baseline ratio the
-# gate tracks). The numbers exist so each round records how the new
-# surface performs at sf0.1.
+# Extension operators: timed in a min-of-2 extra pass and reported under
+# "extended" in the JSON — NOT part of the gated total (adding them to
+# HEADLINE would distort the total-vs-baseline ratio the gate tracks),
+# but since round 6 they ARE regression-gated per-query against
+# BASELINE_BENCH.json["extended"] with the same >2x-and->1s rule.
+# Round-5 lesson: the only real regression that round
+# (customer_entity_clusters 3.25s -> 9.05s, an O(diameter) fixpoint loop)
+# was invisible to `regressions: []` because only HEADLINE was gated —
+# the judge found it by hand-diffing BENCH_r04 vs r05.
 EXTENDED = [
     "dup_span_stats",
     "basket_pairs",
@@ -343,6 +346,39 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             extended[name] = min(extended.get(name, dt), dt)
 
+    # extended regression gate (round 6): same >2x-and->1s rule as
+    # HEADLINE, against the recorded min-of-2 extended baseline; suspects
+    # get one isolated re-measure first (same rationale as the HEADLINE
+    # suspect path — a single scheduler/GC hiccup can cover both sweeps
+    # of one query while calibration stays clean).
+    ext_ratios: dict[str, float] = {}
+    extended_regressions: list[str] = []
+    if baseline is not None and baseline.get("sf") == sf:
+        ext_base = baseline.get("extended", {})
+        ext_rebase = baseline.get("extended_rebaselined", {})
+        for name, dt in list(extended.items()):
+            b = ext_rebase.get(name, {}).get("value") or ext_base.get(name)
+            if not b:
+                continue
+            if dt > 2.0 * b and dt - b > 1.0:
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                try:
+                    qs[name](spark, sf_dir).collect()
+                    extended[name] = dt = min(
+                        dt, round(time.time() - t0, 3)
+                    )
+                except Exception as exc:
+                    errors[name] = (
+                        f"{type(exc).__name__}: {exc}".splitlines()[0][:200]
+                    )
+                    continue
+            ext_ratios[name] = round(dt / b, 2)
+            if dt > 2.0 * b and dt - b > 1.0:
+                extended_regressions.append(
+                    f"{name}: {dt}s vs baseline {b}s ({dt / b:.1f}x)"
+                )
+
     cal_post = _calibrate()
     total = round(sum(timings.values()), 3)
     print(
@@ -359,6 +395,8 @@ def main() -> None:
                 "vs_baseline": ratios,
                 "extended": extended,
                 "extended_total": round(sum(extended.values()), 3),
+                "extended_vs_baseline": ext_ratios,
+                "extended_regressions": extended_regressions,
                 "regressions": regressions,
                 "errors": errors,
                 "calibration_sec": {"pre": cal_pre, "post": cal_post},
@@ -372,10 +410,10 @@ def main() -> None:
             file=sys.stderr,
         )
         sys.exit(4)
-    if regressions:
+    if regressions or extended_regressions:
         print(
             "BENCH REGRESSION (>2x per-query vs BASELINE_BENCH.json):\n  "
-            + "\n  ".join(regressions),
+            + "\n  ".join(regressions + extended_regressions),
             file=sys.stderr,
         )
         sys.exit(3)

@@ -44,8 +44,8 @@ def test_rotation_lists_are_valid():
     from the active one (otherwise a slot is wasted re-checking a fresh
     row while a stale one ages another round)."""
     q = set(entrymod.queries())
-    active = entrymod._ROUND5_FIRST
-    staged = entrymod._ROUND6_FIRST
+    active = entrymod._ROUND6_FIRST
+    staged = entrymod._ROUND7_FIRST
     for name, lst in [("active", active), ("staged", staged)]:
         assert len(lst) == 50, f"{name} window must be exactly 50"
         assert len(set(lst)) == 50, f"{name} window has duplicates"
@@ -56,7 +56,7 @@ def test_rotation_lists_are_valid():
 
 def test_queries_dict_leads_with_active_window():
     names = list(entrymod.queries())
-    assert names[:50] == entrymod._ROUND5_FIRST, (
+    assert names[:50] == entrymod._ROUND6_FIRST, (
         "queries() must emit the active rotation window first — the "
         "driver only checks the first 50 entries"
     )

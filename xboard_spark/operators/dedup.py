@@ -531,29 +531,26 @@ def dedup_clusters(
     (dedup_exact groups identical docs; this chains NEAR-dups transitively,
     the way production near-dedup actually collapses a corpus).
 
-    Algorithm: min-label propagation over the undirected pair graph with
-    self-loops — ``max_iters`` rounds of (join labels to edges, group by
-    destination, take min). Each round is one shuffle of the label frame
-    keyed on doc_id; the edge list is the PERSISTED verified pair set
-    (shared via ``minhash_dedup_pairs``' cache), so the per-round cost is a
-    join against a cached frame, never a recompute of the MinHash stack.
-    Self-loops make each round reference the label frame exactly ONCE, so
-    plan size grows linearly in rounds (a min(own, neighbor) formulation
-    references labels twice per round and doubles the plan each round).
-
-    Convergence: labels reach the component minimum within
-    graph-diameter rounds; the loop now runs TO THE FIXPOINT by default
-    (see ``min_label_components`` — a 1-cell label-sum probe per round),
-    after the sf0.1 differential gate caught the earlier fixed 8-round
-    unroll under-merging a diameter-9+ graph. Near-dup components are
-    usually dense near-cliques (tau >= 0.5) that converge in 2-3
-    rounds, so the probe costs almost nothing in the common case; the
-    pointer-jumping alternative (O(log d) rounds — Rastogi et al. 2013
-    hash-to-min) stays the upgrade path for adversarially long chains."""
+    Algorithm: ``components_star`` (Kiveris et al. 2014 alternating
+    large-star/small-star) — O(log n) rounds regardless of component
+    diameter, vs the O(diameter) rounds of min-label propagation. The
+    propagation engine (``min_label_components``) is hypothesis-proven
+    output-identical on arbitrary graphs and remains available via
+    ``max_iters`` for the diameter-bound property tests; the default
+    switched after the fixpoint-exact propagation paid one
+    barrier+probe per diameter hop (sf0.1 extended bench: 9.05s for
+    customer_entity_clusters vs ~3s) — on a 100 TB fuzzy-match graph a
+    1000-hop chain would mean 1000 barriers, while star rounds collapse
+    paths geometrically (~10 cycles). The edge list is the PERSISTED
+    verified pair set (shared via ``minhash_dedup_pairs``' cache), so
+    each round joins a cached/checkpointed frame, never recomputes the
+    MinHash stack."""
     pairs = minhash_dedup_pairs(
         documents, n, n_perms, n_bands, tau, max_df
     ).select("doc_a", "doc_b")
-    return min_label_components(pairs, max_iters)
+    if max_iters is not None:
+        return min_label_components(pairs, max_iters)
+    return components_star(pairs)
 
 
 def min_label_components(
@@ -603,6 +600,7 @@ def min_label_components(
 
     prev_sum = None if max_iters is not None else _label_sum(labels)
     rounds = 0
+    converged = max_iters is not None  # fixed-k mode never claims a fixpoint
     while rounds < (max_iters if max_iters is not None else 10_000):
         labels = (
             edges_self.join(labels, edges_self["s"] == labels["node"])
@@ -613,8 +611,19 @@ def min_label_components(
         if max_iters is None:
             cur = _label_sum(labels)
             if cur == prev_sum:
+                converged = True
                 break
             prev_sum = cur
+    if not converged:
+        # Labels are per-node monotone non-increasing (self-loop keeps the
+        # own label in every min), so an unchanged sum IS the exact
+        # fixpoint — but exhausting the safety cap without reaching it
+        # must not return silently under-merged components.
+        raise RuntimeError(
+            "min_label_components hit the 10000-round safety cap without "
+            "converging — component diameter exceeds the cap; use "
+            "components_star (O(log n) rounds) for this graph"
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id")
@@ -1069,10 +1078,16 @@ def components_star(
 
     Each round: min-of-neighborhood per center (one hash agg), emit
     rewired edges, canonicalize + distinct, localCheckpoint; converged
-    when the edge multiset checksum (count + two decimal sums — exact
-    equality then verified by the final star shape) stops changing.
-    Rounds used are exposed as ``components_star.last_rounds`` for the
-    convergence tests."""
+    when the edge-set checksum (count + two decimal sums) stops
+    changing AND an exact set comparison against the previous round's
+    checkpointed edges confirms the fixpoint — the checksum alone is
+    not injective over edge sets (e.g. {(1,4),(2,3)} vs {(1,3),(2,4)}
+    collide), so a cheap 3-cell probe screens every round and the one
+    exceptAll job runs only at candidate fixpoints. Exhausting
+    ``max_rounds`` without convergence raises instead of returning
+    silently-unmerged clusters (the failure mode the sf0.1 sweep caught
+    in the old fixed-unroll propagation). Rounds used are exposed as
+    ``components_star.last_rounds`` for the convergence tests."""
     und = (
         pairs.select(
             F.least("doc_a", "doc_b").alias("a"),
@@ -1121,16 +1136,31 @@ def components_star(
     prev = _checksum(und)
     rounds = 0
     edges = und
+    converged = False
     while rounds < max_rounds:
+        prev_edges = edges
         edges = _star(_star(edges, large=True), large=False).localCheckpoint(
             eager=True
         )
         rounds += 1
         cur = _checksum(edges)
         if cur == prev:
-            break
+            # (count, sum a, sum b) is not injective over edge sets —
+            # confirm exactly. Equal counts (in the checksum) + empty
+            # difference <=> set equality; runs only at candidate
+            # fixpoints, so the common path stays a 3-cell probe.
+            if edges.exceptAll(prev_edges).count() == 0:
+                converged = True
+                break
         prev = cur
     components_star.last_rounds = rounds
+    if not converged:
+        raise RuntimeError(
+            f"components_star did not converge within {max_rounds} star "
+            "rounds — returning would yield silently under-merged "
+            "clusters; raise max_rounds (each cycle is O(log) progress, "
+            "so this indicates a pathological input, not normal scale)"
+        )
 
     labels = (
         _both(edges)

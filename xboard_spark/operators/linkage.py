@@ -118,14 +118,18 @@ def customer_entity_clusters(customer: DataFrame, max_dist: int = 1) -> DataFram
     which per-pair output cannot express).
 
     Scale shape: reuses the bounded fuzzy candidate join and the
-    checkpointed min-label propagation from the dedup family — one
-    shuffle per round over the (tiny) matched-pair graph."""
-    from xboard_spark.operators.dedup import min_label_components
+    dedup family's ``components_star`` engine (Kiveris large-star/
+    small-star, O(log n) rounds) — the fuzzy-name graph grows DIAMETER
+    with data (the sf0.1 sweep measured it), so the O(diameter)
+    propagation engine paid one barrier per hop (9.05s at sf0.1 vs
+    ~3s); star rounds collapse chains geometrically and are
+    hypothesis-proven output-identical."""
+    from xboard_spark.operators.dedup import components_star
 
     pairs = fuzzy_customer_pairs(customer, max_dist).select(
         F.col("custkey_a").alias("doc_a"), F.col("custkey_b").alias("doc_b")
     )
-    comp = min_label_components(pairs)
+    comp = components_star(pairs)
     return (
         comp.groupBy(F.col("cluster_id").alias("entity_id"))
         .agg(

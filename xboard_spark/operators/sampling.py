@@ -368,8 +368,14 @@ def temperature_mixture(documents: DataFrame, alpha: float = 0.7) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     total = counts.agg(F.sum("n_docs").alias("total"))
-    shares = counts.crossJoin(F.broadcast(total)).withColumn(
-        "share", F.round(F.col("n_docs") / F.col("total"), 6)
+    # share_raw (unrounded) backs sampling_factor's denominator: at 100 TB
+    # a language with true share < 5e-7 rounds to 0.000000, and dividing
+    # by the ROUNDED share would emit Infinity. One exact int/int IEEE
+    # division — deterministic across engines without rounding.
+    shares = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share_raw", F.col("n_docs") / F.col("total"))
+        .withColumn("share", F.round(F.col("share_raw"), 6))
     )
     powd = shares.withColumn(
         "w", F.round(F.pow(F.col("share"), F.lit(float(alpha))), 6)
@@ -382,7 +388,7 @@ def temperature_mixture(documents: DataFrame, alpha: float = 0.7) -> DataFrame:
             "n_docs",
             "share",
             F.round(F.col("w") / F.col("z"), 6).alias("temp_share"),
-            F.round((F.col("w") / F.col("z")) / F.col("share"), 6).alias(
+            F.round((F.col("w") / F.col("z")) / F.col("share_raw"), 6).alias(
                 "sampling_factor"
             ),
         )

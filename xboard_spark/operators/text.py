@@ -739,7 +739,12 @@ def zipf_fit(documents: DataFrame, top_n: int = 1000) -> DataFrame:
 
     Float discipline: log values rounded 6dp per term BEFORE summing,
     the five sums rounded 6dp (association order differs across engines
-    at ~1e-12 relative), every output one identical expression tree."""
+    at ~1e-12 relative), every output one identical expression tree.
+    Degenerate corpora: a zero-variance frequency distribution (every
+    term equally frequent — the uniform negative-control shape) makes
+    the r2 denominator exactly 0; both sides emit NULL via an explicit
+    zero guard rather than relying on engine-specific 0/0 IEEE
+    behavior (Spark NaN vs DuckDB setting-dependent)."""
     from pyspark.sql import Window
 
     toks = documents.select(
@@ -775,7 +780,7 @@ def zipf_fit(documents: DataFrame, top_n: int = 1000) -> DataFrame:
         F.round((sy - slope * sx) / n, 4).alias("intercept"),
         F.round(
             ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            / F.nullif((n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0)),
             4,
         ).alias("r2"),
     )

@@ -940,17 +940,19 @@ def temperature_mixture_sql(alpha: float = 0.7) -> str:
 WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
 s AS (
   SELECT lang, n_docs,
+         n_docs / (SELECT sum(n_docs) FROM counts)::DOUBLE AS share_raw,
          round(n_docs / (SELECT sum(n_docs) FROM counts)::DOUBLE, 6) AS share
   FROM counts
 ),
 p AS (
-  SELECT lang, n_docs, share, round(pow(share, {float(alpha)!r}), 6) AS w
+  SELECT lang, n_docs, share_raw, share,
+         round(pow(share, {float(alpha)!r}), 6) AS w
   FROM s
 ),
 z AS (SELECT round(sum(w), 6) AS z FROM p)
 SELECT lang, n_docs, share,
        round(w / (SELECT z FROM z), 6) AS temp_share,
-       round((w / (SELECT z FROM z)) / share, 6) AS sampling_factor
+       round((w / (SELECT z FROM z)) / share_raw, 6) AS sampling_factor
 FROM p ORDER BY lang"""
 
 
@@ -1027,7 +1029,7 @@ SELECT n AS n_terms,
        round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4)
            AS intercept,
        round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
-             / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS r2
+             / nullif((n*sxx - sx*sx) * (n*syy - sy*sy), 0.0), 4) AS r2
 FROM s"""
 
 

@@ -53,7 +53,9 @@ def _make_update_user_profile(timeout_ms: int):
                 {
                     "user_id": [user_id],
                     "n_events": [n],
-                    "total_value": [total],
+                    # round exactly like the in-flight branch: the final
+                    # timeout row must agree with its last update row
+                    "total_value": [round(total, 2)],
                     "closed_by_timeout": [True],
                 }
             )
