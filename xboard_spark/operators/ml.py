@@ -6,9 +6,19 @@ and the final solve is an O(d^3) driver-side step on a d x d matrix,
 which for embedding dims is microscopic. No gradient loop, no Python in
 the scan path; the only driver transfer is d^2 + d doubles.
 
-Rows-only in the driver gate by design: a 65x65 linear solve has no
-ANSI-SQL twin; correctness is pinned by exact-recovery pytest
-(planted linear data, separable classes) instead.
+``ridge_probe`` has a FULL DuckDB oracle twin since round 6 (the 65x65
+normal-equations solve is an unrolled Gauss-Jordan CTE chain in
+``oracles.ridge_probe_sql``): every float aggregate uses the repo's
+exact-integer micro-unit discipline (terms rounded to MICRO units before
+summing — integer-valued doubles sum association-free, so Spark's
+partial-aggregate order and DuckDB's single-threaded order agree
+bit-for-bit) and the driver-side solve is plain-Python Gauss-Jordan
+WITHOUT pivoting, in exactly the op order the SQL twin uses — identical
+IEEE inputs + identical op order = bit-identical weights. No pivoting is
+safe here: X^T X + lam*I is symmetric positive definite.
+``logistic_probe`` stays rows-only (3 IRLS rounds of solve-score-solve
+would need the whole chain cubed); correctness pinned by separable /
+exact-recovery pytest.
 """
 
 from __future__ import annotations
@@ -17,6 +27,45 @@ import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# shared with oracles.ridge_probe_sql — the oracle is GENERATED from these
+# (one-sided edits drift; the round-3 doc_stats lesson)
+MICRO = 1e6  # micro-unit rounding quantum for association-free float sums
+RIDGE_LAM = 1e-3
+RIDGE_POS_LABEL = 0
+
+
+def gauss_jordan_solve(
+    cells: dict[tuple[int, int], float],
+    rhs: dict[int, float],
+    d: int,
+    lam: float,
+) -> list[float]:
+    """Solve (A + lam*I) w = b by Gauss-Jordan elimination WITHOUT
+    pivoting, in the exact operation order the SQL oracle twin unrolls:
+    at step k every cell is recomputed from the PREVIOUS matrix as
+    ``M[k][j]/piv`` (pivot row) or ``M[i][j] - M[i][k]*(M[k][j]/piv)``
+    (division first, then multiply, then subtract). Identical inputs →
+    bit-identical weights across Python and DuckDB, since both are bare
+    IEEE-754 double ops with no FMA. Column k zeroes EXACTLY
+    (M[i][k] - M[i][k]*1.0), so the result is the textbook reduced form."""
+    M = [
+        [cells.get((i, j), 0.0) + (lam if i == j else 0.0) for j in range(d)]
+        + [rhs.get(i, 0.0)]
+        for i in range(d)
+    ]
+    for k in range(d):
+        piv = M[k][k]
+        M = [
+            [
+                (M[k][j] / piv)
+                if i == k
+                else (M[i][j] - M[i][k] * (M[k][j] / piv))
+                for j in range(d + 1)
+            ]
+            for i in range(d)
+        ]
+    return [M[i][d] for i in range(d)]
 
 
 def _design_rows(embeddings: DataFrame, positive_label: int) -> DataFrame:
@@ -43,7 +92,9 @@ def _design_rows(embeddings: DataFrame, positive_label: int) -> DataFrame:
 
 
 def ridge_probe(
-    embeddings: DataFrame, positive_label: int = 0, lam: float = 1e-3
+    embeddings: DataFrame,
+    positive_label: int = RIDGE_POS_LABEL,
+    lam: float = RIDGE_LAM,
 ) -> DataFrame:
     """Linear probe on the embedding space: closed-form ridge regression
     of the one-vs-rest label indicator on the (bias-augmented) vectors,
@@ -53,12 +104,19 @@ def ridge_probe(
 
     1. sufficient statistics: X^T X ((d+1)^2 cells) and X^T y (d+1
        cells) as outer-product hash aggregates — one shuffle of partial
-       sums, never a matrix on one node;
-    2. solve (X^T X + lam*I) w = X^T y with numpy on the driver (d+1 ~
-       65: microseconds);
+       sums, never a matrix on one node. Each cell is an exact-integer
+       micro-unit sum (terms rounded to MICRO units first), so the cell
+       values are identical across engines regardless of summation
+       order — the precondition for the DuckDB oracle twin;
+    2. solve (X^T X + lam*I) w = X^T y with ``gauss_jordan_solve`` on
+       the driver (d+1 ~ 65: microseconds) — plain-Python, no-pivot,
+       op-order-identical to the oracle's unrolled CTE chain;
     3. score distributedly: predictions via a broadcast weight frame
-       joined on dim, one more aggregate for RMSE + 0.5-threshold
-       accuracy.
+       joined on dim (micro-unit dot products), one more aggregate for
+       RMSE + 0.5-threshold accuracy.
+
+    Oracle twin: ``oracles.ridge_probe_sql`` — generated from the same
+    MICRO/RIDGE_LAM/RIDGE_POS_LABEL constants this function defaults to.
 
     Returns one row: (n_vecs, rmse, accuracy, pos_rate)."""
     rows = _design_rows(embeddings, positive_label)
@@ -67,22 +125,26 @@ def ridge_probe(
     xtx = (
         a.join(b, "vec_id")
         .groupBy("i", "j")
-        .agg(F.sum(F.col("vi") * F.col("vj")).alias("s"))
+        .agg(
+            F.sum(
+                F.round(F.col("vi") * F.col("vj") * F.lit(MICRO), 0)
+            ).alias("s")
+        )
         .collect()  # sanctioned-collect: (d+1)^2 X^T X cells (~4k doubles)
     )
     xty = (
         rows.groupBy("dim")
-        .agg(F.sum(F.col("val") * F.col("y")).alias("s"))
+        .agg(
+            F.sum(
+                F.round(F.col("val") * F.col("y") * F.lit(MICRO), 0)
+            ).alias("s")
+        )
         .collect()  # sanctioned-collect: d+1 X^T y cells
     )
     d = max(r.i for r in xtx) + 1
-    A = np.zeros((d, d))
-    for r in xtx:
-        A[r.i, r.j] = r.s
-    bvec = np.zeros(d)
-    for r in xty:
-        bvec[r.dim] = r.s
-    w = np.linalg.solve(A + lam * np.eye(d), bvec)
+    cells = {(r.i, r.j): r.s / MICRO for r in xtx}
+    rhs = {r.dim: r.s / MICRO for r in xty}
+    w = gauss_jordan_solve(cells, rhs, d, lam)
 
     spark = embeddings.sparkSession
     wdf = spark.createDataFrame(
@@ -91,14 +153,27 @@ def ridge_probe(
     scored = (
         rows.join(F.broadcast(wdf), "dim")
         .groupBy("vec_id", "y")
-        .agg(F.sum(F.col("val") * F.col("w")).alias("pred"))
+        .agg(
+            (
+                F.sum(F.round(F.col("val") * F.col("w") * F.lit(MICRO), 0))
+                / F.lit(MICRO)
+            ).alias("pred")
+        )
     )
     err = F.col("pred") - F.col("y")
     hit = ((F.col("pred") > 0.5) == (F.col("y") > 0.5)).cast("long")
     return scored.agg(
         F.count("*").alias("n_vecs"),
-        F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
-        F.round(F.sum(hit) / F.count("*"), 4).alias("accuracy"),
+        F.round(
+            F.sqrt(
+                F.sum(F.round(err * err * F.lit(MICRO), 0))
+                / (F.count("*") * F.lit(MICRO))
+            ),
+            4,
+        ).alias("rmse"),
+        F.round(F.sum(hit).cast("double") / F.count("*"), 4).alias(
+            "accuracy"
+        ),
         F.round(F.avg("y"), 4).alias("pos_rate"),
     )
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from xboard_spark.functions.portable_hash import MINHASH_P, _X_MASK, minhash_params
 from xboard_spark.operators.dedup import N_BANDS, N_PERMS
+from xboard_spark.operators.ml import MICRO, RIDGE_LAM, RIDGE_POS_LABEL
 from xboard_spark.operators.similarity import DIM, N_PLANES, N_TABLES, plane_weight
 from xboard_spark.operators.text import EMAIL_RE, LANG_STOPWORDS, PHONE_RE
 
@@ -1031,6 +1032,86 @@ SELECT n AS n_terms,
        round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
              / nullif((n*sxx - sx*sx) * (n*syy - sy*sy), 0.0), 4) AS r2
 FROM s"""
+
+
+def ridge_probe_sql(
+    positive_label: int = RIDGE_POS_LABEL,
+    lam: float = RIDGE_LAM,
+    dim: int = DIM,
+) -> str:
+    """Mirrors ml.ridge_probe — including the 65x65 normal-equations
+    SOLVE, unrolled as a Gauss-Jordan CTE chain (one MATERIALIZED CTE per
+    pivot step; materialization is load-bearing — each step references
+    its predecessor 4 times, and inlining would blow up exponentially).
+    Determinism contract (shared constants MICRO/RIDGE_LAM/
+    RIDGE_POS_LABEL, same file the Spark side imports): every sufficient-
+    statistic cell and every dot product is an exact-integer micro-unit
+    sum, so both engines see bit-identical matrices; the elimination
+    arithmetic is op-order-identical to ``ml.gauss_jordan_solve``
+    (divide, multiply, subtract — no pivoting, no FMA), so the weights
+    and therefore the scored outputs agree bit-for-bit before the final
+    4dp rounding."""
+    d = dim + 1  # bias feature at dim 0; embedding dims 1..dim
+    micro = repr(MICRO)
+    ctes = [
+        f"""rows_f AS MATERIALIZED (
+  SELECT vec_id, i AS dim, (embedding[i])::DOUBLE AS val,
+         CASE WHEN label = {positive_label} THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings, generate_series(1, {dim}) s(i)
+  UNION ALL
+  SELECT vec_id, 0 AS dim, 1.0 AS val,
+         CASE WHEN label = {positive_label} THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings
+)""",
+        f"""xtx AS (
+  SELECT a.dim AS i, b.dim AS j,
+         sum(round(a.val * b.val * {micro}, 0)) / {micro} AS v
+  FROM rows_f a JOIN rows_f b USING (vec_id)
+  GROUP BY 1, 2
+)""",
+        f"""xty AS (
+  SELECT dim AS i, sum(round(val * y * {micro}, 0)) / {micro} AS v
+  FROM rows_f GROUP BY 1
+)""",
+        f"""g0 AS MATERIALIZED (
+  SELECT i, j, CASE WHEN i = j THEN v + {lam!r} ELSE v END AS v FROM xtx
+  UNION ALL
+  SELECT i, {d} AS j, v FROM xty
+)""",
+    ]
+    for k in range(d):
+        ctes.append(
+            f"""g{k + 1} AS MATERIALIZED (
+  SELECT m.i, m.j,
+         CASE WHEN m.i = {k} THEN m.v / p.v
+              ELSE m.v - c.v * (r.v / p.v) END AS v
+  FROM g{k} m
+  JOIN g{k} p ON p.i = {k} AND p.j = {k}
+  JOIN g{k} r ON r.i = {k} AND r.j = m.j
+  JOIN g{k} c ON c.i = m.i AND c.j = {k}
+)"""
+        )
+    ctes.append(f"w AS (SELECT i AS dim, v AS w FROM g{d} WHERE j = {d})")
+    ctes.append(
+        f"""scored AS (
+  SELECT r.vec_id, r.y,
+         sum(round(r.val * w.w * {micro}, 0)) / {micro} AS pred
+  FROM rows_f r JOIN w USING (dim)
+  GROUP BY 1, 2
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT count(*)::BIGINT AS n_vecs,
+       round(sqrt(sum(round((pred - y) * (pred - y) * {micro}, 0))
+                  / (count(*) * {micro})), 4) AS rmse,
+       round(sum(CASE WHEN (pred > 0.5) = (y > 0.5) THEN 1
+                 ELSE 0 END)::DOUBLE / count(*), 4) AS accuracy,
+       round(avg(y), 4) AS pos_rate
+FROM scored"""
+    )
 
 
 def bpe_merge_candidates_sql(top_k: int = 20) -> str:
@@ -3113,6 +3194,7 @@ ORDER BY o_custkey, version""",
         "training_order_audit": training_order_audit_sql(),
         "delta_dedup_stats": delta_dedup_stats_sql(),
         "zipf_fit": zipf_fit_sql(),
+        "ridge_probe": ridge_probe_sql(),
         "bpe_merge_candidates": bpe_merge_candidates_sql(),
         "epochs_plan": epochs_plan_sql(),
         "length_histogram": length_histogram_sql(),
