@@ -31,11 +31,11 @@ def test_rows_only_queries_are_the_documented_set():
     assert q - o == {
         "approx_cardinality",
         "quantile_sketch_error",
-        "logistic_probe",
         "bpe_learn",
     }, "a query lost (or silently gained) rows-only status"
-    # ridge_probe left this set in round 6: its 65x65 normal-equations
-    # solve now has a full DuckDB twin (unrolled Gauss-Jordan CTE chain)
+    # ridge_probe and logistic_probe left this set in round 6: the
+    # normal-equations / IRLS solves now have full DuckDB twins
+    # (unrolled Gauss-Jordan CTE chains; micro-unit-exact aggregates)
 
 
 def test_rotation_lists_are_valid():

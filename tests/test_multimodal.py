@@ -258,3 +258,68 @@ def test_resize_images_geometry_and_neardup_property(spark):
     )
     pairs = mm.image_neardup_pairs(both, max_hamming=5).collect()
     assert any({p.media_a, p.media_b} == {1, 2} for p in pairs)
+
+
+def _tiny_wav() -> bytes:
+    import struct as st
+
+    pcm = st.pack("<8h", 0, 8000, 16000, 8000, 0, -8000, -16000, -8000)
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return (
+        b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+        + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        + b"data" + st.pack("<I", len(pcm)) + pcm
+    )
+
+
+def _write_shim(tmp_path, payload: bytes, rc: int = 0) -> str:
+    """A stand-in ffmpeg: ignores its args, drains stdin, emits a fixed
+    payload — tests the subprocess plumbing (argv shape, pipe I/O, error
+    propagation) without the real binary, which this container lacks."""
+    import base64
+
+    shim = tmp_path / "ffmpeg-shim"
+    shim.write_text(
+        "#!/bin/sh\ncat > /dev/null\n"
+        f"printf '%s' '{base64.b64encode(payload).decode()}' | base64 -d\n"
+        f"exit {rc}\n"
+    )
+    shim.chmod(0o755)
+    return str(shim)
+
+
+def test_ffmpeg_fallback_transcodes_via_shim(tmp_path):
+    """An 'mp3' payload (not RIFF) routed through the ffmpeg fallback
+    produces EXACTLY the features of the WAV the transcode emitted —
+    proving the fallback re-feeds the native decoder, not a second
+    feature definition."""
+    wav = _tiny_wav()
+    shim = _write_shim(tmp_path, wav)
+    out = mm._ffmpeg_transcode("audio", b"\xff\xfb-fake-mp3", binary=shim)
+    assert out == wav
+    direct = mm._wav_features(wav)
+    via_env = None
+    import os
+
+    os.environ["XBOARD_FFMPEG"] = shim
+    try:
+        via_env = mm._real_features("audio", b"\xff\xfb-fake-mp3")
+    finally:
+        del os.environ["XBOARD_FFMPEG"]
+    assert via_env == direct
+
+
+def test_ffmpeg_fallback_failure_is_honest(tmp_path):
+    """ffmpeg exiting non-zero (or emitting nothing) surfaces as the same
+    NotImplementedError family as the no-binary gate — never a silent
+    empty feature row."""
+    shim = _write_shim(tmp_path, b"", rc=1)
+    with pytest.raises(NotImplementedError, match="transcode"):
+        mm._ffmpeg_transcode("audio", b"\xff\xfb-fake-mp3", binary=shim)
+
+
+def test_ffmpeg_absent_gate_names_the_boundary(monkeypatch):
+    monkeypatch.delenv("XBOARD_FFMPEG", raising=False)
+    monkeypatch.setattr(mm.shutil, "which", lambda _: None)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        mm._real_features("audio", b"\xff\xfb-fake-mp3")

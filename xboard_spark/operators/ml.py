@@ -16,14 +16,15 @@ bit-for-bit) and the driver-side solve is plain-Python Gauss-Jordan
 WITHOUT pivoting, in exactly the op order the SQL twin uses — identical
 IEEE inputs + identical op order = bit-identical weights. No pivoting is
 safe here: X^T X + lam*I is symmetric positive definite.
-``logistic_probe`` stays rows-only (3 IRLS rounds of solve-score-solve
-would need the whole chain cubed); correctness pinned by separable /
-exact-recovery pytest.
+``logistic_probe`` gets the same treatment (round 6): the 3 IRLS
+iterations unroll to ~220 generated CTEs in the twin — per-iteration
+weights stay bit-identical because every cross-engine sum is micro-unit
+exact, the one transcendental per iteration (the sigmoid) is rounded to
+6dp on both sides so a 1-ulp libm difference dies before it can
+compound, and the Newton solve is the same no-pivot Gauss-Jordan.
 """
 
 from __future__ import annotations
-
-import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -178,11 +179,27 @@ def ridge_probe(
     )
 
 
+def _micro_dot(rows: DataFrame, wdf: DataFrame, out: str) -> DataFrame:
+    """Per-vector dot product with a broadcast weight frame, as an
+    exact-integer micro-unit sum: (vec_id, y, <out>) — the one scoring
+    shape both probes share, bit-identical across engines."""
+    return (
+        rows.join(F.broadcast(wdf), "dim")
+        .groupBy("vec_id", "y")
+        .agg(
+            (
+                F.sum(F.round(F.col("val") * F.col("w") * F.lit(MICRO), 0))
+                / F.lit(MICRO)
+            ).alias(out)
+        )
+    )
+
+
 def logistic_probe(
     embeddings: DataFrame,
-    positive_label: int = 0,
+    positive_label: int = RIDGE_POS_LABEL,
     n_iters: int = 3,
-    lam: float = 1e-3,
+    lam: float = RIDGE_LAM,
 ) -> DataFrame:
     """Logistic-regression probe by IRLS (Newton) — the ITERATIVE form of
     the aggregate-then-solve pattern: each iteration computes the
@@ -194,35 +211,41 @@ def logistic_probe(
     cost is one scoring join plus one outer-product aggregate, identical
     shape every round.
 
+    Determinism (round 6, enabling the DuckDB twin
+    ``oracles.logistic_probe_sql``): every cross-engine aggregate is an
+    exact-integer micro-unit sum; mu — the only transcendental — is
+    rounded to 6dp each iteration so a 1-ulp exp() difference between
+    libm implementations dies per step instead of compounding (the
+    repo's iterative-float rule); the Newton solve is the no-pivot
+    ``gauss_jordan_solve`` in the oracle's exact op order.
+
     Returns one row: (n_vecs, n_iters, accuracy, log_loss)."""
     rows = _design_rows(embeddings, positive_label).persist()
     d_frame = rows.agg(F.max("dim").alias("m")).collect()  # sanctioned-collect: 1 cell (feature dim)
     d = int(d_frame[0].m) + 1
-    w = np.zeros(d)
+    w = [0.0] * d
     spark = embeddings.sparkSession
+    sigmoid = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta"))), 6
+    ).alias("mu")
     for _ in range(n_iters):
         wdf = spark.createDataFrame(
             [(int(i), float(w[i])) for i in range(d)], "dim long, w double"
         )
-        eta = (
-            rows.join(F.broadcast(wdf), "dim")
-            .groupBy("vec_id", "y")
-            .agg(F.sum(F.col("val") * F.col("w")).alias("eta"))
-        )
-        mu = eta.select(
-            "vec_id",
-            "y",
-            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta")))).alias("mu"),
-        )
+        mu = _micro_dot(rows, wdf, "eta").select("vec_id", "y", sigmoid)
         resid = mu.select(
             "vec_id",
             (F.col("y") - F.col("mu")).alias("r"),
-            (F.col("mu") * (1.0 - F.col("mu"))).alias("s"),
+            (F.col("mu") * (F.lit(1.0) - F.col("mu"))).alias("s"),
         )
         joined = rows.join(resid, "vec_id")
         grad_rows = (
             joined.groupBy("dim")
-            .agg(F.sum(F.col("val") * F.col("r")).alias("g"))
+            .agg(
+                F.sum(
+                    F.round(F.col("val") * F.col("r") * F.lit(MICRO), 0)
+                ).alias("g")
+            )
             .collect()  # sanctioned-collect: d+1 gradient cells
         )
         a = joined.select(
@@ -234,39 +257,41 @@ def logistic_probe(
         hess_rows = (
             a.join(b, "vec_id")
             .groupBy("i", "j")
-            .agg(F.sum(F.col("vi") * F.col("vj") * F.col("s")).alias("h"))
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("vi") * F.col("vj") * F.col("s") * F.lit(MICRO),
+                        0,
+                    )
+                ).alias("h")
+            )
             .collect()  # sanctioned-collect: (d+1)^2 Hessian cells
         )
-        g = np.zeros(d)
-        for r in grad_rows:
-            g[r.dim] = r.g
-        H = np.zeros((d, d))
-        for r in hess_rows:
-            H[r.i, r.j] = r.h
-        w = w + np.linalg.solve(H + lam * np.eye(d), g - lam * w)
+        cells = {(r.i, r.j): r.h / MICRO for r in hess_rows}
+        rhs = {r.dim: (r.g / MICRO) - lam * w[r.dim] for r in grad_rows}
+        delta = gauss_jordan_solve(cells, rhs, d, lam)
+        w = [w[i] + delta[i] for i in range(d)]
     wdf = spark.createDataFrame(
         [(int(i), float(w[i])) for i in range(d)], "dim long, w double"
     )
-    final = (
-        rows.join(F.broadcast(wdf), "dim")
-        .groupBy("vec_id", "y")
-        .agg(F.sum(F.col("val") * F.col("w")).alias("eta"))
-        .select(
-            "y",
-            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta")))).alias("mu"),
-        )
-    )
+    final = _micro_dot(rows, wdf, "eta").select("y", sigmoid)
     eps = 1e-12
     ll = -(
-        F.col("y") * F.log(F.col("mu") + eps)
-        + (1.0 - F.col("y")) * F.log(1.0 - F.col("mu") + eps)
+        F.col("y") * F.log(F.col("mu") + F.lit(eps))
+        + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - F.col("mu") + F.lit(eps))
     )
     hit = ((F.col("mu") > 0.5) == (F.col("y") > 0.5)).cast("long")
     out = final.agg(
         F.count("*").alias("n_vecs"),
         F.lit(n_iters).cast("long").alias("n_iters"),
-        F.round(F.sum(hit) / F.count("*"), 4).alias("accuracy"),
-        F.round(F.avg(ll), 4).alias("log_loss"),
+        F.round(F.sum(hit).cast("double") / F.count("*"), 4).alias(
+            "accuracy"
+        ),
+        F.round(
+            F.sum(F.round(ll * F.lit(MICRO), 0))
+            / (F.count("*") * F.lit(MICRO)),
+            4,
+        ).alias("log_loss"),
     )
     rows.unpersist()
     return out

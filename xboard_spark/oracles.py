@@ -1034,27 +1034,10 @@ SELECT n AS n_terms,
 FROM s"""
 
 
-def ridge_probe_sql(
-    positive_label: int = RIDGE_POS_LABEL,
-    lam: float = RIDGE_LAM,
-    dim: int = DIM,
-) -> str:
-    """Mirrors ml.ridge_probe — including the 65x65 normal-equations
-    SOLVE, unrolled as a Gauss-Jordan CTE chain (one MATERIALIZED CTE per
-    pivot step; materialization is load-bearing — each step references
-    its predecessor 4 times, and inlining would blow up exponentially).
-    Determinism contract (shared constants MICRO/RIDGE_LAM/
-    RIDGE_POS_LABEL, same file the Spark side imports): every sufficient-
-    statistic cell and every dot product is an exact-integer micro-unit
-    sum, so both engines see bit-identical matrices; the elimination
-    arithmetic is op-order-identical to ``ml.gauss_jordan_solve``
-    (divide, multiply, subtract — no pivoting, no FMA), so the weights
-    and therefore the scored outputs agree bit-for-bit before the final
-    4dp rounding."""
-    d = dim + 1  # bias feature at dim 0; embedding dims 1..dim
-    micro = repr(MICRO)
-    ctes = [
-        f"""rows_f AS MATERIALIZED (
+def _probe_rows_sql(positive_label: int, dim: int) -> str:
+    """Shared bias-augmented row-form CTE for the linear/logistic probes
+    (mirrors ml._design_rows): dim 0 = bias 1.0, dims 1..D = embedding."""
+    return f"""rows_f AS MATERIALIZED (
   SELECT vec_id, i AS dim, (embedding[i])::DOUBLE AS val,
          CASE WHEN label = {positive_label} THEN 1.0 ELSE 0.0 END AS y
   FROM embeddings, generate_series(1, {dim}) s(i)
@@ -1062,7 +1045,55 @@ def ridge_probe_sql(
   SELECT vec_id, 0 AS dim, 1.0 AS val,
          CASE WHEN label = {positive_label} THEN 1.0 ELSE 0.0 END AS y
   FROM embeddings
-)""",
+)"""
+
+
+def _gj_chain_ctes(prefix: str, src: str, d: int) -> tuple[list[str], str]:
+    """Unrolled Gauss-Jordan elimination over an augmented (i, j, v)
+    matrix CTE ``src`` (i in 0..d-1, j in 0..d; column d = rhs): one
+    MATERIALIZED CTE per pivot step. Materialization is load-bearing —
+    each step references its predecessor 4 times and inlining would blow
+    up exponentially. The arithmetic is op-order-identical to
+    ``ml.gauss_jordan_solve`` (divide, multiply, subtract — no pivoting,
+    no FMA), so identical input cells give bit-identical solutions.
+    Returns (ctes, final_name); the solution is final_name's j = d
+    column."""
+    ctes = []
+    prev = src
+    for k in range(d):
+        name = f"{prefix}_{k + 1}"
+        ctes.append(
+            f"""{name} AS MATERIALIZED (
+  SELECT m.i, m.j,
+         CASE WHEN m.i = {k} THEN m.v / p.v
+              ELSE m.v - c.v * (r.v / p.v) END AS v
+  FROM {prev} m
+  JOIN {prev} p ON p.i = {k} AND p.j = {k}
+  JOIN {prev} r ON r.i = {k} AND r.j = m.j
+  JOIN {prev} c ON c.i = m.i AND c.j = {k}
+)"""
+        )
+        prev = name
+    return ctes, prev
+
+
+def ridge_probe_sql(
+    positive_label: int = RIDGE_POS_LABEL,
+    lam: float = RIDGE_LAM,
+    dim: int = DIM,
+) -> str:
+    """Mirrors ml.ridge_probe — including the 65x65 normal-equations
+    SOLVE, via ``_gj_chain_ctes``. Determinism contract (shared constants
+    MICRO/RIDGE_LAM/RIDGE_POS_LABEL, same file the Spark side imports):
+    every sufficient-statistic cell and every dot product is an
+    exact-integer micro-unit sum, so both engines see bit-identical
+    matrices; the elimination matches ``ml.gauss_jordan_solve`` op for
+    op, so the weights and therefore the scored outputs agree
+    bit-for-bit before the final 4dp rounding."""
+    d = dim + 1  # bias feature at dim 0; embedding dims 1..dim
+    micro = repr(MICRO)
+    ctes = [
+        _probe_rows_sql(positive_label, dim),
         f"""xtx AS (
   SELECT a.dim AS i, b.dim AS j,
          sum(round(a.val * b.val * {micro}, 0)) / {micro} AS v
@@ -1079,19 +1110,9 @@ def ridge_probe_sql(
   SELECT i, {d} AS j, v FROM xty
 )""",
     ]
-    for k in range(d):
-        ctes.append(
-            f"""g{k + 1} AS MATERIALIZED (
-  SELECT m.i, m.j,
-         CASE WHEN m.i = {k} THEN m.v / p.v
-              ELSE m.v - c.v * (r.v / p.v) END AS v
-  FROM g{k} m
-  JOIN g{k} p ON p.i = {k} AND p.j = {k}
-  JOIN g{k} r ON r.i = {k} AND r.j = m.j
-  JOIN g{k} c ON c.i = m.i AND c.j = {k}
-)"""
-        )
-    ctes.append(f"w AS (SELECT i AS dim, v AS w FROM g{d} WHERE j = {d})")
+    chain, last = _gj_chain_ctes("g", "g0", d)
+    ctes.extend(chain)
+    ctes.append(f"w AS (SELECT i AS dim, v AS w FROM {last} WHERE j = {d})")
     ctes.append(
         f"""scored AS (
   SELECT r.vec_id, r.y,
@@ -1111,6 +1132,104 @@ SELECT count(*)::BIGINT AS n_vecs,
                  ELSE 0 END)::DOUBLE / count(*), 4) AS accuracy,
        round(avg(y), 4) AS pos_rate
 FROM scored"""
+    )
+
+
+def logistic_probe_sql(
+    positive_label: int = RIDGE_POS_LABEL,
+    n_iters: int = 3,
+    lam: float = RIDGE_LAM,
+    dim: int = DIM,
+) -> str:
+    """Mirrors ml.logistic_probe: 3 unrolled IRLS iterations, each =
+    micro-unit scoring pass -> 6dp-rounded sigmoid (the rounding kills
+    1-ulp exp() differences between libm implementations per step, the
+    repo's iterative-float rule) -> micro-unit gradient/Hessian ->
+    Gauss-Jordan Newton solve (``_gj_chain_ctes``) -> weight update.
+    ~220 generated CTEs; every cross-engine sum is association-free by
+    construction, so the per-iteration weights are bit-identical."""
+    d = dim + 1
+    micro = repr(MICRO)
+    ctes = [
+        _probe_rows_sql(positive_label, dim),
+        f"w0 AS (SELECT i AS dim, 0.0 AS w FROM range(0, {d}) t(i))",
+    ]
+    cur_w = "w0"
+    for t in range(n_iters):
+        ctes.append(
+            f"""eta{t} AS (
+  SELECT r.vec_id, r.y,
+         sum(round(r.val * w.w * {micro}, 0)) / {micro} AS eta
+  FROM rows_f r JOIN {cur_w} w USING (dim)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""resid{t} AS MATERIALIZED (
+  SELECT vec_id, y - mu AS r, mu * (1.0 - mu) AS s
+  FROM (SELECT vec_id, y, round(1.0 / (1.0 + exp(-eta)), 6) AS mu
+        FROM eta{t})
+)"""
+        )
+        ctes.append(
+            f"""grad{t} AS (
+  SELECT r.dim AS i, sum(round(r.val * x.r * {micro}, 0)) / {micro} AS v
+  FROM rows_f r JOIN resid{t} x USING (vec_id)
+  GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"""hess{t} AS (
+  SELECT a.dim AS i, b.dim AS j,
+         sum(round(a.val * b.val * a.s * {micro}, 0)) / {micro} AS v
+  FROM (SELECT r.vec_id, r.dim, r.val, x.s
+        FROM rows_f r JOIN resid{t} x USING (vec_id)) a
+  JOIN rows_f b USING (vec_id)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""aug{t} AS MATERIALIZED (
+  SELECT i, j, CASE WHEN i = j THEN v + {lam!r} ELSE v END AS v
+  FROM hess{t}
+  UNION ALL
+  SELECT g.i, {d} AS j, g.v - {lam!r} * w.w AS v
+  FROM grad{t} g JOIN {cur_w} w ON w.dim = g.i
+)"""
+        )
+        chain, last = _gj_chain_ctes(f"n{t}", f"aug{t}", d)
+        ctes.extend(chain)
+        ctes.append(
+            f"""w{t + 1} AS MATERIALIZED (
+  SELECT w.dim, w.w + s.v AS w
+  FROM {cur_w} w
+  JOIN (SELECT i AS dim, v FROM {last} WHERE j = {d}) s USING (dim)
+)"""
+        )
+        cur_w = f"w{t + 1}"
+    ctes.append(
+        f"""etaf AS (
+  SELECT r.vec_id, r.y,
+         sum(round(r.val * w.w * {micro}, 0)) / {micro} AS eta
+  FROM rows_f r JOIN {cur_w} w USING (dim)
+  GROUP BY 1, 2
+)"""
+    )
+    ctes.append(
+        "muf AS (SELECT y, round(1.0 / (1.0 + exp(-eta)), 6) AS mu FROM etaf)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT count(*)::BIGINT AS n_vecs,
+       {n_iters}::BIGINT AS n_iters,
+       round(sum(CASE WHEN (mu > 0.5) = (y > 0.5) THEN 1
+                 ELSE 0 END)::DOUBLE / count(*), 4) AS accuracy,
+       round(sum(round(-(y * ln(mu + 1e-12)
+                         + (1.0 - y) * ln(1.0 - mu + 1e-12))
+                       * {micro}, 0)) / (count(*) * {micro}), 4) AS log_loss
+FROM muf"""
     )
 
 
@@ -3195,6 +3314,7 @@ ORDER BY o_custkey, version""",
         "delta_dedup_stats": delta_dedup_stats_sql(),
         "zipf_fit": zipf_fit_sql(),
         "ridge_probe": ridge_probe_sql(),
+        "logistic_probe": logistic_probe_sql(),
         "bpe_merge_candidates": bpe_merge_candidates_sql(),
         "epochs_plan": epochs_plan_sql(),
         "length_histogram": length_histogram_sql(),
