@@ -182,13 +182,19 @@ _ROUND6_FIRST = [
 
 
 # Round-7 rotation, STAGED AHEAD (swap _ROUND6_FIRST -> _ROUND7_FIRST at
-# the start of round 7; re-validate against whatever round 6 adds — new
-# round-6 queries should displace tail entries here). Head: the 14
-# round-5 additions (never driver-checked) + the 3 round-6 spill-overs;
-# backfill: the oldest r4-green rows (the _ROUND4_FIRST prefix outside
-# the r5/r6 windows). The remaining 15 r4-greens
-# (value_outliers..keyword_pagerank tail) roll to round 8.
+# the start of round 7; re-validate against whatever round 7 adds). Head:
+# the 2 round-6 additions + the 14 round-5 additions (never
+# driver-checked) + the 2 probes whose answers changed in round 6 when
+# they gained oracle twins (micro-unit arithmetic shifts the last
+# rounded digit) + the 3 round-6 spill-overs; backfill: the oldest
+# r4-green rows (the _ROUND4_FIRST prefix outside the r5/r6 windows).
+# The remaining r4-greens (dup_span_stats..keyword_pagerank tail — 4
+# more than before, displaced by the head growth) roll to round 8.
 _ROUND7_FIRST = [
+    # -- round-6 additions, never driver-checked (2) --
+    "pii_redact_stats", "quality_dup_correlation",
+    # -- round-6 oracle-twin rewrites: plans + last-digit values changed (2) --
+    "ridge_probe", "logistic_probe",
     # -- round-5 additions, never driver-checked (14) --
     "hard_negative_mining", "incremental_nation_rollup", "volume_shipping",
     "returned_items_report", "customer_order_distribution",
@@ -206,8 +212,7 @@ _ROUND7_FIRST = [
     "minhash_dedup", "decontamination", "simhash", "curation_stats",
     "nation_customer_ranks", "segment_setops", "events_dedup",
     "purchase_asof_view", "views_before_purchase", "repetition_stats",
-    "pii_scan", "dedup_clusters", "knn_label_vote", "boilerplate_ngrams",
-    "dup_span_stats", "basket_pairs",
+    "pii_scan", "dedup_clusters",
 ]
 
 
@@ -511,6 +516,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "pii_scan": lambda s, d: text.pii_scan(_t(s, d, "documents")),
+        # --- new in round 6 ---
+        "pii_redact_stats": lambda s, d: text.pii_redact_stats(
+            _t(s, d, "documents")
+        ),
+        "quality_dup_correlation": lambda s, d: curation.quality_dup_correlation(
+            _t(s, d, "documents")
+        ),
         "dedup_clusters": lambda s, d: dedup.dedup_clusters(
             _t(s, d, "documents")
         ),

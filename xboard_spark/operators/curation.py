@@ -228,3 +228,57 @@ def effective_tokens(documents: DataFrame, chunk_size: int = 64) -> DataFrame:
             ).alias("chunk_unique_frac"),
         )
     )
+
+
+def quality_dup_correlation(documents: DataFrame) -> DataFrame:
+    """Cross-signal curation analysis: does LOW-quality text duplicate
+    more? Bands the corpus by alpha ratio (the same C4/Gopher-style
+    signal ``quality_scores`` emits, floor(alpha_ratio*10) deciles) and
+    reports, per band, how many documents are members of an EXACT
+    duplicate group — the correlation that tells a curation pipeline
+    whether its quality filter and its dedup pass remove the same
+    documents (largely redundant) or different ones (both needed). The
+    standard corpus-report finding is that boilerplate is both low-alpha
+    and highly duplicated; this measures it instead of assuming it.
+
+    Scale shape: one scan computing (band, fingerprint) per row, ONE
+    fingerprint-keyed shuffle where a partition window attaches each
+    group's size (the dedup_exact exchange — no second scan, no join:
+    at 100 TB the group-size frame is corpus-sized, so a broadcast-join
+    formulation would not survive), then a 10-row rollup. All outputs
+    exact integers plus one cast-then-divide ratio."""
+    from pyspark.sql import Window
+
+    from xboard_spark.functions.portable_hash import fingerprint64
+    from xboard_spark.operators.dedup import _norm_text
+
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
+    banded = documents.select(
+        F.least(
+            F.floor(alpha_ratio * 10).cast("long"), F.lit(9)
+        ).alias("alpha_band"),
+        fingerprint64(_norm_text(text)).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint")
+    return (
+        banded.withColumn("group_size", F.count("*").over(w))
+        .groupBy("alpha_band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("group_size") > 1, 1).otherwise(0)
+            ).alias("n_dup_docs"),
+        )
+        .select(
+            "alpha_band",
+            "n_docs",
+            "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("alpha_band")
+    )

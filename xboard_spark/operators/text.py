@@ -537,6 +537,43 @@ def redact_pii(documents: DataFrame) -> DataFrame:
     return documents.withColumn("text", out)
 
 
+def pii_redact_stats(documents: DataFrame) -> DataFrame:
+    """Audit of the ``redact_pii`` TRANSFORM (not just the scan): per
+    source — docs touched, emails/phones actually replaced, and the
+    exact corpus size before/after redaction. A curation pipeline runs
+    the scrub and must report what it did; this is that report, computed
+    from the same expression tree the transform applies (emails replaced
+    FIRST, then phones counted/replaced on the email-redacted text —
+    order matters when a phone-shaped substring sits inside an email).
+
+    Scale shape: single scan, per-row regexp work fused in codegen, one
+    tiny per-source hash aggregate — the pii_scan shape. All outputs are
+    exact integer sums."""
+    re_email = F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]")
+    re_both = F.regexp_replace(re_email, PHONE_RE, "[PHONE]")
+    per = documents.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).alias("ne"),
+        F.regexp_count(re_email, F.lit(PHONE_RE)).alias("np"),
+        F.length("text").alias("len0"),
+        F.length(re_both).alias("len1"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when((F.col("ne") > 0) | (F.col("np") > 0), 1).otherwise(0)
+            ).alias("docs_redacted"),
+            F.sum("ne").alias("emails_redacted"),
+            F.sum("np").alias("phones_redacted"),
+            F.sum("len0").alias("chars_before"),
+            F.sum("len1").alias("chars_after"),
+        )
+        .orderBy("source")
+    )
+
+
 def vocab_coverage(documents: DataFrame, vocab_size: int = 1000) -> DataFrame:
     """Tokenizer-vocabulary induction + coverage audit: build the
     top-``vocab_size`` term vocabulary by corpus frequency (deterministic

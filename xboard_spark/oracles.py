@@ -1850,6 +1850,57 @@ SELECT source, count(*) AS n_docs,
 FROM counts GROUP BY source ORDER BY source"""
 
 
+def pii_redact_stats_sql() -> str:
+    """Mirrors text.pii_redact_stats (patterns from the same constants;
+    same order — emails first, phones counted on the email-redacted
+    text)."""
+    return f"""
+WITH r AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{EMAIL_RE}')) AS ne,
+         len(regexp_extract_all(
+               regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+               '{PHONE_RE}')) AS np,
+         len(text) AS len0,
+         len(regexp_replace(
+               regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+               '{PHONE_RE}', '[PHONE]', 'g')) AS len1
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN ne > 0 OR np > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS docs_redacted,
+       sum(ne)::BIGINT AS emails_redacted,
+       sum(np)::BIGINT AS phones_redacted,
+       sum(len0)::BIGINT AS chars_before,
+       sum(len1)::BIGINT AS chars_after
+FROM r GROUP BY source ORDER BY source"""
+
+
+def quality_dup_correlation_sql() -> str:
+    """Mirrors curation.quality_dup_correlation: alpha-ratio decile band
+    x exact-dup group membership (same normalized-text fingerprint as
+    dedup_exact)."""
+    return f"""
+WITH banded AS (
+  SELECT least(floor(round(
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+           / greatest(length(text), 1), 6) * 10)::BIGINT, 9) AS alpha_band,
+         {_fp(_NORM_TEXT)} AS fingerprint
+  FROM documents
+),
+sized AS (
+  SELECT alpha_band,
+         count(*) OVER (PARTITION BY fingerprint) AS group_size
+  FROM banded
+)
+SELECT alpha_band, count(*) AS n_docs,
+       sum(CASE WHEN group_size > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+       round(sum(CASE WHEN group_size > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS dup_rate
+FROM sized GROUP BY alpha_band ORDER BY alpha_band"""
+
+
 def filter_funnel_sql() -> str:
     """Mirrors curation.filter_funnel — generated from the SAME gate
     constants (FUNNEL_*) so the two sides cannot drift independently."""
@@ -2310,6 +2361,8 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY fingerprint""",
         "language_id": language_id_sql(),
         "repetition_stats": repetition_stats_sql(),
         "pii_scan": pii_scan_sql(),
+        "pii_redact_stats": pii_redact_stats_sql(),
+        "quality_dup_correlation": quality_dup_correlation_sql(),
         "ngram_jaccard": ngram_jaccard_sql(),
         "dup_span_stats": dup_span_stats_sql(),
         "basket_pairs": """
