@@ -810,7 +810,10 @@ def zipf_fit(documents: DataFrame, top_n: int = 1000) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # x-variance is 0 only for a 1-term vocabulary (ranks are distinct
+    # otherwise); nullif both sides so slope/intercept are NULL there,
+    # not an engine-dependent 0/0 NaN
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
     return s.select(
         n.alias("n_terms"),
         F.round(slope, 4).alias("slope"),

@@ -1026,8 +1026,8 @@ s AS (
   FROM pts
 )
 SELECT n AS n_terms,
-       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
-       round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4)
+       round((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0.0), 4) AS slope,
+       round((sy - ((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0.0)) * sx) / n, 4)
            AS intercept,
        round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
              / nullif((n*sxx - sx*sx) * (n*syy - sy*sy), 0.0), 4) AS r2
