@@ -163,6 +163,8 @@ EXTENDED = [
     "large_volume_orders",
     "bpe_learn",
     "hard_negative_mining",
+    "pii_redact_stats",
+    "quality_dup_correlation",
 ]
 
 

@@ -1096,12 +1096,12 @@ def ridge_probe_sql(
         _probe_rows_sql(positive_label, dim),
         f"""xtx AS (
   SELECT a.dim AS i, b.dim AS j,
-         sum(round(a.val * b.val * {micro}, 0)) / {micro} AS v
+         sum(floor(a.val * b.val * {micro} + 0.5)) / {micro} AS v
   FROM rows_f a JOIN rows_f b USING (vec_id)
   GROUP BY 1, 2
 )""",
         f"""xty AS (
-  SELECT dim AS i, sum(round(val * y * {micro}, 0)) / {micro} AS v
+  SELECT dim AS i, sum(floor(val * y * {micro} + 0.5)) / {micro} AS v
   FROM rows_f GROUP BY 1
 )""",
         f"""g0 AS MATERIALIZED (
@@ -1116,7 +1116,7 @@ def ridge_probe_sql(
     ctes.append(
         f"""scored AS (
   SELECT r.vec_id, r.y,
-         sum(round(r.val * w.w * {micro}, 0)) / {micro} AS pred
+         sum(floor(r.val * w.w * {micro} + 0.5)) / {micro} AS pred
   FROM rows_f r JOIN w USING (dim)
   GROUP BY 1, 2
 )"""
@@ -1159,7 +1159,7 @@ def logistic_probe_sql(
         ctes.append(
             f"""eta{t} AS (
   SELECT r.vec_id, r.y,
-         sum(round(r.val * w.w * {micro}, 0)) / {micro} AS eta
+         sum(floor(r.val * w.w * {micro} + 0.5)) / {micro} AS eta
   FROM rows_f r JOIN {cur_w} w USING (dim)
   GROUP BY 1, 2
 )"""
@@ -1173,7 +1173,7 @@ def logistic_probe_sql(
         )
         ctes.append(
             f"""grad{t} AS (
-  SELECT r.dim AS i, sum(round(r.val * x.r * {micro}, 0)) / {micro} AS v
+  SELECT r.dim AS i, sum(floor(r.val * x.r * {micro} + 0.5)) / {micro} AS v
   FROM rows_f r JOIN resid{t} x USING (vec_id)
   GROUP BY 1
 )"""
@@ -1181,7 +1181,7 @@ def logistic_probe_sql(
         ctes.append(
             f"""hess{t} AS (
   SELECT a.dim AS i, b.dim AS j,
-         sum(round(a.val * b.val * a.s * {micro}, 0)) / {micro} AS v
+         sum(floor(a.val * b.val * a.s * {micro} + 0.5)) / {micro} AS v
   FROM (SELECT r.vec_id, r.dim, r.val, x.s
         FROM rows_f r JOIN resid{t} x USING (vec_id)) a
   JOIN rows_f b USING (vec_id)
@@ -1210,7 +1210,7 @@ def logistic_probe_sql(
     ctes.append(
         f"""etaf AS (
   SELECT r.vec_id, r.y,
-         sum(round(r.val * w.w * {micro}, 0)) / {micro} AS eta
+         sum(floor(r.val * w.w * {micro} + 0.5)) / {micro} AS eta
   FROM rows_f r JOIN {cur_w} w USING (dim)
   GROUP BY 1, 2
 )"""
