@@ -216,6 +216,34 @@ _ROUND7_FIRST = [
 ]
 
 
+# Round-8 rotation, STAGED AHEAD (swap at the start of round 8;
+# re-validate against whatever rounds 7-8 add — new queries displace
+# tail entries here). Head: the 21 queries whose last driver row will be
+# r4-era by then (the four entries the round-6 additions displaced from
+# the r7 window, the r4-window remainder, and doc_stats/session_stats),
+# then the oldest r5-window entries. The 17-query spill
+# (canonical_docs..revenue_change_forecast) rolls to round 9.
+_ROUND8_FIRST = [
+    # -- r4-era driver rows by round 8 (21) --
+    "knn_label_vote", "boilerplate_ngrams", "dup_span_stats", "basket_pairs",
+    "value_outliers", "scd2_history", "table_profile", "decayed_engagement",
+    "salted_event_rollup", "fuzzy_customer_pairs", "value_drift_psi",
+    "incremental_daily_rollup", "orders_cdc_summary", "event_transitions",
+    "value_equidepth", "part_pagerank", "keyword_pagerank",
+    "source_contamination", "winsorized_stats", "doc_stats", "session_stats",
+    # -- oldest r5-window rows (29) --
+    "knn_bruteforce", "knn_lsh", "embedding_neardup", "knn_ivf",
+    "ivf_cell_sizes", "embedding_stats", "pq_quantization", "label_centroids",
+    "vocab_coverage", "char_lm_fluency", "truncation_recall", "knn_rrf",
+    "filter_funnel", "dataset_card", "similar_docs", "sql_status_panel",
+    "sql_orders_since", "daily_type_unpivot", "text_embedding_alignment",
+    "bootstrap_mean_ci", "top_orders_per_segment", "ann_recall_audit",
+    "prospect_customers", "segment_priority_chi2", "quality_weighted_sample",
+    "first_purchase_latency", "bounce_rate_by_dow", "embedding_spectrum",
+    "kmeans_inertia",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate — see ``_ROUND6_FIRST``: the driver checks
     the first 50 entries per round, so entries rotate so that no registered

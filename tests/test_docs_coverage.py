@@ -47,12 +47,18 @@ def test_rotation_lists_are_valid():
     q = set(entrymod.queries())
     active = entrymod._ROUND6_FIRST
     staged = entrymod._ROUND7_FIRST
-    for name, lst in [("active", active), ("staged", staged)]:
+    staged2 = entrymod._ROUND8_FIRST
+    for name, lst in [
+        ("active", active),
+        ("staged", staged),
+        ("staged+1", staged2),
+    ]:
         assert len(lst) == 50, f"{name} window must be exactly 50"
         assert len(set(lst)) == 50, f"{name} window has duplicates"
         missing = [n for n in lst if n not in q]
         assert missing == [], f"{name} window names unregistered: {missing}"
     assert not set(active) & set(staged), "windows overlap"
+    assert not set(staged) & set(staged2), "staged windows overlap"
 
 
 def test_queries_dict_leads_with_active_window():
