@@ -191,8 +191,8 @@ _ROUND6_FIRST = [
 # The remaining r4-greens (dup_span_stats..keyword_pagerank tail — 4
 # more than before, displaced by the head growth) roll to round 8.
 _ROUND7_FIRST = [
-    # -- round-6 additions, never driver-checked (2) --
-    "pii_redact_stats", "quality_dup_correlation",
+    # -- round-6 additions, never driver-checked (3) --
+    "pii_redact_stats", "quality_dup_correlation", "sole_late_suppliers",
     # -- round-6 oracle-twin rewrites: plans + last-digit values changed (2) --
     "ridge_probe", "logistic_probe",
     # -- round-5 additions, never driver-checked (14) --
@@ -212,26 +212,28 @@ _ROUND7_FIRST = [
     "minhash_dedup", "decontamination", "simhash", "curation_stats",
     "nation_customer_ranks", "segment_setops", "events_dedup",
     "purchase_asof_view", "views_before_purchase", "repetition_stats",
-    "pii_scan", "dedup_clusters",
+    "pii_scan",
 ]
 
 
 # Round-8 rotation, STAGED AHEAD (swap at the start of round 8;
 # re-validate against whatever rounds 7-8 add — new queries displace
 # tail entries here). Head: the 21 queries whose last driver row will be
-# r4-era by then (the four entries the round-6 additions displaced from
+# r4-era by then (the entries the round-6 additions displaced from
 # the r7 window, the r4-window remainder, and doc_stats/session_stats),
-# then the oldest r5-window entries. The 17-query spill
-# (canonical_docs..revenue_change_forecast) rolls to round 9.
+# then the oldest r5-window entries. The 18-query spill
+# (kmeans_inertia, canonical_docs..revenue_change_forecast) rolls to
+# round 9.
 _ROUND8_FIRST = [
-    # -- r4-era driver rows by round 8 (21) --
+    # -- r4-era driver rows by round 8 (22, incl. the r7 tail spill) --
     "knn_label_vote", "boilerplate_ngrams", "dup_span_stats", "basket_pairs",
     "value_outliers", "scd2_history", "table_profile", "decayed_engagement",
     "salted_event_rollup", "fuzzy_customer_pairs", "value_drift_psi",
     "incremental_daily_rollup", "orders_cdc_summary", "event_transitions",
     "value_equidepth", "part_pagerank", "keyword_pagerank",
     "source_contamination", "winsorized_stats", "doc_stats", "session_stats",
-    # -- oldest r5-window rows (29) --
+    "dedup_clusters",
+    # -- oldest r5-window rows (28) --
     "knn_bruteforce", "knn_lsh", "embedding_neardup", "knn_ivf",
     "ivf_cell_sizes", "embedding_stats", "pq_quantization", "label_centroids",
     "vocab_coverage", "char_lm_fluency", "truncation_recall", "knn_rrf",
@@ -240,7 +242,6 @@ _ROUND8_FIRST = [
     "bootstrap_mean_ci", "top_orders_per_segment", "ann_recall_audit",
     "prospect_customers", "segment_priority_chi2", "quality_weighted_sample",
     "first_purchase_latency", "bounce_rate_by_dow", "embedding_spectrum",
-    "kmeans_inertia",
 ]
 
 
@@ -545,6 +546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "pii_scan": lambda s, d: text.pii_scan(_t(s, d, "documents")),
         # --- new in round 6 ---
+        "sole_late_suppliers": lambda s, d: tpch.sole_late_suppliers(
+            _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "supplier")
+        ),
         "pii_redact_stats": lambda s, d: text.pii_redact_stats(
             _t(s, d, "documents")
         ),

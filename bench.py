@@ -165,6 +165,7 @@ EXTENDED = [
     "hard_negative_mining",
     "pii_redact_stats",
     "quality_dup_correlation",
+    "sole_late_suppliers",
 ]
 
 

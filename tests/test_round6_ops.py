@@ -73,3 +73,47 @@ def test_quality_dup_correlation_band_is_capped_at_9(spark):
     docs = _docs(spark, [(1, "en", "web", "onlyletters")])
     r = quality_dup_correlation(docs).collect()
     assert [x.alpha_band for x in r] == [9]
+
+
+def test_sole_late_suppliers_planted_semantics(spark):
+    """Q21 shape on a planted graph: only the supplier who was the SOLE
+    late supplier of a finalized multi-supplier order is counted."""
+    import datetime as dt
+
+    from xboard_spark.operators.tpch import sole_late_suppliers
+
+    d0 = dt.datetime(1995, 1, 1)
+    late = d0 + dt.timedelta(days=90)
+    ontime = d0 + dt.timedelta(days=5)
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "F", 0.0, d0, "1-URGENT"),   # multi-supplier, s1 sole late
+            (2, 10, "F", 0.0, d0, "1-URGENT"),   # multi-supplier, BOTH late
+            (3, 10, "F", 0.0, d0, "1-URGENT"),   # single-supplier, late
+            (4, 10, "O", 0.0, d0, "1-URGENT"),   # not finalized
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li_rows = [
+        (1, 1, late), (1, 2, ontime),
+        (2, 1, late), (2, 2, late),
+        (3, 1, late),
+        (4, 1, late), (4, 2, ontime),
+    ]
+    lineitem = spark.createDataFrame(
+        [(o, 0, s, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship)
+         for o, s, ship in li_rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    supplier = spark.createDataFrame(
+        [(1, "Supplier#1", 0, 0.0), (2, "Supplier#2", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    out = sole_late_suppliers(lineitem, orders, supplier).collect()
+    # order 1: counted for s1; order 2: two late suppliers -> nobody;
+    # order 3: single-supplier -> nobody; order 4: not finalized
+    assert [(r.s_suppkey, r.numwait) for r in out] == [(1, 1)]

@@ -747,3 +747,63 @@ def large_volume_orders(
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(k)
     )
+
+
+def sole_late_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_days: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape ("suppliers who kept waiting"), adapted to this
+    schema: among finalized multi-supplier orders, count per supplier the
+    orders where it was the ONLY late supplier — the classic
+    EXISTS / NOT-EXISTS correlated pair (another supplier on the order /
+    no OTHER late supplier), decorrelated into two aggregates. Lateness
+    is l_shipdate more than ``late_days`` days after o_orderdate (this
+    dataset has no commit/receipt dates; reference Q21 uses
+    receipt>commit — same plan shape, different predicate; cf.
+    routes/analytics.js for the reference's own date-window idiom).
+
+    Scale shape: the correlated subqueries become (orderkey, suppkey)
+    and (orderkey) hash aggregates over the SAME joined frame — two
+    shuffles keyed on natural keys instead of one correlated probe per
+    row; the verdict join reuses the orderkey partitioning, and the
+    per-supplier result (bounded by |supplier|) broadcasts into the name
+    join. Top-k is TakeOrderedAndProject with a full deterministic
+    tie-break."""
+    li = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late_line = (
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        > late_days
+    ).cast("int")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late_line).alias("late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    waiting = (
+        per_os.filter(F.col("late") == 1)
+        .join(
+            per_o.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return (
+        supplier.select("s_suppkey", "s_name")
+        .join(
+            F.broadcast(waiting), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"), F.asc("s_suppkey"))
+        .limit(k)
+    )

@@ -3335,6 +3335,32 @@ SELECT o_custkey,
 FROM orders WHERE o_custkey < 20
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_custkey, version""",
+        "sole_late_suppliers": """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                             CAST(l_shipdate AS DATE)) > 60
+              THEN 1 ELSE 0 END AS late_line
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_os AS (
+  SELECT l_orderkey, l_suppkey, max(late_line) AS late
+  FROM li GROUP BY 1, 2
+),
+per_o AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+  FROM per_os GROUP BY 1
+),
+w AS (
+  SELECT p.l_suppkey AS suppkey, count(*) AS numwait
+  FROM per_os p JOIN per_o o USING (l_orderkey)
+  WHERE p.late = 1 AND o.n_supp > 1 AND o.n_late = 1
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, numwait::BIGINT AS numwait
+FROM supplier JOIN w ON s_suppkey = suppkey
+ORDER BY numwait DESC, s_name, s_suppkey LIMIT 20""",
         "curation_stats": curation_sql(),
         "minhash_dedup": minhash_sql(),
         "dedup_clusters": dedup_clusters_sql(),
