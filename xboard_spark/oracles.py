@@ -28,6 +28,19 @@ def _fp(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+def _boot_params_values(n_replicas: int = 32) -> str:
+    """VALUES rows for the bootstrap per-replica affine coin family —
+    generated from the SAME ``minhash_params(seed=BOOT_SEED)`` call the
+    Spark side uses (``operators.sampling.bootstrap_mean_ci``), so the
+    two engines can never drift."""
+    from xboard_spark.operators.sampling import BOOT_SEED
+
+    params = minhash_params(n_replicas, seed=BOOT_SEED)
+    return ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(params)
+    )
+
+
 _NORM_TEXT = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 
@@ -2728,14 +2741,18 @@ SELECT c_mktsegment, rnk::BIGINT AS rnk, o_orderkey,
        round(o_totalprice, 2) AS o_totalprice
 FROM j WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""",
         "bootstrap_mean_ci": f"""
-WITH staged AS (
-  SELECT o_orderkey, o_totalprice, b
-  FROM orders, generate_series(0, 31) t(b)
+WITH params(b, ha, hb) AS (
+  VALUES {_boot_params_values()}
+),
+staged AS (
+  SELECT o_totalprice,
+         ({_fp("concat_ws(':', 'boot-v1', o_orderkey)")} & {_X_MASK}) AS x,
+         b, ha, hb
+  FROM orders, params
 ),
 coined AS (
   SELECT o_totalprice, b,
-         ({_fp("concat_ws(':', 'boot-v1', o_orderkey, b)")} % 1000000)
-           / 1000000.0 AS u
+         (((x * ha + hb) % {MINHASH_P}) % 1000000) / 1000000.0 AS u
   FROM staged
 ),
 weighted AS (
