@@ -117,3 +117,67 @@ def test_sole_late_suppliers_planted_semantics(spark):
     # order 1: counted for s1; order 2: two late suppliers -> nobody;
     # order 3: single-supplier -> nobody; order 4: not finalized
     assert [(r.s_suppkey, r.numwait) for r in out] == [(1, 1)]
+
+
+def test_bootstrap_coin_weights_follow_poisson1(spark):
+    """The hash-once affine coin must still draw Poisson(1)-distributed
+    replica weights: over rows x replicas the empirical weight histogram
+    should track the quantized inverse-CDF bucket widths (the property
+    the md5-per-(row,replica) coin had by construction — this pins that
+    the cheaper coin keeps it)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from xboard_spark.functions.portable_hash import (
+        MINHASH_P,
+        _X_MASK,
+        fingerprint64,
+        minhash_params,
+    )
+    from xboard_spark.operators.sampling import BOOT_SEED, POISSON1_CDF
+
+    n_rows, n_replicas = 500, 32
+    orders = spark.createDataFrame(
+        [(i, 100.0) for i in range(n_rows)],
+        "o_orderkey long, o_totalprice double",
+    )
+    params = minhash_params(n_replicas, seed=BOOT_SEED)
+    reps = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("ha"), F.lit(b).alias("hb")
+            )
+            for a, b in params
+        ]
+    )
+    fp0 = fingerprint64(F.concat_ws(":", F.lit("boot-v1"), F.col("o_orderkey")))
+    u = (
+        (
+            F.col("x") * F.col("r.ha") + F.col("r.hb")
+        )
+        % F.lit(MINHASH_P)
+        % 1_000_000
+    ) / 1_000_000.0
+    w = F.lit(5)
+    for k in reversed(range(len(POISSON1_CDF))):
+        w = F.when(u < POISSON1_CDF[k], F.lit(k)).otherwise(w)
+    hist = {
+        r.w: r.n
+        for r in orders.withColumn("x", fp0.bitwiseAND(F.lit(_X_MASK)))
+        .select("x", F.explode(reps).alias("r"))
+        .select(w.alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = n_rows * n_replicas
+    expected = [POISSON1_CDF[0]] + [
+        POISSON1_CDF[k] - POISSON1_CDF[k - 1]
+        for k in range(1, len(POISSON1_CDF))
+    ]
+    for k, p in enumerate(expected):
+        # 4-sigma binomial tolerance — deterministic inputs, so this
+        # either always passes or flags a genuinely broken coin.
+        sigma = (total * p * (1 - p)) ** 0.5
+        assert abs(hist.get(k, 0) - total * p) < 4 * sigma + 1

@@ -267,6 +267,10 @@ def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
         F.when(fwd, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
         F.when(fwd, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
     )
+    # Materialize the oriented list once: the wedge self-join consumes it
+    # on BOTH sides, and without a cut point the two deg-joins above run
+    # twice (measured 7.5s -> 5.6s at sf0.1, identical census).
+    oriented = oriented.localCheckpoint(eager=True)
     o1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
     o2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
     cands = o1.join(o2, "src").filter(F.col("v") < F.col("w"))
