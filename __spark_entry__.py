@@ -183,18 +183,20 @@ _ROUND6_FIRST = [
 
 # Round-7 rotation, STAGED AHEAD (swap _ROUND6_FIRST -> _ROUND7_FIRST at
 # the start of round 7; re-validate against whatever round 7 adds). Head:
-# the 2 round-6 additions + the 14 round-5 additions (never
-# driver-checked) + the 2 probes whose answers changed in round 6 when
-# they gained oracle twins (micro-unit arithmetic shifts the last
-# rounded digit) + the 3 round-6 spill-overs; backfill: the oldest
-# r4-green rows (the _ROUND4_FIRST prefix outside the r5/r6 windows).
-# The remaining r4-greens (dup_span_stats..keyword_pagerank tail — 4
-# more than before, displaced by the head growth) roll to round 8.
+# the 3 round-6 additions + the 14 round-5 additions (never
+# driver-checked) + the 3 round-6 rewrites whose VALUES changed (the two
+# probes' micro-unit oracle twins; the bootstrap hash-once coin) + the 3
+# round-6 spill-overs; backfill: the oldest r4-green rows (the
+# _ROUND4_FIRST prefix outside the r5/r6 windows). The remaining
+# r4-greens (dup_span_stats..keyword_pagerank tail, plus the displaced
+# pii_scan) roll to round 8.
 _ROUND7_FIRST = [
     # -- round-6 additions, never driver-checked (3) --
     "pii_redact_stats", "quality_dup_correlation", "sole_late_suppliers",
-    # -- round-6 oracle-twin rewrites: plans + last-digit values changed (2) --
-    "ridge_probe", "logistic_probe",
+    # -- round-6 rewrites whose VALUES changed (3): the probes' micro-unit
+    # oracle twins shift last rounded digits; the bootstrap coin went
+    # hash-once+affine (same CI semantics, different replica draws) --
+    "ridge_probe", "logistic_probe", "bootstrap_mean_ci",
     # -- round-5 additions, never driver-checked (14) --
     "hard_negative_mining", "incremental_nation_rollup", "volume_shipping",
     "returned_items_report", "customer_order_distribution",
@@ -203,7 +205,8 @@ _ROUND7_FIRST = [
     "bpe_merge_candidates", "bpe_learn", "epochs_plan",
     # -- round-6 window spill (3) --
     "events_json", "user_rollup", "hourly_windows",
-    # -- oldest r4-green rows (33) --
+    # -- oldest r4-green rows (27; pii_scan displaced to round 8 by the
+    # bootstrap head entry) --
     "cohort_retention", "top_supplier_revenue", "approx_cardinality",
     "quality_scores", "language_id", "doc_fingerprints", "tfidf_top_terms",
     "doc_chunks", "doc_chunks_overlapping", "train_test_split",
@@ -212,7 +215,6 @@ _ROUND7_FIRST = [
     "minhash_dedup", "decontamination", "simhash", "curation_stats",
     "nation_customer_ranks", "segment_setops", "events_dedup",
     "purchase_asof_view", "views_before_purchase", "repetition_stats",
-    "pii_scan",
 ]
 
 
@@ -239,7 +241,7 @@ _ROUND8_FIRST = [
     "vocab_coverage", "char_lm_fluency", "truncation_recall", "knn_rrf",
     "filter_funnel", "dataset_card", "similar_docs", "sql_status_panel",
     "sql_orders_since", "daily_type_unpivot", "text_embedding_alignment",
-    "bootstrap_mean_ci", "top_orders_per_segment", "ann_recall_audit",
+    "pii_scan", "top_orders_per_segment", "ann_recall_audit",
     "prospect_customers", "segment_priority_chi2", "quality_weighted_sample",
     "first_purchase_latency", "bounce_rate_by_dow", "embedding_spectrum",
 ]
