@@ -84,27 +84,92 @@ def gauss_jordan_solve(
     return [M[i][d] for i in range(d)]
 
 
-def _design_rows(embeddings: DataFrame, positive_label: int) -> DataFrame:
-    """Row-form (vec_id, dim, val, y): dim 0 is the bias feature (1.0),
-    dims 1..D the embedding; y = 1.0 iff label == positive_label."""
+def _design_arr(embeddings: DataFrame, positive_label: int):
+    """Array-form design matrix (arr, y): ``arr[0]`` the bias 1.0,
+    ``arr[1..D]`` the embedding; y = 1.0 iff label == positive_label.
+    Returns (frame, d) with d = D + 1 (one tiny job to read D).
+
+    Array form, not long form: the round-5 shape exploded to one row
+    per (vec, dim) and built X^T X by self-joining on vec_id — two
+    exchanges of |rows|*d rows plus join machinery before the cell
+    aggregate. Keeping the vector whole lets every sufficient statistic
+    generate from the row in place (``_suff_stats``) and every dot
+    product stay a per-row ``zip_with`` fold — no shuffle anywhere
+    except the final (d+1)^2-key cell aggregate, whose map-side partials
+    bound the exchange by d^2 * partitions regardless of corpus size."""
+    d = int(embeddings.select(F.size("embedding").alias("s")).first().s) + 1  # sanctioned-collect: 1 cell (feature dim)
     y = (F.col("label") == positive_label).cast("double")
-    base = embeddings.select(
-        "vec_id",
-        F.posexplode("embedding").alias("pos", "v"),
-        y.alias("y"),
+    arr = F.concat(
+        F.array(F.lit(1.0)), F.col("embedding").cast("array<double>")
+    )
+    return embeddings.select(arr.alias("arr"), y.alias("y")), d
+
+
+def _suff_stats(df: DataFrame, d: int, rhs_mul, hess_mul):
+    """ONE distributed pass for a Newton/normal-equations step: the
+    upper triangle of X^T diag(hess_mul) X plus the rhs vector
+    X^T rhs_mul, fused into a single (i, j)-keyed aggregate (j = -1
+    marks rhs cells). Returns (cells, rhs) dicts in real units, with
+    the lower triangle mirrored driver-side — legal because
+    micro(arr[i]*arr[j]*m) is symmetric in (i, j) exactly (double
+    multiplication is commutative), so cell (j, i) equals (i, j)
+    bit-for-bit and the SQL oracle twin (which sums the full square)
+    matches without change.
+
+    Every term is an exact-integer micro-unit (``_micro``), so the
+    generate order here vs the oracle's row order vs the round-5
+    join order all sum to the identical integer."""
+    pairs = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i"),
+        "arr",
+        rhs_mul.alias("m1"),
+        hess_mul.alias("m2"),
     ).select(
-        "vec_id",
-        (F.col("pos") + 1).cast("long").alias("dim"),
-        F.col("v").cast("double").alias("val"),
-        "y",
+        "i",
+        F.explode(
+            F.concat(
+                F.sequence(F.col("i"), F.lit(d - 1)),
+                F.array(F.lit(-1)),
+            )
+        ).alias("j"),
+        "arr",
+        "m1",
+        "m2",
     )
-    bias = embeddings.select(
-        "vec_id",
-        F.lit(0).cast("long").alias("dim"),
-        F.lit(1.0).alias("val"),
-        y.alias("y"),
+    vi = F.element_at("arr", F.col("i").cast("int") + 1)
+    vj = F.element_at("arr", F.col("j").cast("int") + 1)
+    term = F.when(F.col("j") >= 0, vi * vj * F.col("m2")).otherwise(
+        vi * F.col("m1")
     )
-    return base.unionByName(bias)
+    out = (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(_micro(term)).alias("s"))
+        .collect()  # sanctioned-collect: (d+1)(d+2)/2 + (d+1) cells (~2.2k doubles at d=65)
+    )
+    cells: dict[tuple[int, int], float] = {}
+    rhs: dict[int, float] = {}
+    for r in out:
+        if r.j < 0:
+            rhs[r.i] = r.s / MICRO
+        else:
+            cells[(r.i, r.j)] = r.s / MICRO
+            cells[(r.j, r.i)] = r.s / MICRO
+    return cells, rhs
+
+
+def _arr_dot(df: DataFrame, w: list[float], out: str) -> DataFrame:
+    """Per-row dot product with the (broadcast-as-literal) weight
+    vector, as an exact-integer micro-unit fold — the scoring shape both
+    probes share, bit-identical to the round-5 explode+join+sum form
+    (same micro terms, integer addition in any order) with no join and
+    no shuffle: d+1 doubles ride the plan as a literal array."""
+    w_arr = F.array(*[F.lit(float(x)) for x in w])
+    fold = F.aggregate(
+        F.zip_with("arr", w_arr, lambda v, ww: _micro(v * ww)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn(out, fold / F.lit(MICRO))
 
 
 def ridge_probe(
@@ -118,59 +183,34 @@ def ridge_probe(
     check ("are the classes linearly separable in this space?"), and the
     template for any normal-equations fit at 100 TB:
 
-    1. sufficient statistics: X^T X ((d+1)^2 cells) and X^T y (d+1
-       cells) as outer-product hash aggregates — one shuffle of partial
-       sums, never a matrix on one node. Each cell is an exact-integer
-       micro-unit sum (terms rounded to MICRO units first), so the cell
-       values are identical across engines regardless of summation
-       order — the precondition for the DuckDB oracle twin;
+    1. sufficient statistics: the X^T X upper triangle and X^T y fused
+       into ONE (i, j)-keyed hash aggregate (``_suff_stats``) generated
+       in place from the array-form rows — one map-side-combined
+       shuffle bounded by d^2 * partitions, never a matrix on one node
+       and (since round 6) no self-join exchange of the exploded design
+       rows. Each cell is an exact-integer micro-unit sum (terms
+       rounded to MICRO units first), so the cell values are identical
+       across engines regardless of summation order — the precondition
+       for the DuckDB oracle twin;
     2. solve (X^T X + lam*I) w = X^T y with ``gauss_jordan_solve`` on
        the driver (d+1 ~ 65: microseconds) — plain-Python, no-pivot,
        op-order-identical to the oracle's unrolled CTE chain;
-    3. score distributedly: predictions via a broadcast weight frame
-       joined on dim (micro-unit dot products), one more aggregate for
-       RMSE + 0.5-threshold accuracy.
+    3. score distributedly: per-row ``zip_with`` micro-unit dot
+       products against the literal weight array (``_arr_dot`` — no
+       join, no shuffle), one more aggregate for RMSE + 0.5-threshold
+       accuracy.
 
     Oracle twin: ``oracles.ridge_probe_sql`` — generated from the same
-    MICRO/RIDGE_LAM/RIDGE_POS_LABEL constants this function defaults to.
+    MICRO/RIDGE_LAM/RIDGE_POS_LABEL constants this function defaults to;
+    unchanged by the round-6 plan rewrite because every cross-engine
+    value is the same exact integer sum.
 
     Returns one row: (n_vecs, rmse, accuracy, pos_rate)."""
-    rows = _design_rows(embeddings, positive_label)
-    a = rows.select("vec_id", F.col("dim").alias("i"), F.col("val").alias("vi"))
-    b = rows.select("vec_id", F.col("dim").alias("j"), F.col("val").alias("vj"))
-    xtx = (
-        a.join(b, "vec_id")
-        .groupBy("i", "j")
-        .agg(
-            F.sum(_micro(F.col("vi") * F.col("vj"))).alias("s")
-        )
-        .collect()  # sanctioned-collect: (d+1)^2 X^T X cells (~4k doubles)
-    )
-    xty = (
-        rows.groupBy("dim")
-        .agg(
-            F.sum(_micro(F.col("val") * F.col("y"))).alias("s")
-        )
-        .collect()  # sanctioned-collect: d+1 X^T y cells
-    )
-    d = max(r.i for r in xtx) + 1
-    cells = {(r.i, r.j): r.s / MICRO for r in xtx}
-    rhs = {r.dim: r.s / MICRO for r in xty}
+    df, d = _design_arr(embeddings, positive_label)
+    cells, rhs = _suff_stats(df, d, rhs_mul=F.col("y"), hess_mul=F.lit(1.0))
     w = gauss_jordan_solve(cells, rhs, d, lam)
 
-    spark = embeddings.sparkSession
-    wdf = spark.createDataFrame(
-        [(int(i), float(w[i])) for i in range(d)], "dim long, w double"
-    )
-    scored = (
-        rows.join(F.broadcast(wdf), "dim")
-        .groupBy("vec_id", "y")
-        .agg(
-            (
-                F.sum(_micro(F.col("val") * F.col("w"))) / F.lit(MICRO)
-            ).alias("pred")
-        )
-    )
+    scored = _arr_dot(df, w, "pred")
     err = F.col("pred") - F.col("y")
     hit = ((F.col("pred") > 0.5) == (F.col("y") > 0.5)).cast("long")
     return scored.agg(
@@ -189,21 +229,6 @@ def ridge_probe(
     )
 
 
-def _micro_dot(rows: DataFrame, wdf: DataFrame, out: str) -> DataFrame:
-    """Per-vector dot product with a broadcast weight frame, as an
-    exact-integer micro-unit sum: (vec_id, y, <out>) — the one scoring
-    shape both probes share, bit-identical across engines."""
-    return (
-        rows.join(F.broadcast(wdf), "dim")
-        .groupBy("vec_id", "y")
-        .agg(
-            (
-                F.sum(_micro(F.col("val") * F.col("w"))) / F.lit(MICRO)
-            ).alias(out)
-        )
-    )
-
-
 def logistic_probe(
     embeddings: DataFrame,
     positive_label: int = RIDGE_POS_LABEL,
@@ -213,12 +238,16 @@ def logistic_probe(
     """Logistic-regression probe by IRLS (Newton) — the ITERATIVE form of
     the aggregate-then-solve pattern: each iteration computes the
     gradient X^T (y - mu) and Hessian X^T S X as distributed aggregates
-    (the scoring pass that produces mu broadcasts the current weights —
-    d+1 doubles — never the data), solves the (d+1)^2 damped Newton
-    system on the driver, and repeats. Three iterations of Newton on a
-    well-scaled probe is effectively converged; per-iteration cluster
-    cost is one scoring join plus one outer-product aggregate, identical
-    shape every round.
+    (the scoring pass that produces mu rides the current weights into
+    the plan as a d+1-double literal array — never the data), solves
+    the (d+1)^2 damped Newton system on the driver, and repeats. Three
+    iterations of Newton on a well-scaled probe is effectively
+    converged; per-iteration cluster cost is ONE fused job (round 6):
+    mu, the residual, and the S weights are per-row expressions over
+    the array-form design frame, and gradient + Hessian triangle come
+    out of the single ``_suff_stats`` aggregate — the round-5 shape
+    paid three jobs per iteration (scoring join, gradient agg,
+    Hessian self-join agg) for the same integers.
 
     Determinism (round 6, enabling the DuckDB twin
     ``oracles.logistic_probe_sql``): every cross-engine aggregate is an
@@ -229,56 +258,26 @@ def logistic_probe(
     ``gauss_jordan_solve`` in the oracle's exact op order.
 
     Returns one row: (n_vecs, n_iters, accuracy, log_loss)."""
-    rows = _design_rows(embeddings, positive_label).persist()
-    d_frame = rows.agg(F.max("dim").alias("m")).collect()  # sanctioned-collect: 1 cell (feature dim)
-    d = int(d_frame[0].m) + 1
+    df, d = _design_arr(embeddings, positive_label)
+    df = df.persist()
     w = [0.0] * d
-    spark = embeddings.sparkSession
     sigmoid = F.round(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta"))), 6
     ).alias("mu")
     for _ in range(n_iters):
-        wdf = spark.createDataFrame(
-            [(int(i), float(w[i])) for i in range(d)], "dim long, w double"
-        )
-        mu = _micro_dot(rows, wdf, "eta").select("vec_id", "y", sigmoid)
-        resid = mu.select(
-            "vec_id",
+        scored = _arr_dot(df, w, "eta").select("arr", "y", sigmoid)
+        step = scored.select(
+            "arr",
             (F.col("y") - F.col("mu")).alias("r"),
             (F.col("mu") * (F.lit(1.0) - F.col("mu"))).alias("s"),
         )
-        joined = rows.join(resid, "vec_id")
-        grad_rows = (
-            joined.groupBy("dim")
-            .agg(
-                F.sum(_micro(F.col("val") * F.col("r"))).alias("g")
-            )
-            .collect()  # sanctioned-collect: d+1 gradient cells
+        cells, grad = _suff_stats(
+            step, d, rhs_mul=F.col("r"), hess_mul=F.col("s")
         )
-        a = joined.select(
-            "vec_id", F.col("dim").alias("i"), F.col("val").alias("vi"), "s"
-        )
-        b = rows.select(
-            "vec_id", F.col("dim").alias("j"), F.col("val").alias("vj")
-        )
-        hess_rows = (
-            a.join(b, "vec_id")
-            .groupBy("i", "j")
-            .agg(
-                F.sum(
-                    _micro(F.col("vi") * F.col("vj") * F.col("s"))
-                ).alias("h")
-            )
-            .collect()  # sanctioned-collect: (d+1)^2 Hessian cells
-        )
-        cells = {(r.i, r.j): r.h / MICRO for r in hess_rows}
-        rhs = {r.dim: (r.g / MICRO) - lam * w[r.dim] for r in grad_rows}
+        rhs = {i: grad.get(i, 0.0) - lam * w[i] for i in range(d)}
         delta = gauss_jordan_solve(cells, rhs, d, lam)
         w = [w[i] + delta[i] for i in range(d)]
-    wdf = spark.createDataFrame(
-        [(int(i), float(w[i])) for i in range(d)], "dim long, w double"
-    )
-    final = _micro_dot(rows, wdf, "eta").select("y", sigmoid)
+    final = _arr_dot(df, w, "eta").select("y", sigmoid)
     eps = 1e-12
     ll = -(
         F.col("y") * F.log(F.col("mu") + F.lit(eps))
@@ -297,5 +296,5 @@ def logistic_probe(
             4,
         ).alias("log_loss"),
     )
-    rows.unpersist()
+    df.unpersist()
     return out

@@ -1049,7 +1049,7 @@ FROM s"""
 
 def _probe_rows_sql(positive_label: int, dim: int) -> str:
     """Shared bias-augmented row-form CTE for the linear/logistic probes
-    (mirrors ml._design_rows): dim 0 = bias 1.0, dims 1..D = embedding."""
+    (mirrors ml._design_arr): dim 0 = bias 1.0, dims 1..D = embedding."""
     return f"""rows_f AS MATERIALIZED (
   SELECT vec_id, i AS dim, (embedding[i])::DOUBLE AS val,
          CASE WHEN label = {positive_label} THEN 1.0 ELSE 0.0 END AS y
