@@ -181,3 +181,46 @@ def test_bootstrap_coin_weights_follow_poisson1(spark):
         # either always passes or flags a genuinely broken coin.
         sigma = (total * p * (1 - p)) ** 0.5
         assert abs(hist.get(k, 0) - total * p) < 4 * sigma + 1
+
+
+def test_suff_stats_matches_numpy_outer_product(spark):
+    """The fused sufficient-statistics pass (round-6 probe rewrite) must
+    equal the dense outer products it replaced: X^T diag(s) X and
+    X^T r, computed by numpy on the same micro-rounded terms."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from xboard_spark.operators.ml import MICRO, _design_arr, _suff_stats
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(0, 1, (40, 4)).round(4)
+    labels = (rng.random(40) < 0.3).astype(int)
+    emb = spark.createDataFrame(
+        [
+            (i, [float(v) for v in X[i]], int(labels[i]))
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>, label long",
+    )
+    df, d = _design_arr(emb, positive_label=0)
+    assert d == 5
+    r_mul = F.col("y") * 2.0 - 1.0
+    s_mul = F.col("y") + 0.5
+    cells, rhs = _suff_stats(df, d, rhs_mul=r_mul, hess_mul=s_mul)
+
+    Xb = np.hstack([np.ones((40, 1)), X])
+    y = (labels == 0).astype(float)
+    r = y * 2.0 - 1.0
+    s = y + 0.5
+
+    def micro(x):
+        return math.floor(x * MICRO + 0.5)
+
+    for i in range(d):
+        for j in range(d):
+            want = sum(micro(Xb[k, i] * Xb[k, j] * s[k]) for k in range(40))
+            assert cells[(i, j)] == want / MICRO, (i, j)
+        want = sum(micro(Xb[k, i] * r[k]) for k in range(40))
+        assert rhs[i] == want / MICRO, i
