@@ -55,33 +55,54 @@ def fuzzy_customer_pairs(customer: DataFrame, max_dist: int = 1) -> DataFrame:
     documented sum(block^2) cost."""
     probe = customer.select("c_custkey", "c_name", "c_nationkey")
     if max_dist == 1:
+        # The variant frame the self-join shuffles is NARROW on purpose:
+        # (custkey, 8-byte hash of (nationkey, variant)) — names never
+        # ride the ~(len+1)-way explode, and the candidate distinct
+        # dedups 16-byte rows instead of 5 string columns. A hash
+        # collision can only ADD a false candidate (within or across
+        # nations), and every candidate is verified by the exact
+        # nationkey-equality + Levenshtein filter after the name
+        # join-back, so the output is provably identical. Measured at
+        # sf0.1: 2.18s -> 1.15s, same 10435 pairs.
         variants = probe.select(
             "c_custkey",
-            "c_name",
             "c_nationkey",
             F.explode(_deletion_neighborhood("c_name")).alias("v"),
+        ).select(
+            "c_custkey",
+            F.xxhash64("c_nationkey", "v").alias("vh"),
         )
         a = variants.alias("a")
         b = variants.alias("b")
         cand = (
             a.join(
                 b,
-                (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-                & (F.col("a.v") == F.col("b.v"))
+                (F.col("a.vh") == F.col("b.vh"))
                 & (F.col("a.c_custkey") < F.col("b.c_custkey")),
             )
             .select(
-                F.col("a.c_nationkey").alias("nationkey"),
                 F.col("a.c_custkey").alias("custkey_a"),
                 F.col("b.c_custkey").alias("custkey_b"),
-                F.col("a.c_name").alias("name_a"),
-                F.col("b.c_name").alias("name_b"),
             )
             .distinct()
         )
-        pairs = cand.withColumn(
-            "name_dist", F.levenshtein("name_a", "name_b")
-        ).filter(F.col("name_dist") <= 1)
+        na = probe.select(
+            F.col("c_custkey").alias("custkey_a"),
+            F.col("c_name").alias("name_a"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        nb = probe.select(
+            F.col("c_custkey").alias("custkey_b"),
+            F.col("c_name").alias("name_b"),
+            F.col("c_nationkey").alias("nationkey_b"),
+        )
+        pairs = (
+            cand.join(na, "custkey_a")
+            .join(nb, "custkey_b")
+            .filter(F.col("nationkey") == F.col("nationkey_b"))
+            .withColumn("name_dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("name_dist") <= 1)
+        )
     else:
         a = probe.alias("a")
         b = probe.alias("b")
