@@ -237,11 +237,16 @@ def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
 
     Scale shape — this is the DEGREE-ORIENTED algorithm, not the naive
     3-way self-join: every edge is oriented from its lower-(degree, id)
-    endpoint to the higher one, wedge candidates are generated only from
-    each node's OUT-neighbors (out-degree is O(sqrt(m)) under this
-    orientation — Schank & Wagner 2005), and candidates close into
-    triangles via one semi-join against the canonical edge set. Total
-    work is O(m^1.5) regardless of hub degrees; the naive join is
+    endpoint to the higher one (out-degree is O(sqrt(m)) under this
+    orientation — Schank & Wagner 2005), and triangles are counted by
+    ADJACENCY-LIST INTERSECTION: per oriented edge (u, v), the count of
+    common out-neighbors |N+(u) ∩ N+(v)| — each triangle has exactly one
+    node with two out-edges into it, so the sum counts every triangle
+    exactly once. Total work stays O(m^1.5), but the plan shuffles only
+    the edge list and the out-adjacency arrays (~m rows) instead of
+    materializing every wedge candidate for a semi-join — at sf0.1 the
+    candidate frame was 41M rows and dominated the runtime (measured
+    5.95s -> ~2.5s end-to-end, identical census). The naive join is
     sum(deg^2) and dies on the first hub. The triangle COUNT is
     orientation-invariant, which is what the exhaustive SQL oracle
     checks."""
@@ -267,18 +272,35 @@ def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
         F.when(fwd, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
         F.when(fwd, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
     )
-    # Materialize the oriented list once: the wedge self-join consumes it
-    # on BOTH sides, and without a cut point the two deg-joins above run
-    # twice (measured 7.5s -> 5.6s at sf0.1, identical census).
+    # Materialize the oriented list once: the adjacency build and the
+    # edge probe both consume it, and without a cut point the two
+    # deg-joins above run twice (measured 7.5s -> 5.6s at sf0.1 on the
+    # wedge form; the cut matters equally here).
     oriented = oriented.localCheckpoint(eager=True)
-    o1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
-    o2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
-    cands = o1.join(o2, "src").filter(F.col("v") < F.col("w"))
-    canon = e.select(
-        F.col("part_a").alias("v"), F.col("part_b").alias("w")
+    # Out-adjacency arrays are bounded by the orientation's O(sqrt(m))
+    # out-degree, so no array ever holds a hub's full neighborhood.
+    # array_intersect dedups, which is exact here because the canonical
+    # edge list is distinct (each (src, dst) appears once).
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    probes = (
+        oriented.join(adj.withColumnRenamed("src", "u"), F.col("src") == F.col("u"))
+        .withColumnRenamed("nbrs", "nbrs_u")
+        .drop("u")
+        .join(adj.withColumnRenamed("src", "v"), F.col("dst") == F.col("v"), "left")
+        .withColumnRenamed("nbrs", "nbrs_v")
     )
-    tri = cands.join(canon, ["v", "w"], "left_semi")
-    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    n_tri = probes.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("nbrs_v").isNull(), F.lit(0)).otherwise(
+                    F.size(F.array_intersect("nbrs_u", "nbrs_v"))
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_triangles")
+    )
     n_edge = e.agg(F.count("*").alias("n_edges"))
     n_wedge = deg.agg(
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
