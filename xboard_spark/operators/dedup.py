@@ -843,7 +843,10 @@ def simhash_neardup_pairs(
     same split-and-probe layout."""
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sims = simhash_fingerprints(documents, bits)
+    # Cut point: the band self-join consumes the fingerprint frame on
+    # both sides, and the per-token md5 + per-bit vote aggregates are the
+    # expensive subtree — without the checkpoint they run twice.
+    sims = simhash_fingerprints(documents, bits).localCheckpoint(eager=True)
     bands = sims.select(
         "doc_id",
         "simhash",
@@ -869,19 +872,21 @@ def simhash_neardup_pairs(
     right = bands.select(
         "band", "bval", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
     )
-    cands = (
+    # The xor+popcount verify runs BEFORE the distinct: hamming is a pure
+    # function of the candidate row, so filter and distinct commute, and
+    # the dedup shuffle then carries only the verified pairs (thousands)
+    # instead of every banded candidate (2.7M at sf0.1 — shared-vocab
+    # corpora make the 8-bit buckets collide heavily).
+    return (
         left.join(right, ["band", "bval"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
-    )
-    return (
-        cands.withColumn(
+        .withColumn(
             "hamming",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
