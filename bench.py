@@ -229,6 +229,16 @@ def main() -> None:
         ).collect()
         return round(time.time() - t0, 3)
 
+    def _reclaim() -> None:
+        # Python first: py4j releases dead DataFrames' JVM handles via
+        # finalizers that only run after CPython GC breaks their cycles,
+        # and until those handles drop, the JVM GC below cannot free the
+        # localCheckpoint/broadcast blocks they pin.
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     cal_pre = _calibrate()
 
     errors: dict[str, str] = {}
@@ -240,7 +250,7 @@ def main() -> None:
         # releases the shuffle files and broadcast blocks of the ~40
         # queries' dead DataFrames — the accumulation showed up as later
         # passes measuring uniformly slower than the same queries solo.
-        spark.sparkContext._jvm.System.gc()
+        _reclaim()
         pass_t: dict[str, float] = {}
         for name in HEADLINE:
             if name in errors:  # failed once -> don't pay it 3x
@@ -286,7 +296,7 @@ def main() -> None:
             b = rebase0.get(name, {}).get("value") or baseline["queries"].get(name)
             if not b or not (dt > 2.0 * b and dt - b > 1.0):
                 continue
-            spark.sparkContext._jvm.System.gc()
+            _reclaim()
             for _ in range(2):
                 t0 = time.time()
                 try:
@@ -336,7 +346,7 @@ def main() -> None:
     # same discipline as the gated section.
     extended: dict[str, float] = {}
     for _pass in range(2):
-        spark.sparkContext._jvm.System.gc()
+        _reclaim()
         for name in EXTENDED:
             if name not in qs or name in errors:
                 continue
@@ -363,8 +373,16 @@ def main() -> None:
             b = ext_rebase.get(name, {}).get("value") or ext_base.get(name)
             if not b:
                 continue
-            if dt > 2.0 * b and dt - b > 1.0:
-                spark.sparkContext._jvm.System.gc()
+            # up to TWO isolated re-measures, stopping as soon as one
+            # clears: a single re-measure proved insufficient on this
+            # host (a part_pagerank flag at 2.1x survived its lone
+            # re-measure, then measured 1.1x on the next full run — the
+            # hiccup window covered both sweeps AND the retry). Real
+            # regressions are deterministic and fail all attempts.
+            attempts = 0
+            while dt > 2.0 * b and dt - b > 1.0 and attempts < 2:
+                attempts += 1
+                _reclaim()
                 t0 = time.time()
                 try:
                     qs[name](spark, sf_dir).collect()
@@ -375,7 +393,9 @@ def main() -> None:
                     errors[name] = (
                         f"{type(exc).__name__}: {exc}".splitlines()[0][:200]
                     )
-                    continue
+                    break
+            if name in errors:
+                continue
             ext_ratios[name] = round(dt / b, 2)
             if dt > 2.0 * b and dt - b > 1.0:
                 extended_regressions.append(
