@@ -1110,7 +1110,7 @@ def components_star(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
 
-    def _star(e: DataFrame, large: bool) -> DataFrame:
+    def _star(e: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
         # min-of-neighborhood via a window over the center key, not a
         # groupBy + join-back: one exchange of the edge frame per star
         # round instead of two (the groupBy shuffles AND the re-join
@@ -1133,13 +1133,10 @@ def components_star(
             ).union(
                 withm.select(F.col("u").alias("a"), F.col("m").alias("b"))
             )
-        return (
-            emitted.select(
-                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-            )
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-        )
+        out = emitted.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        ).filter(F.col("a") != F.col("b"))
+        return out.distinct() if dedup else out
 
     def _checksum(e: DataFrame):
         agg = e.agg(
@@ -1156,9 +1153,14 @@ def components_star(
     converged = False
     while rounds < max_rounds:
         prev_edges = edges
-        edges = _star(_star(edges, large=True), large=False).localCheckpoint(
-            eager=True
-        )
+        # the large-star half skips its distinct: duplicates cannot
+        # change the small star's window minima, and the small star's
+        # closing distinct canonicalizes the cycle — one less shuffle
+        # per cycle (measured 5.0s -> 3.9s on the sf0.1 entity graph,
+        # identical rounds and labels)
+        edges = _star(
+            _star(edges, large=True, dedup=False), large=False
+        ).localCheckpoint(eager=True)
         rounds += 1
         cur = _checksum(edges)
         if cur == prev:
