@@ -44,6 +44,7 @@ def clear_index_caches() -> int:
     for cache in (
         dedup._INDEX_CACHE,
         dedup._PAIRS_CACHE,
+        dedup._CLUSTERS_CACHE,
         graph._EDGE_CACHE,
         graph._RAW_EDGE_CACHE,
         similarity._NORM_CACHE,

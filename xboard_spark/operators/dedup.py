@@ -135,6 +135,12 @@ _INDEX_CACHE: dict[tuple[int, int, int], DataFrame] = {}
 # LSH-candidate pairs with exact Jaccard, BEFORE the tau filter (see
 # minhash_dedup_pairs).
 _PAIRS_CACHE: dict[tuple[int, int, int, int, int], DataFrame] = {}
+# (documents semanticHash, n, n_perms, n_bands, tau in micro-units,
+# max_df) -> persisted component labels of the verified pair graph. tau is
+# part of the key (unlike _PAIRS_CACHE, which stores unfiltered pairs and
+# filters on read) because the threshold changes the GRAPH the components
+# are computed over.
+_CLUSTERS_CACHE: dict[tuple[int, int, int, int, int, int], DataFrame] = {}
 
 
 def cached_filtered_index(documents: DataFrame, n: int, max_df: int) -> DataFrame:
@@ -544,13 +550,28 @@ def dedup_clusters(
     paths geometrically (~10 cycles). The edge list is the PERSISTED
     verified pair set (shared via ``minhash_dedup_pairs``' cache), so
     each round joins a cached/checkpointed frame, never recomputes the
-    MinHash stack."""
+    MinHash stack. The RESULT is cached too (``_CLUSTERS_CACHE``,
+    released by ``clear_index_caches``): three registered queries
+    (``dedup_clusters``, ``canonical_docs``, ``cluster_size_profile``)
+    consume the same cluster frame, and without the cache each one
+    re-runs the whole star loop — at scale the labels are a persisted
+    table next to the pair index."""
     pairs = minhash_dedup_pairs(
         documents, n, n_perms, n_bands, tau, max_df
     ).select("doc_a", "doc_b")
     if max_iters is not None:
         return min_label_components(pairs, max_iters)
-    return components_star(pairs)
+    key = (
+        documents.semanticHash(),
+        n,
+        n_perms,
+        n_bands,
+        int(round(tau * 1_000_000)),
+        max_df,
+    )
+    if key not in _CLUSTERS_CACHE:
+        _CLUSTERS_CACHE[key] = components_star(pairs).persist()
+    return _CLUSTERS_CACHE[key]
 
 
 def min_label_components(
