@@ -317,13 +317,18 @@ def test_clear_index_caches_releases_and_rebuilds(docs, vecs):
     from xboard_spark.operators import dedup, similarity
 
     before = dedup.minhash_dedup_pairs(docs, tau=0.3).collect()
+    clusters_before = dedup.dedup_clusters(docs, tau=0.3).collect()
     similarity.knn_lsh(vecs, n_queries=1, k=3).collect()
+    assert dedup._CLUSTERS_CACHE  # cluster labels persisted alongside pairs
     released = xboard_spark.clear_index_caches()
     assert released > 0
     assert not dedup._INDEX_CACHE and not dedup._PAIRS_CACHE
+    assert not dedup._CLUSTERS_CACHE
     assert not similarity._CORPUS_CACHE
     after = dedup.minhash_dedup_pairs(docs, tau=0.3).collect()
     assert after == before
+    clusters_after = dedup.dedup_clusters(docs, tau=0.3).collect()
+    assert clusters_after == clusters_before
 
 
 def test_min_label_components_converges_on_diameter6_chain(spark):
