@@ -150,7 +150,8 @@ _ROUND5_FIRST = [
 ]
 
 
-# Round-6 rotation (ACTIVE since round 6). Head: the 19 registered queries that have NEVER
+# Round-6 rotation (retired — kept for the round-6 correctness record).
+# Head: the 19 registered queries that had NEVER
 # had a driver row (round-4 additions outside every window so far), then the
 # relational basics last driver-checked r2/r3, then the two r3-green
 # similarity entries displaced from the round-5 window. Exactly 50; the
@@ -181,8 +182,7 @@ _ROUND6_FIRST = [
 ]
 
 
-# Round-7 rotation, STAGED AHEAD (swap _ROUND6_FIRST -> _ROUND7_FIRST at
-# the start of round 7; re-validate against whatever round 7 adds). Head:
+# Round-7 rotation (ACTIVE since round 7). Head:
 # the 3 round-6 additions + the 14 round-5 additions (never
 # driver-checked) + the 3 round-6 rewrites whose VALUES changed (the two
 # probes' micro-unit oracle twins; the bootstrap hash-once coin) + the 3
@@ -225,7 +225,7 @@ _ROUND7_FIRST = [
 # the r7 window, the r4-window remainder, and doc_stats/session_stats),
 # then the oldest r5-window entries. The 18-query spill
 # (kmeans_inertia, canonical_docs..revenue_change_forecast) rolls to
-# round 9.
+# round 9 (heads _ROUND9_FIRST below).
 _ROUND8_FIRST = [
     # -- r4-era driver rows by round 8 (22, incl. the r7 tail spill) --
     "knn_label_vote", "boilerplate_ngrams", "dup_span_stats", "basket_pairs",
@@ -247,8 +247,37 @@ _ROUND8_FIRST = [
 ]
 
 
+# Round-9 rotation, STAGED AHEAD (swap at the start of round 9;
+# re-validate against whatever rounds 8-9 add). Head: the 18 queries
+# whose last driver row will be r5-era by then (the r5-window tail that
+# fit in neither the r7 nor the r8 window), then the oldest 32
+# r6-window rows in their r6 order. The remaining 18 r6-window rows
+# (events_daily tail, knn_pq, embedding_quantization, ...) roll to
+# round 10.
+_ROUND9_FIRST = [
+    # -- r5-era driver rows by round 9 (18) --
+    "kmeans_inertia", "canonical_docs", "ngram_novelty", "semantic_decontam",
+    "activity_heatmap", "key_skew_profile", "traffic_anomalies",
+    "temporal_split_audit", "session_paths", "shipping_lag_stats",
+    "lsh_candidate_profile", "fk_integrity_audit", "volume_gaps",
+    "user_erasure_audit", "quantile_sketch_error", "ivf_delta_assign",
+    "brand_supplier_diversity", "revenue_change_forecast",
+    # -- oldest r6-window rows (32) --
+    "customer_entity_clusters", "orders_mom_growth", "seasonal_naive_error",
+    "effective_tokens", "customer_spend_percentiles", "order_fanout_profile",
+    "watermark_delay_profile", "supplier_panel", "revenue_concentration",
+    "cluster_size_profile", "props_key_coverage", "reading_level",
+    "simhash_neardup", "part_degree_profile", "copurchase_triangles",
+    "chunk_dedup_stats", "conversion_attribution", "lsh_recall_audit",
+    "events_json_variant", "status_distinct_aggs", "revenue_rollup",
+    "value_percentiles", "daily_type_pivot", "customers_without_orders",
+    "rolling_revenue", "customer_order_gaps", "orders_cube", "rfm_segments",
+    "funnel_conversion", "term_cooccurrence", "overview", "orders_by_date",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dict ORDER is deliberate — see ``_ROUND6_FIRST``: the driver checks
+    """Dict ORDER is deliberate — see ``_ROUND7_FIRST``: the driver checks
     the first 50 entries per round, so entries rotate so that no registered
     query's driver correctness row goes more than one round stale.
     """
@@ -736,7 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "customer"), _t(s, d, "orders")
         ),
     }
-    ordered = {name: base[name] for name in _ROUND6_FIRST}
+    ordered = {name: base[name] for name in _ROUND7_FIRST}
     ordered.update(base)  # remaining entries keep their relative order
     return ordered
 
