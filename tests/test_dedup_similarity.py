@@ -331,6 +331,24 @@ def test_clear_index_caches_releases_and_rebuilds(docs, vecs):
     assert clusters_after == clusters_before
 
 
+def test_cluster_cache_hit_restores_last_rounds(docs):
+    """``components_star.last_rounds`` must describe the frame a warm
+    ``dedup_clusters`` call returns — not whatever unrelated invocation
+    ran last (ADVICE r6: stale-observability trap for convergence
+    diagnostics that read it after a cache hit)."""
+    import xboard_spark
+
+    xboard_spark.clear_index_caches()
+    dedup.dedup_clusters(docs, tau=0.3).collect()
+    recorded = dedup.components_star.last_rounds
+    # clobber the diagnostic, as an unrelated components run would
+    dedup.components_star.last_rounds = -999
+    dedup.dedup_clusters(docs, tau=0.3)  # warm: cache hit, no star loop
+    assert dedup.components_star.last_rounds == recorded
+    xboard_spark.clear_index_caches()
+    assert not dedup._CLUSTERS_ROUNDS
+
+
 def test_min_label_components_converges_on_diameter6_chain(spark):
     """Round-3 verdict item: a chain-shaped component of diameter > 4 got
     non-minimal cluster ids under the old ``max_iters=4`` default with no

@@ -183,6 +183,65 @@ def test_bootstrap_coin_weights_follow_poisson1(spark):
         assert abs(hist.get(k, 0) - total * p) < 4 * sigma + 1
 
 
+def test_bootstrap_replica_weights_decorrelated(spark):
+    """ADVICE r6: the affine family gives pairwise-UNCORRELATED replica
+    coins, and the histogram test above only pins the marginal — pin the
+    cross-replica structure empirically too: over a deterministic corpus
+    the pairwise Pearson correlation between replica weight vectors must
+    be indistinguishable from independent draws (|rho| < ~4/sqrt(n))."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from xboard_spark.functions.portable_hash import (
+        MINHASH_P,
+        _X_MASK,
+        fingerprint64,
+        minhash_params,
+    )
+    from xboard_spark.operators.sampling import BOOT_SEED, POISSON1_CDF
+
+    n_rows, n_replicas = 600, 16
+    orders = spark.createDataFrame(
+        [(i, 100.0) for i in range(n_rows)],
+        "o_orderkey long, o_totalprice double",
+    )
+    params = minhash_params(n_replicas, seed=BOOT_SEED)
+    reps = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("b"), F.lit(a).alias("ha"), F.lit(b).alias("hb")
+            )
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    fp0 = fingerprint64(
+        F.concat_ws(":", F.lit("boot-v1"), F.col("o_orderkey"))
+    )
+    u = (
+        (F.col("x") * F.col("r.ha") + F.col("r.hb"))
+        % F.lit(MINHASH_P)
+        % 1_000_000
+    ) / 1_000_000.0
+    w = F.lit(5)
+    for k in reversed(range(len(POISSON1_CDF))):
+        w = F.when(u < POISSON1_CDF[k], F.lit(k)).otherwise(w)
+    rows = (
+        orders.withColumn("x", fp0.bitwiseAND(F.lit(_X_MASK)))
+        .select("o_orderkey", "x", F.explode(reps).alias("r"))
+        .select("o_orderkey", F.col("r.b").alias("b"), w.alias("w"))
+        .collect()
+    )
+    mat = np.zeros((n_rows, n_replicas))
+    for r in rows:
+        mat[r.o_orderkey, r.b] = r.w
+    corr = np.corrcoef(mat.T)
+    off_diag = corr[~np.eye(n_replicas, dtype=bool)]
+    # independent Poisson vectors of length n have rho ~ N(0, 1/sqrt(n));
+    # 4.5 sigma over 120 pairs keeps the deterministic check stable while
+    # catching any systematic cross-replica coupling (rho ~ O(1))
+    assert np.abs(off_diag).max() < 4.5 / np.sqrt(n_rows)
+
+
 def test_suff_stats_matches_numpy_outer_product(spark):
     """The fused sufficient-statistics pass (round-6 probe rewrite) must
     equal the dense outer products it replaced: X^T diag(s) X and

@@ -58,4 +58,5 @@ def clear_index_caches() -> int:
                 df.unpersist()
                 n += 1
         cache.clear()
+    dedup._CLUSTERS_ROUNDS.clear()  # diagnostic sidecar, no frames to release
     return n

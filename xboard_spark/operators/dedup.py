@@ -141,6 +141,10 @@ _PAIRS_CACHE: dict[tuple[int, int, int, int, int], DataFrame] = {}
 # filters on read) because the threshold changes the GRAPH the components
 # are computed over.
 _CLUSTERS_CACHE: dict[tuple[int, int, int, int, int, int], DataFrame] = {}
+# star-rounds diagnostic for each cached cluster frame, restored onto
+# ``components_star.last_rounds`` on cache hits (kept OUT of
+# _CLUSTERS_CACHE so clear_index_caches' unpersist loop only sees frames)
+_CLUSTERS_ROUNDS: dict[tuple[int, int, int, int, int, int], int] = {}
 
 
 def cached_filtered_index(documents: DataFrame, n: int, max_df: int) -> DataFrame:
@@ -571,6 +575,12 @@ def dedup_clusters(
     )
     if key not in _CLUSTERS_CACHE:
         _CLUSTERS_CACHE[key] = components_star(pairs).persist()
+        _CLUSTERS_ROUNDS[key] = components_star.last_rounds
+    else:
+        # restore the rounds diagnostic on cache hits — otherwise
+        # ``components_star.last_rounds`` silently retains the value
+        # from an earlier, possibly unrelated invocation
+        components_star.last_rounds = _CLUSTERS_ROUNDS[key]
     return _CLUSTERS_CACHE[key]
 
 

@@ -137,7 +137,13 @@ def _suff_stats(df: DataFrame, d: int, rhs_mul, hess_mul):
         "m2",
     )
     vi = F.element_at("arr", F.col("i").cast("int") + 1)
-    vj = F.element_at("arr", F.col("j").cast("int") + 1)
+    # j = -1 marks rhs cells; clamp the lookup so the expression is a
+    # valid array index on EVERY row (the CASE WHEN below never reads
+    # vj on sentinel rows, but correctness must not depend on lazy
+    # branch evaluation surviving future optimizer/ANSI changes).
+    vj = F.element_at(
+        "arr", F.greatest(F.col("j"), F.lit(0)).cast("int") + 1
+    )
     term = F.when(F.col("j") >= 0, vi * vj * F.col("m2")).otherwise(
         vi * F.col("m1")
     )

@@ -300,9 +300,12 @@ def bootstrap_mean_ci(
     deriving the 32 replica uniforms with integer affine mixes (exactly
     the universal-hash family MinHash already trusts for independence)
     measured 0.9s — same aggregation plan, 32x fewer digests. Weights
-    stay independent across rows (distinct fingerprints) and across
-    replicas (pairwise-independent family), which is all the Poisson
-    bootstrap needs.
+    stay independent across rows (distinct fingerprints); across
+    replicas the affine family guarantees pairwise-uncorrelated draws
+    (not full joint independence — CI quantiles also touch higher-order
+    cross-replica structure), adequate at these replica counts and
+    pinned empirically by the cross-replica correlation test
+    (``test_bootstrap_replica_weights_decorrelated``).
 
     Scale shape: one scan exploded x``n_replicas`` (column-local, no
     shuffle), a partial+final agg keyed on the replica id (bounded

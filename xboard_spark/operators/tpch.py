@@ -769,9 +769,14 @@ def sole_late_suppliers(
     Scale shape: the correlated subqueries become (orderkey, suppkey)
     and (orderkey) hash aggregates over the SAME joined frame — two
     shuffles keyed on natural keys instead of one correlated probe per
-    row; the verdict join reuses the orderkey partitioning, and the
-    per-supplier result (bounded by |supplier|) broadcasts into the name
-    join. Top-k is TakeOrderedAndProject with a full deterministic
+    row; the verdict join reuses the orderkey partitioning. The
+    per-supplier result is bounded by |suppliers with a late sole
+    order| — usually tiny, but NOT a constant (10M+ such suppliers
+    would overflow a forced broadcast build), so the name join carries
+    no broadcast hint: AQE sees the aggregate's actual size at runtime
+    and picks broadcast when it fits, shuffle-hash when it doesn't —
+    the graceful-degradation shape for 100 TB (VERDICT r6 design note).
+    Top-k is TakeOrderedAndProject with a full deterministic
     tie-break."""
     li = lineitem.join(
         orders.filter(F.col("o_orderstatus") == "F").select(
@@ -800,9 +805,7 @@ def sole_late_suppliers(
     )
     return (
         supplier.select("s_suppkey", "s_name")
-        .join(
-            F.broadcast(waiting), F.col("s_suppkey") == F.col("l_suppkey")
-        )
+        .join(waiting, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.desc("numwait"), F.asc("s_name"), F.asc("s_suppkey"))
         .limit(k)
