@@ -1047,6 +1047,42 @@ def test_customer_entity_clusters_transitive_chain(spark):
     assert [(r.entity_id, r.n_members, r.rep_custkey) for r in out] == [(1, 3, 1)]
 
 
+def test_linkage_caches_warm_identical_and_released(spark):
+    """Round-7: the verified fuzzy pair set and the entity-cluster labels
+    are cached per (corpus plan, max_dist) — warm calls must return
+    bit-identical rows, restore ``components_star.last_rounds``, and
+    ``clear_index_caches`` must release and rebuild both."""
+    import xboard_spark
+    from xboard_spark.operators import linkage
+    from xboard_spark.operators.dedup import components_star
+
+    cust = spark.createDataFrame(
+        [
+            (1, "AAAA", 0, 1.0, "B"),
+            (2, "AAAB", 0, 1.0, "B"),
+            (3, "AABB", 0, 1.0, "B"),
+            (9, "ZZZZ", 0, 1.0, "B"),
+        ],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    xboard_spark.clear_index_caches()
+    pairs_cold = linkage.fuzzy_customer_pairs(cust).collect()
+    clusters_cold = linkage.customer_entity_clusters(cust).collect()
+    assert linkage._FUZZY_PAIRS_CACHE and linkage._ENTITY_CLUSTERS_CACHE
+    recorded = components_star.last_rounds
+    components_star.last_rounds = -999  # as an unrelated run would leave it
+    assert linkage.fuzzy_customer_pairs(cust).collect() == pairs_cold
+    assert linkage.customer_entity_clusters(cust).collect() == clusters_cold
+    assert components_star.last_rounds == recorded
+    xboard_spark.clear_index_caches()
+    assert not linkage._FUZZY_PAIRS_CACHE
+    assert not linkage._ENTITY_CLUSTERS_CACHE
+    assert not linkage._ENTITY_ROUNDS
+    assert linkage.fuzzy_customer_pairs(cust).collect() == pairs_cold
+    assert linkage.customer_entity_clusters(cust).collect() == clusters_cold
+
+
 def test_orders_mom_growth_planted(spark):
     import datetime as dt
 

@@ -38,7 +38,7 @@ def clear_index_caches() -> int:
     any in-place rewrite. (At scale the index is a persisted table whose
     freshness is owned by the pipeline, so the in-session analogue keeps
     the same contract: explicit invalidation, not mtime-watching.)"""
-    from xboard_spark.operators import dedup, graph, similarity
+    from xboard_spark.operators import dedup, graph, linkage, similarity
 
     n = 0
     for cache in (
@@ -47,6 +47,8 @@ def clear_index_caches() -> int:
         dedup._CLUSTERS_CACHE,
         graph._EDGE_CACHE,
         graph._RAW_EDGE_CACHE,
+        linkage._FUZZY_PAIRS_CACHE,
+        linkage._ENTITY_CLUSTERS_CACHE,
         similarity._NORM_CACHE,
         similarity._CORPUS_CACHE,
         similarity._IVF_CACHE,
@@ -58,5 +60,7 @@ def clear_index_caches() -> int:
                 df.unpersist()
                 n += 1
         cache.clear()
-    dedup._CLUSTERS_ROUNDS.clear()  # diagnostic sidecar, no frames to release
+    # diagnostic sidecars, no frames to release
+    dedup._CLUSTERS_ROUNDS.clear()
+    linkage._ENTITY_ROUNDS.clear()
     return n
