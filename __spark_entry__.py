@@ -220,13 +220,17 @@ _ROUND7_FIRST = [
 
 # Round-8 rotation, STAGED AHEAD (swap at the start of round 8;
 # re-validate against whatever rounds 7-8 add — new queries displace
-# tail entries here). Head: the 21 queries whose last driver row will be
+# tail entries here). Head: the 2 round-7 additions (never
+# driver-checked), then the 21 queries whose last driver row will be
 # r4-era by then (the entries the round-6 additions displaced from
 # the r7 window, the r4-window remainder, and doc_stats/session_stats),
 # then the oldest r5-window entries. The 18-query spill
 # (kmeans_inertia, canonical_docs..revenue_change_forecast) rolls to
-# round 9 (heads _ROUND9_FIRST below).
+# round 9 (heads _ROUND9_FIRST below); the entry the round-7 addition
+# displaced (embedding_spectrum) rolls to round 10.
 _ROUND8_FIRST = [
+    # -- round-7 addition, never driver-checked (1) --
+    "dedup_token_savings",
     # -- r4-era driver rows by round 8 (22, incl. the r7 tail spill) --
     "knn_label_vote", "boilerplate_ngrams", "dup_span_stats", "basket_pairs",
     "value_outliers", "scd2_history", "table_profile", "decayed_engagement",
@@ -243,7 +247,7 @@ _ROUND8_FIRST = [
     "sql_orders_since", "daily_type_unpivot", "text_embedding_alignment",
     "pii_scan", "top_orders_per_segment", "ann_recall_audit",
     "prospect_customers", "segment_priority_chi2", "quality_weighted_sample",
-    "first_purchase_latency", "bounce_rate_by_dow", "embedding_spectrum",
+    "first_purchase_latency", "bounce_rate_by_dow",
 ]
 
 
@@ -584,6 +588,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "quality_dup_correlation": lambda s, d: curation.quality_dup_correlation(
+            _t(s, d, "documents")
+        ),
+        # --- round-7 addition ---
+        "dedup_token_savings": lambda s, d: curation.dedup_token_savings(
             _t(s, d, "documents")
         ),
         "dedup_clusters": lambda s, d: dedup.dedup_clusters(

@@ -166,6 +166,7 @@ EXTENDED = [
     "pii_redact_stats",
     "quality_dup_correlation",
     "sole_late_suppliers",
+    "dedup_token_savings",
 ]
 
 

@@ -230,6 +230,74 @@ def effective_tokens(documents: DataFrame, chunk_size: int = 64) -> DataFrame:
     )
 
 
+def dedup_token_savings(documents: DataFrame, tau: float = 0.5) -> DataFrame:
+    """The curation COST/BENEFIT panel for near-dedup: per language, how
+    many tokens does collapsing each near-dup cluster to its richest
+    member (the ``canonical_docs`` keep-the-richest policy: max tokens,
+    tie -> min doc_id) actually remove? Reports per lang: corpus docs and
+    tokens, removed docs and tokens, and the savings rate — the number
+    that decides whether the MinHash pass pays for itself on a given
+    corpus slice (a 0.2% savings rate on a lang says skip it; 15% says
+    the pipeline is reprocessing the same text fifteen times per epoch).
+
+    Scale shape: the cluster frame is the CACHED dedup_clusters output
+    (only docs in >= 1 near-dup pair); representative selection is a
+    window over that small frame; the removed set joins back to the
+    corpus keyed on doc_id (small build side, AQE-broadcastable); the
+    corpus-wide token totals are ONE scan's partial+final hash aggregate
+    keyed on lang — no shuffle touches corpus-sized data beyond it."""
+    from pyspark.sql import Window
+
+    from xboard_spark.operators.dedup import dedup_clusters
+    from xboard_spark.operators.text import token_count_col
+
+    toks = documents.select(
+        "doc_id",
+        "lang",
+        token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    clusters = dedup_clusters(documents, tau=tau).select(
+        "doc_id", "cluster_id"
+    )
+    ranked = clusters.join(toks.select("doc_id", "n_tokens"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    removed = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    flagged = toks.join(
+        removed.withColumn("is_removed", F.lit(1)), "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.coalesce(F.sum("is_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_removed") == 1, F.col("n_tokens"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("removed_tokens"),
+        )
+        .withColumn(
+            "savings_rate",
+            F.round(
+                F.col("removed_tokens").cast("double")
+                / F.col("total_tokens"),
+                6,
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 def quality_dup_correlation(documents: DataFrame) -> DataFrame:
     """Cross-signal curation analysis: does LOW-quality text duplicate
     more? Bands the corpus by alpha ratio (the same C4/Gopher-style

@@ -2014,6 +2014,56 @@ SELECT cluster_id, doc_id AS rep_doc_id, n_tokens AS rep_tokens,
 FROM sized WHERE rn = 1 ORDER BY cluster_id"""
 
 
+def dedup_token_savings_sql(
+    n: int = 3,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    tau: float = 0.5,
+    max_df: int = 100,
+) -> str:
+    """Mirrors curation.dedup_token_savings: the dedup_clusters recursive
+    fixpoint, keep-the-richest representative per cluster, per-lang token
+    totals and the removed-token share."""
+    return f"""
+WITH RECURSIVE {_minhash_stack(n, n_perms, n_bands, max_df)},
+dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {tau}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM dup
+  UNION ALL
+  SELECT doc_b, doc_a FROM dup
+),
+reach(v, m) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT r.v, e.d FROM reach r JOIN edges e ON e.s = r.m
+),
+lab AS (SELECT v AS doc_id, min(m) AS cluster_id FROM reach GROUP BY v),
+toks AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT
+           AS n_tokens
+  FROM documents
+),
+removed AS (
+  SELECT doc_id FROM (
+    SELECT lab.doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_tokens DESC, lab.doc_id) AS rn
+    FROM lab JOIN toks USING (doc_id)
+  ) WHERE rn > 1
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_removed,
+       coalesce(sum(CASE WHEN r.doc_id IS NOT NULL THEN n_tokens END), 0)
+         ::BIGINT AS removed_tokens,
+       round(coalesce(sum(CASE WHEN r.doc_id IS NOT NULL THEN n_tokens END),
+                      0)::DOUBLE / sum(n_tokens), 6) AS savings_rate
+FROM toks t LEFT JOIN removed r USING (doc_id)
+GROUP BY lang ORDER BY lang"""
+
+
 def ngram_novelty_sql(
     test_pct: int = 10,
     n: int = 3,
@@ -3121,6 +3171,7 @@ SELECT sum(n_tr)::BIGINT AS n_train_events,
 FROM pu""",
         "filter_funnel": filter_funnel_sql(),
         "canonical_docs": canonical_docs_sql(),
+        "dedup_token_savings": dedup_token_savings_sql(),
         "ngram_novelty": ngram_novelty_sql(),
         "semantic_decontam": semantic_decontam_sql(),
         "activity_heatmap": f"""
