@@ -182,7 +182,7 @@ _ROUND6_FIRST = [
 ]
 
 
-# Round-7 rotation (ACTIVE since round 7). Head:
+# Round-7 rotation (retired — kept for the round-7 correctness record). Head:
 # the 3 round-6 additions + the 14 round-5 additions (never
 # driver-checked) + the 3 round-6 rewrites whose VALUES changed (the two
 # probes' micro-unit oracle twins; the bootstrap hash-once coin) + the 3
@@ -218,16 +218,15 @@ _ROUND7_FIRST = [
 ]
 
 
-# Round-8 rotation, STAGED AHEAD (swap at the start of round 8;
-# re-validate against whatever rounds 7-8 add — new queries displace
-# tail entries here). Head: the 2 round-7 additions (never
-# driver-checked), then the 21 queries whose last driver row will be
-# r4-era by then (the entries the round-6 additions displaced from
-# the r7 window, the r4-window remainder, and doc_stats/session_stats),
-# then the oldest r5-window entries. The 18-query spill
-# (kmeans_inertia, canonical_docs..revenue_change_forecast) rolls to
-# round 9 (heads _ROUND9_FIRST below); the entry the round-7 addition
-# displaced (embedding_spectrum) rolls to round 10.
+# Round-8 rotation (ACTIVE since round 8). Head: the single round-7
+# addition (never driver-checked), then the 22 queries whose last
+# driver row is r4-era (the entries the round-6 additions displaced
+# from the r7 window, the r4-window remainder, and
+# doc_stats/session_stats/dedup_clusters), then the oldest r5-window
+# entries. The 18-query spill (kmeans_inertia,
+# canonical_docs..revenue_change_forecast) rolls to round 9 (heads
+# _ROUND9_FIRST below); the entry the round-7 addition displaced
+# (embedding_spectrum) rolls to round 10.
 _ROUND8_FIRST = [
     # -- round-7 addition, never driver-checked (1) --
     "dedup_token_savings",
@@ -280,10 +279,46 @@ _ROUND9_FIRST = [
 ]
 
 
+# Round-10 rotation, STAGED AHEAD (swap at the start of round 10;
+# re-validate against whatever rounds 8-10 add — new queries displace
+# tail entries here). Head: the 19 queries that appear in NONE of the
+# r7/r8/r9 windows (the 18 r6-window tail rows — events_daily, knn_pq,
+# embedding_quantization, the reference-surface basics — plus
+# embedding_spectrum, displaced from the r8 head by the round-7
+# addition); backfill: the oldest 31 r7-window rows in their r7 order.
+# The remaining 19 r7-window rows (doc_chunks_overlapping ..
+# repetition_stats) roll to round 11.
+_ROUND10_FIRST = [
+    # -- in none of the r7/r8/r9 windows (19) --
+    "knn_pq", "embedding_quantization", "embedding_spectrum",
+    "orders_by_date_range", "top_customers", "recent_orders",
+    "customer_lookup", "upsert_merge", "pricing_summary",
+    "revenue_by_nation", "top_parts_by_revenue", "segment_top_orders",
+    "order_priority_counts", "nation_market_share", "orders_above_cust_avg",
+    "part_type_breakdown", "brand_promo_revenue", "tenant_orders_overview",
+    "events_daily",
+    # -- oldest r7-window rows (31) --
+    "pii_redact_stats", "quality_dup_correlation", "sole_late_suppliers",
+    "ridge_probe", "logistic_probe", "bootstrap_mean_ci",
+    "hard_negative_mining", "incremental_nation_rollup", "volume_shipping",
+    "returned_items_report", "customer_order_distribution",
+    "small_qty_part_revenue", "large_volume_orders", "temperature_mixture",
+    "training_order_audit", "delta_dedup_stats", "zipf_fit",
+    "bpe_merge_candidates", "bpe_learn", "epochs_plan", "events_json",
+    "user_rollup", "hourly_windows", "cohort_retention",
+    "top_supplier_revenue", "approx_cardinality", "quality_scores",
+    "language_id", "doc_fingerprints", "tfidf_top_terms", "doc_chunks",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dict ORDER is deliberate — see ``_ROUND7_FIRST``: the driver checks
-    the first 50 entries per round, so entries rotate so that no registered
-    query's driver correctness row goes more than one round stale.
+    """Dict ORDER is deliberate — see ``_ROUND8_FIRST``: the driver checks
+    the first 50 entries per round, so entries rotate toward BOUNDED
+    staleness: new queries and value-changed rewrites get a driver row the
+    round after they land, and every other registered query re-enters a
+    window on a ~3.4-round cycle (169 queries / 50 slots). Spill-overs are
+    documented on each staged list (e.g. the r5-era tail rolls to round 9,
+    ``embedding_spectrum`` to round 10).
     """
     base = {
         # --- never driver-checked in r1: similarity search family ---
@@ -773,7 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "customer"), _t(s, d, "orders")
         ),
     }
-    ordered = {name: base[name] for name in _ROUND7_FIRST}
+    ordered = {name: base[name] for name in _ROUND8_FIRST}
     ordered.update(base)  # remaining entries keep their relative order
     return ordered
 

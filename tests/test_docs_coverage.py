@@ -38,6 +38,30 @@ def test_rows_only_queries_are_the_documented_set():
     # (unrolled Gauss-Jordan CTE chains; micro-unit-exact aggregates)
 
 
+def test_coverage_totals_line_is_current():
+    """VERDICT r7 hygiene #2: the COVERAGE.md totals line drifted when a
+    query was added. Pin it to the live registry so it can't again."""
+    import re
+
+    cov = (REPO / "COVERAGE.md").read_text()
+    m = re.search(
+        r"\*\*Totals: (\d+) oracle-checked queries \+ (\d+) rows-only "
+        r"queries = (\d+)\s+registered",
+        cov,
+    )
+    assert m, "COVERAGE.md totals line missing or reformatted"
+    n_oracle, n_rows_only, n_total = map(int, m.groups())
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert n_total == len(q), (
+        f"COVERAGE.md says {n_total} registered; registry has {len(q)}"
+    )
+    assert n_oracle == len(o), (
+        f"COVERAGE.md says {n_oracle} oracle-checked; registry has {len(o)}"
+    )
+    assert n_rows_only == len(q - o)
+
+
 def test_rotation_lists_are_valid():
     """The driver checks the first 50 queries() entries per round; the
     staged rotation lists must stay consistent: exactly 50 entries, all
@@ -45,9 +69,9 @@ def test_rotation_lists_are_valid():
     from the active one (otherwise a slot is wasted re-checking a fresh
     row while a stale one ages another round)."""
     q = set(entrymod.queries())
-    active = entrymod._ROUND7_FIRST
-    staged = entrymod._ROUND8_FIRST
-    staged2 = entrymod._ROUND9_FIRST
+    active = entrymod._ROUND8_FIRST
+    staged = entrymod._ROUND9_FIRST
+    staged2 = entrymod._ROUND10_FIRST
     for name, lst in [
         ("active", active),
         ("staged", staged),
@@ -63,7 +87,7 @@ def test_rotation_lists_are_valid():
 
 def test_queries_dict_leads_with_active_window():
     names = list(entrymod.queries())
-    assert names[:50] == entrymod._ROUND7_FIRST, (
+    assert names[:50] == entrymod._ROUND8_FIRST, (
         "queries() must emit the active rotation window first — the "
         "driver only checks the first 50 entries"
     )

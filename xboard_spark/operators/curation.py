@@ -287,12 +287,19 @@ def dedup_token_savings(documents: DataFrame, tau: float = 0.5) -> DataFrame:
             .alias("removed_tokens"),
         )
         .withColumn(
+            # Zero-guarded: a lang whose docs all tokenize to zero tokens
+            # (possible: token_count_col counts word-RE matches, and a
+            # punctuation-only slice has none) must report 0.0 savings,
+            # not null/NaN. The oracle twin mirrors the guard.
             "savings_rate",
-            F.round(
-                F.col("removed_tokens").cast("double")
-                / F.col("total_tokens"),
-                6,
-            ),
+            F.when(
+                F.col("total_tokens") > 0,
+                F.round(
+                    F.col("removed_tokens").cast("double")
+                    / F.col("total_tokens"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
         )
         .orderBy("lang")
     )

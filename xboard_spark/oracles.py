@@ -2058,8 +2058,10 @@ SELECT lang, count(*)::BIGINT AS n_docs,
          AS n_removed,
        coalesce(sum(CASE WHEN r.doc_id IS NOT NULL THEN n_tokens END), 0)
          ::BIGINT AS removed_tokens,
-       round(coalesce(sum(CASE WHEN r.doc_id IS NOT NULL THEN n_tokens END),
-                      0)::DOUBLE / sum(n_tokens), 6) AS savings_rate
+       CASE WHEN sum(n_tokens) > 0 THEN
+         round(coalesce(sum(CASE WHEN r.doc_id IS NOT NULL THEN n_tokens END),
+                        0)::DOUBLE / sum(n_tokens), 6)
+       ELSE 0.0 END AS savings_rate
 FROM toks t LEFT JOIN removed r USING (doc_id)
 GROUP BY lang ORDER BY lang"""
 
