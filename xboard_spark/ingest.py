@@ -336,7 +336,9 @@ def register_tenant(
     scopes: str = "read_customers,read_orders,read_products",
 ) -> tuple[DataFrame, DataFrame, int]:
     """The register flow (``routes/auth.js:13-53``) minus the HTTP/JWT/bcrypt
-    shell (out of engine scope, SURVEY.md §2.6 F10/F11): duplicate-email
+    shell (the HTTP layer; the JWT/password primitives live in
+    ``xboard_spark.auth`` — SURVEY.md §2.6 F10/F11, and ``auth.register``
+    wraps this function with them): duplicate-email
     check, tenant insert-returning, user insert — returns the new frames and
     the assigned tenant id. Ingestion kickoff (the reference fires it
     unawaited, ``auth.js:44-46``) is the caller's separate Spark action."""
