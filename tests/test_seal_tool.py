@@ -1,0 +1,87 @@
+"""The seal tool is process-critical (VERDICT r6/r7: two rounds of
+asserted-but-unrecorded verification chains) — a silently broken parser
+would let a red chain read GREEN. Pin its step-verdict logic and the
+notes-section writer on canned outputs; no subprocesses involved."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import pathlib
+
+spec = importlib.util.spec_from_file_location(
+    "seal_round",
+    pathlib.Path(__file__).resolve().parent.parent / "tools" / "seal_round.py",
+)
+seal = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(seal)
+
+
+ORACLE_GREEN = "PASS a (1 rows, 0.1s)\nSKIP b: no oracle (2 rows, rows-only)\n\n0 failures"
+ORACLE_RED = "PASS a (1 rows, 0.1s)\nFAIL c: value mismatch\n\n1 failures: ['c']"
+PYTEST_GREEN = "...\n463 passed, 1 skipped in 903.78s (0:15:03)\n"
+PYTEST_RED = "...\n1 failed, 462 passed in 900s\n"
+
+
+def _bench_line(regs=(), ext_regs=(), errors=None):
+    return json.dumps(
+        {
+            "metric": "m", "value": 25.0, "unit": "sec", "queries": {},
+            "sf": 0.1, "regressions": list(regs),
+            "extended_regressions": list(ext_regs),
+            "errors": errors or {},
+            "calibration_sec": {"pre": 0.5, "post": 0.3},
+        }
+    )
+
+
+def test_oracle_step_verdicts():
+    assert seal._step_ok("oracle_sf0.01", ORACLE_GREEN, 0)
+    assert not seal._step_ok("oracle_sf0.01", ORACLE_RED, 1)
+    # rc 0 but failures in output (defensive: never trust rc alone)
+    assert not seal._step_ok("oracle_sf0.01", ORACLE_RED, 0)
+    # no summary line at all (crashed before printing) -> red
+    assert not seal._step_ok("oracle_sf0.01", "PASS a (1 rows, 0.1s)", 0)
+
+
+def test_pytest_step_verdicts():
+    assert seal._step_ok("pytest", PYTEST_GREEN, 0)
+    assert not seal._step_ok("pytest", PYTEST_RED, 1)
+    assert not seal._step_ok("pytest", PYTEST_RED, 0)
+
+
+def test_bench_step_verdicts():
+    assert seal._step_ok("bench", _bench_line(), 0)
+    assert not seal._step_ok("bench", _bench_line(regs=["q: 9s vs 1s"]), 0)
+    assert not seal._step_ok("bench", _bench_line(ext_regs=["q: 9s"]), 0)
+    assert not seal._step_ok("bench", _bench_line(errors={"q": "boom"}), 0)
+    assert not seal._step_ok("bench", _bench_line(), 4)
+    # the extended_regressions key must not satisfy the headline
+    # regressions check (substring trap: '_regressions' contains
+    # 'regressions' but not '"regressions"')
+    broken = _bench_line(regs=["q"]).replace(
+        '"extended_regressions": []', '"extended_regressions": []'
+    )
+    assert not seal._step_ok("bench", broken, 0)
+
+
+def test_summarize_extracts_evidence():
+    s = seal._summarize("oracle_sf0.01", ORACLE_GREEN, 0)
+    assert "1 PASS" in s and "0 failures" in s
+    s = seal._summarize("pytest", PYTEST_GREEN, 0)
+    assert s.startswith("463 passed")
+    s = seal._summarize("bench", _bench_line(), 0)
+    assert "vs" in s and "regressions=[]" in s
+
+
+def test_write_section_is_idempotent(tmp_path):
+    notes = tmp_path / "NOTES_rX.md"
+    notes.write_text("# header\n\nbody\n")
+    seal._write_section(notes, ["- [x] step1: PASS"])
+    first = notes.read_text()
+    assert "step1: PASS" in first and first.count(seal.BEGIN) == 1
+    # a second write REPLACES the section, never appends a duplicate
+    seal._write_section(notes, ["- [x] step1: PASS", "- [x] step2: PASS"])
+    second = notes.read_text()
+    assert second.count(seal.BEGIN) == 1 and "step2: PASS" in second
+    assert second.startswith("# header")
