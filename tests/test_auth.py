@@ -70,6 +70,23 @@ def test_jwt_rejects_tampering_and_wrong_secret():
         auth.jwt_verify("not-a-token", SECRET)
 
 
+def test_jwt_rejects_non_object_body():
+    """A correctly-signed token whose body is a JSON array/scalar must
+    raise AuthError, never an AttributeError out of the middleware."""
+    import hashlib
+    import hmac as hmac_mod
+
+    head = auth._b64e(b'{"alg":"HS256","typ":"JWT"}')
+    body = auth._b64e(b'[1,2,3]')
+    sig = auth._b64e(
+        hmac_mod.new(
+            SECRET.encode(), f"{head}.{body}".encode(), hashlib.sha256
+        ).digest()
+    )
+    with pytest.raises(auth.AuthError, match="invalid"):
+        auth.jwt_verify(f"{head}.{body}.{sig}", SECRET, now=0)
+
+
 def test_jwt_rejects_alg_downgrade():
     """The classic holes: alg=none (no signature) and any alg taken from
     the attacker-controlled header must be rejected — only HS256."""

@@ -158,6 +158,10 @@ def jwt_verify(token: str, secret: str, *, now: int | None = None) -> dict:
         raise AuthError("malformed token") from exc
     if not isinstance(header, dict) or header.get("alg") != "HS256":
         raise AuthError("invalid token")
+    if not isinstance(claims, dict):
+        # a signed-but-non-object body (JSON array/scalar) must read as
+        # a bad token, not crash the middleware with an AttributeError
+        raise AuthError("invalid token")
     expect = hmac.new(
         secret.encode("utf-8"),
         (head_b64 + "." + body_b64).encode("ascii"),
