@@ -102,9 +102,28 @@ def test_bearer_middleware():
     tok = auth.jwt_sign({"userId": 7, "tenantId": 3}, SECRET, now=1_000)
     claims = auth.authenticate_token(f"Bearer {tok}", SECRET, now=1_000)
     assert claims["tenantId"] == 3
+    # RFC 7235: auth-scheme is case-insensitive (ADVICE r8) — the
+    # reference middleware (auth.js:123) doesn't even look at the word
+    for scheme in ["bearer", "BEARER", "BeArEr"]:
+        assert (
+            auth.authenticate_token(f"{scheme} {tok}", SECRET, now=1_000)[
+                "tenantId"
+            ]
+            == 3
+        )
     for bad in [None, "", "Bearer", "Basic xyz", tok]:
         with pytest.raises(auth.AuthError, match="required"):
             auth.authenticate_token(bad, SECRET, now=1_000)
+
+
+def test_login_unknown_email_burns_kdf_cost():
+    """ADVICE r8: unknown-email must not short-circuit before the KDF —
+    the dummy-hash verify keeps timing uniform with wrong-password. Pin
+    the mechanism (the dummy hash exists, is a real scrypt PHC string,
+    and verifies only its unpresentable sentinel), not wall-clock."""
+    assert auth._DUMMY_HASH.startswith("$scrypt$")
+    assert auth.verify_password("!dummy-equal-cost-verify!", auth._DUMMY_HASH)
+    assert not auth.verify_password("s3cret!", auth._DUMMY_HASH)
 
 
 # ----------------------------------------------------------------- flows

@@ -57,12 +57,15 @@ def test_bench_step_verdicts():
     assert not seal._step_ok("bench", _bench_line(errors={"q": "boom"}), 0)
     assert not seal._step_ok("bench", _bench_line(), 4)
     # the extended_regressions key must not satisfy the headline
-    # regressions check (substring trap: '_regressions' contains
-    # 'regressions' but not '"regressions"')
-    broken = _bench_line(regs=["q"]).replace(
-        '"extended_regressions": []', '"extended_regressions": []'
-    )
-    assert not seal._step_ok("bench", broken, 0)
+    # regressions check (substring trap: '"extended_regressions": []'
+    # contains the text 'regressions": []'): build an output whose ONLY
+    # regressions-shaped key is the extended decoy — the '"regressions"'
+    # key is dropped entirely — and assert the step still reads red.
+    decoy_only = _bench_line().replace('"regressions": [], ', "")
+    assert '"regressions": []' not in decoy_only.replace(
+        '"extended_regressions": []', ""
+    ), "fixture must drop the headline key, keeping only the decoy"
+    assert not seal._step_ok("bench", decoy_only, 0)
 
 
 def test_summarize_extracts_evidence():
@@ -72,6 +75,15 @@ def test_summarize_extracts_evidence():
     assert s.startswith("463 passed")
     s = seal._summarize("bench", _bench_line(), 0)
     assert "vs" in s and "regressions=[]" in s
+
+
+def test_summarize_survives_missing_baseline_total(tmp_path, monkeypatch):
+    """ADVICE r8: a BASELINE_BENCH.json without total_sec must record a
+    '?' evidence line, not crash the seal step with a KeyError."""
+    (tmp_path / "BASELINE_BENCH.json").write_text(json.dumps({"queries": {}}))
+    monkeypatch.setattr(seal, "REPO", tmp_path)
+    s = seal._summarize("bench", _bench_line(), 0)
+    assert "= ?x" in s and "vs ?s baseline" in s
 
 
 def test_write_section_is_idempotent(tmp_path):

@@ -64,13 +64,14 @@ def _summarize(name: str, out: str, rc: int) -> str:
                 except ValueError:
                     continue
                 base = json.loads((REPO / "BASELINE_BENCH.json").read_text())
-                ratio = (
-                    round(j["value"] / base["total_sec"], 2)
-                    if base.get("total_sec")
+                total = base.get("total_sec")  # guard AND interpolate the
+                ratio = (                      # .get — a baseline file
+                    round(j["value"] / total, 2)  # missing the key must
+                    if total                      # record "?", not KeyError
                     else "?"
                 )
                 return (
-                    f"headline {j['value']}s vs {base['total_sec']}s baseline"
+                    f"headline {j['value']}s vs {total or '?'}s baseline"
                     f" = {ratio}x; regressions={j['regressions']}"
                     f" extended_regressions={j['extended_regressions']}"
                     f" errors={list(j['errors'])}"

@@ -185,12 +185,28 @@ def authenticate_token(
     if not authorization_header:
         raise AuthError("access token required")
     scheme, _, token = authorization_header.partition(" ")
-    if scheme != "Bearer" or not token:
+    # RFC 7235 auth-scheme tokens are case-insensitive ("bearer <tok>"
+    # must authenticate); the reference middleware (auth.js:123) ignores
+    # the scheme word entirely — requiring *a* Bearer scheme is kept as
+    # the stricter-than-reference part, the casing is not.
+    if scheme.lower() != "bearer" or not token:
         raise AuthError("access token required")
     return jwt_verify(token, secret, now=now)
 
 
 # ------------------------------------------------------------------- flows
+
+
+# Dummy hash for the unknown-email login path: verifying against it costs
+# the same scrypt work as a real verify, so response TIMING no longer
+# distinguishes "email not found" (previously near-zero) from "wrong
+# password" (~50 ms KDF). The reference has that timing leak
+# (auth.js:85 returns before bcrypt.compare runs); here the error message
+# AND the latency are uniform. Fixed salt on purpose — it hashes a
+# password no caller can present, its only job is burning the KDF cost.
+_DUMMY_HASH = hash_password(
+    "!dummy-equal-cost-verify!", salt=b"xboard-dummy-salt"
+)
 
 
 def register(
@@ -247,7 +263,10 @@ def login(
     """The login flow (``auth.js:71-117``): user row by email joined to
     its tenant (for ``shop_domain``), password verify, token issue.
     Returns ``(token, user_info)``; raises ``AuthError`` with the SAME
-    message for unknown email and wrong password (``auth.js:85,94``).
+    message for unknown email and wrong password (``auth.js:85,94``),
+    and — beyond the reference, which short-circuits before
+    ``bcrypt.compare`` on unknown email — burns the same KDF cost on
+    both paths (dummy-hash verify), so timing doesn't enumerate either.
 
     Scale note: email lookup on a users table is a point query; at any
     real scale this frame is a dimension (thousands of rows per tenant
@@ -258,7 +277,9 @@ def login(
         .select("id", "email", "password_hash", "tenant_id", "shop_domain")
         .first()
     )
-    if row is None or not verify_password(password, row.password_hash):
+    stored = row.password_hash if row is not None else _DUMMY_HASH
+    ok = verify_password(password, stored)
+    if row is None or not ok:
         raise AuthError("invalid credentials")
     token = jwt_sign(
         {"userId": row.id, "email": row.email, "tenantId": row.tenant_id},
