@@ -378,3 +378,27 @@ def test_boilerplate_ngrams_finds_shared_template(spark):
     assert top.df == 3 and top.n_occurrences == 3
     assert all(r.df >= 2 for r in got)
     assert not any("unique" in r.gram for r in got)  # df=1, excluded
+
+
+def test_top_customers_faithful_panel_inflation(spark, sf_dir_mid):
+    """The registered divergence exhibit (round 9): in faithful mode every
+    customer of the synthetic tenant reads the TENANT's total order count
+    and revenue — the fan-out signature of analytics.js:92."""
+    from xboard_spark.io import read_table
+    from xboard_spark.operators.analytics import top_customers_faithful_panel
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir_mid, "orders")
+    customer = read_table(spark, sf_dir_mid, "customer")
+    out = top_customers_faithful_panel(orders, customer).collect()
+    n_orders = orders.filter(F.col("o_custkey") % 797 == 7).count()
+    total = (
+        orders.filter(F.col("o_custkey") % 797 == 7)
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert len(out) >= 1
+    for r in out:  # every named customer shows the inflated tenant totals
+        assert r.orders_count == n_orders
+        assert abs(r.total_spent - total) < 1e-6

@@ -162,6 +162,37 @@ def top_customers_faithful(orders: DataFrame, customer: DataFrame, on: str) -> D
     )
 
 
+def top_customers_faithful_panel(
+    orders: DataFrame,
+    customer: DataFrame,
+    modulus: int = 797,
+    tenant: int = 7,
+) -> DataFrame:
+    """Registered divergence exhibit (VERDICT r8 #8): the reference's
+    DECLARED ``top_customers`` semantics — join on the coarse tenant key
+    alone (``routes/analytics.js:92``) — reproduced over the TPC-H tables
+    by deriving one synthetic tenant (``custkey % modulus == tenant``) on
+    both sides and running ``top_customers_faithful`` on it. Every
+    customer in the tenant fans out to ALL of the tenant's orders, so
+    ``orders_count`` reads the tenant's total order count for every row
+    and ``total_spent`` the tenant's total revenue — the defect, now in
+    driver-hashed evidence (the oracle twin reproduces the same defective
+    SQL), not just unit tests.
+
+    The modulus bounds the within-key fan-out to one small tenant
+    (~n/797 rows a side) BECAUSE the fan-out is the defect: running the
+    faithful semantics tenant-unscoped is quadratic per key, which is
+    exactly why the corrected ``top_customers`` joins on customer
+    identity. The corrected form remains the engine's real operator."""
+    o = orders.filter(F.col("o_custkey") % modulus == tenant)
+    c = customer.filter(F.col("c_custkey") % modulus == tenant)
+    return top_customers_faithful(
+        o.withColumn("tenant_id", F.lit(tenant)),
+        c.withColumn("tenant_id", F.lit(tenant)),
+        "tenant_id",
+    )
+
+
 def tenant_orders_overview(
     customer: DataFrame, orders: DataFrame, nation: DataFrame, tenant_nation: int
 ) -> DataFrame:

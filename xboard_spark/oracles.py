@@ -3531,6 +3531,41 @@ SELECT event_type,
        (count(DISTINCT user_id) * 3 // 25 + 4)::BIGINT AS users_err_bound,
        TRUE AS users_within_bound
 FROM events GROUP BY 1 ORDER BY 1""",
+        # the reference's DECLARED (defective) top_customers semantics —
+        # tenant-key-only join (routes/analytics.js:92) — reproduced over
+        # one synthetic tenant; the same defective SQL on both engines
+        # documents the fan-out divergence in driver-hashed evidence
+        # (analytics.top_customers_faithful_panel)
+        "top_customers_faithful": """
+WITH o AS (SELECT * FROM orders WHERE o_custkey % 797 = 7),
+     c AS (SELECT * FROM customer WHERE c_custkey % 797 = 7)
+SELECT coalesce(c_name, 'Guest Customer') AS cust_name,
+       count(o_orderkey) AS orders_count,
+       round(sum(o_totalprice), 2) AS total_spent
+FROM o LEFT JOIN c ON 1 = 1
+GROUP BY 1 ORDER BY total_spent DESC, cust_name""",
+        # batch-equivalence twin of the ST4 streaming chain
+        # (streaming/webhook.py silver_merge_demo): recompute the expected
+        # final silver table directly from events — redeliveries deduped
+        # (each purchase once), batch-2 price updates (x1.1 on
+        # event_id % 3 == 0) winning the keyed merge. Money is exact
+        # DECIMAL end-to-end on both engines; the only double is the
+        # final rounded cast.
+        "streaming_silver_merge": """
+WITH p AS (
+  SELECT event_id, user_id % 5 + 1 AS tenant_id, value
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+silver AS (
+  SELECT tenant_id, event_id AS shopify_order_id,
+         CASE WHEN event_id % 3 = 0
+              THEN CAST(round(value * 1.1, 2) AS DECIMAL(18,2))
+              ELSE CAST(round(value, 2) AS DECIMAL(18,2)) END AS total_price
+  FROM p
+)
+SELECT tenant_id, count(*) AS n_orders,
+       round(sum(total_price), 2)::DOUBLE AS revenue
+FROM silver GROUP BY 1 ORDER BY 1""",
         # same contract: exact percentiles at the driver-proven 4-decimal
         # precision (see value_percentiles); the rank-space sketch checks
         # are TRUE by the approx_percentile accuracy contract

@@ -200,3 +200,155 @@ def start_bronze_to_silver(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def silver_merge_demo(events: DataFrame, workdir: str | None = None) -> DataFrame:
+    """Registered batch-equivalence surface for the ST4 streaming path
+    (VERDICT r8 #6): derive a deterministic webhook fixture from the
+    ``events`` table, run it through the REAL chain — file source ->
+    watermarked delivery-hash dedup -> bronze->silver parse ->
+    ``start_bronze_to_silver`` foreachBatch merge — as TWO sequential
+    ``availableNow`` runs sharing one checkpoint (the second run is a
+    genuine checkpoint RESTART that must process only the new file), then
+    return the per-tenant revenue panel of the final silver table.
+
+    The fixture makes every streaming semantic load-bearing in the hash:
+
+    * batch 1 = one webhook per purchase event, with the
+      ``event_id % 7 == 0`` deliveries REDELIVERED (same delivery_hash) —
+      on the first batch there is no existing silver to merge against, so
+      an un-deduped duplicate lands twice and inflates ``n_orders``;
+    * batch 2 (arriving a day later in event time, new delivery hashes) =
+      price updates (x1.1) for the ``event_id % 3 == 0`` orders — the
+      idempotent keyed merge must make them WIN over batch 1, which the
+      ``revenue`` column proves.
+
+    The DuckDB twin recomputes the expected silver directly from
+    ``events`` (``oracles.py: streaming_silver_merge``). Money stays
+    DECIMAL end-to-end (payload string -> DECIMAL(18,2) -> exact decimal
+    sum), so the cross-engine hash has no float-sum-order hazard; the
+    single double appears after the final round.
+
+    Driver footprint: the returned panel is <= n_tenants rows,
+    collected once so the temp fixture/silver/checkpoint dirs can be
+    deleted before returning (the sanctioned k-row collect pattern).
+    At 100 TB this demo IS the production shape: the file source becomes
+    Kafka, the two runs become a continuous trigger, and the panel is any
+    downstream aggregate of the silver table."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    spark = events.sparkSession
+    workdir = workdir or tempfile.mkdtemp(prefix="xboard_silver_demo_")
+    indir = os.path.join(workdir, "in")
+    silver = os.path.join(workdir, "silver")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(indir, exist_ok=True)
+
+    base = events.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        (F.col("user_id") % 5 + 1).alias("tenant_id"),
+        "value",
+        "ts",
+    )
+
+    def _lines(df: DataFrame, price_factor: str, tag: str, ts_col) -> DataFrame:
+        price = F.expr(
+            f"CAST(CAST(round(value {price_factor}, 2)"
+            " AS DECIMAL(18,2)) AS STRING)"
+        )
+        payload = F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                price.alias("total_price"),
+                F.lit("USD").alias("currency"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("created_at"),
+            )
+        )
+        return df.select(
+            F.to_json(
+                F.struct(
+                    F.col("tenant_id"),
+                    F.lit("orders/create").alias("topic"),
+                    F.lit("demo.myshopify.example").alias("shop_domain"),
+                    F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias(
+                        "received_at"
+                    ),
+                    F.concat(
+                        F.lit(f"{tag}-"), F.col("event_id").cast("string")
+                    ).alias("delivery_hash"),
+                    payload.alias("raw_payload"),
+                )
+            ).alias("value")
+        )
+
+    def _write_file(lines: DataFrame, fname: str) -> None:
+        stage = os.path.join(workdir, f"_stage_{fname}")
+        lines.coalesce(1).write.mode("overwrite").text(stage)
+        part = glob.glob(os.path.join(stage, "part-*"))[0]
+        os.rename(part, os.path.join(indir, fname))
+        shutil.rmtree(stage)
+
+    b1 = _lines(base, "", "d1", F.col("ts"))
+    redelivered = _lines(
+        base.filter(F.col("event_id") % 7 == 0), "", "d1", F.col("ts")
+    )
+    # batch 2 arrives at a CONSTANT event time later than every batch-1
+    # row: per-row ts+delta received_at would put most updates behind the
+    # run-1 watermark (max batch-1 ts - delay), and
+    # dropDuplicatesWithinWatermark DROPS late rows — measured, not
+    # hypothetical: at sf0.001 only 2 of 79 updates survived a ts+1day
+    # variant of this fixture
+    b2 = _lines(
+        base.filter(F.col("event_id") % 3 == 0),
+        "* 1.1",
+        "d2",
+        F.to_timestamp(F.lit("2030-01-01 00:00:00")),
+    )
+
+    run_log: list = []
+    try:
+        _write_file(b1.unionByName(redelivered), "batch1.json")
+        for fname, lines in [(None, None), ("batch2.json", b2)]:
+            if fname is not None:
+                _write_file(lines, fname)
+            stream = parse_order_events(
+                deduped_stream(read_webhook_stream(spark, indir))
+            )
+            q = start_bronze_to_silver(
+                stream,
+                silver,
+                ckpt,
+                keys=["tenant_id", "shopify_order_id"],
+                run_log=run_log,
+            )
+            q.awaitTermination()
+        # each availableNow run yields its data batch plus an empty
+        # watermark-advance batch from dropDuplicatesWithinWatermark;
+        # exactly TWO batches may carry rows (fail loudly, never hash a
+        # wrong panel)
+        data_batches = [b for b in run_log if b["n_rows"] > 0]
+        if len(data_batches) != 2:
+            raise RuntimeError(
+                f"expected 2 data micro-batches, got {run_log}"
+            )
+        panel = (
+            spark.read.parquet(silver)
+            .groupBy("tenant_id")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("total_price"), 2)
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("tenant_id")
+        )
+        rows = panel.collect()  # <= n_tenants rows; detaches from temp files
+        schema = panel.schema
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
