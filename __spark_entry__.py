@@ -219,7 +219,8 @@ _ROUND7_FIRST = [
 ]
 
 
-# Round-8 rotation (ACTIVE since round 8). Head: the single round-7
+# Round-8 rotation (retired — kept for the round-8 correctness record).
+# Head: the single round-7
 # addition (never driver-checked), then the 22 queries whose last
 # driver row is r4-era (the entries the round-6 additions displaced
 # from the r7 window, the r4-window remainder, and
@@ -251,22 +252,28 @@ _ROUND8_FIRST = [
 ]
 
 
-# Round-9 rotation, STAGED AHEAD (swap at the start of round 9;
-# re-validate against whatever rounds 8-9 add). Head: the 18 queries
-# whose last driver row will be r5-era by then (the r5-window tail that
-# fit in neither the r7 nor the r8 window), then the oldest 32
-# r6-window rows in their r6 order. The remaining 18 r6-window rows
-# (events_daily tail, knn_pq, embedding_quantization, ...) roll to
-# round 10.
+# Round-9 rotation (ACTIVE since round 9; the staged list was
+# re-validated against the round-9 additions per its contract). Head:
+# the 2 queries NEW this round (first driver rows) + the 2 sketch
+# queries REWRITTEN to invariant-oracle form this round (values
+# changed -> must re-hash now); then the 18 r5-era rows the staged list
+# carried (quantile_sketch_error moved into the head); then the oldest
+# r6-window rows. The 4 head insertions displace the 3 r6-window tail
+# entries (term_cooccurrence, overview, orders_by_date -> head of
+# _ROUND10_FIRST, aging one extra round).
 _ROUND9_FIRST = [
-    # -- r5-era driver rows by round 9 (18) --
+    # -- new in round 9 (2) + rewritten to invariant-oracle form (2) --
+    "streaming_silver_merge", "top_customers_faithful",
+    "approx_cardinality", "quantile_sketch_error",
+    # -- r5-era driver rows (17; the r5-window tail that fit in neither
+    # the r7 nor the r8 window) --
     "kmeans_inertia", "canonical_docs", "ngram_novelty", "semantic_decontam",
     "activity_heatmap", "key_skew_profile", "traffic_anomalies",
     "temporal_split_audit", "session_paths", "shipping_lag_stats",
     "lsh_candidate_profile", "fk_integrity_audit", "volume_gaps",
-    "user_erasure_audit", "quantile_sketch_error", "ivf_delta_assign",
+    "user_erasure_audit", "ivf_delta_assign",
     "brand_supplier_diversity", "revenue_change_forecast",
-    # -- oldest r6-window rows (32) --
+    # -- oldest r6-window rows (29) --
     "customer_entity_clusters", "orders_mom_growth", "seasonal_naive_error",
     "effective_tokens", "customer_spend_percentiles", "order_fanout_profile",
     "watermark_delay_profile", "supplier_panel", "revenue_concentration",
@@ -276,20 +283,25 @@ _ROUND9_FIRST = [
     "events_json_variant", "status_distinct_aggs", "revenue_rollup",
     "value_percentiles", "daily_type_pivot", "customers_without_orders",
     "rolling_revenue", "customer_order_gaps", "orders_cube", "rfm_segments",
-    "funnel_conversion", "term_cooccurrence", "overview", "orders_by_date",
+    "funnel_conversion",
 ]
 
 
 # Round-10 rotation, STAGED AHEAD (swap at the start of round 10;
-# re-validate against whatever rounds 8-10 add — new queries displace
-# tail entries here). Head: the 19 queries that appear in NONE of the
-# r7/r8/r9 windows (the 18 r6-window tail rows — events_daily, knn_pq,
-# embedding_quantization, the reference-surface basics — plus
-# embedding_spectrum, displaced from the r8 head by the round-7
-# addition); backfill: the oldest 31 r7-window rows in their r7 order.
-# The remaining 19 r7-window rows (doc_chunks_overlapping ..
-# repetition_stats) roll to round 11.
+# re-validate against whatever round 10 adds — new queries displace
+# tail entries here). Head: the 3 r6-window rows the round-9 head
+# insertions displaced (oldest evidence in the union), then the 19
+# queries that appear in NONE of the r7/r8/r9 windows (the 18
+# r6-window tail rows — events_daily, knn_pq, embedding_quantization,
+# the reference-surface basics — plus embedding_spectrum, displaced
+# from the r8 head by the round-7 addition); backfill: the oldest 28
+# r7-window rows in their r7 order (approx_cardinality left this list
+# for the round-9 head when its rewrite landed; tfidf_top_terms and
+# doc_chunks spill to round 11). The remaining r7-window rows
+# (doc_chunks_overlapping .. repetition_stats) head round 11.
 _ROUND10_FIRST = [
+    # -- displaced from the round-9 window by its head insertions (3) --
+    "term_cooccurrence", "overview", "orders_by_date",
     # -- in none of the r7/r8/r9 windows (19) --
     "knn_pq", "embedding_quantization", "embedding_spectrum",
     "orders_by_date_range", "top_customers", "recent_orders",
@@ -298,7 +310,7 @@ _ROUND10_FIRST = [
     "order_priority_counts", "nation_market_share", "orders_above_cust_avg",
     "part_type_breakdown", "brand_promo_revenue", "tenant_orders_overview",
     "events_daily",
-    # -- oldest r7-window rows (31) --
+    # -- oldest r7-window rows (28) --
     "pii_redact_stats", "quality_dup_correlation", "sole_late_suppliers",
     "ridge_probe", "logistic_probe", "bootstrap_mean_ci",
     "hard_negative_mining", "incremental_nation_rollup", "volume_shipping",
@@ -307,19 +319,51 @@ _ROUND10_FIRST = [
     "training_order_audit", "delta_dedup_stats", "zipf_fit",
     "bpe_merge_candidates", "bpe_learn", "epochs_plan", "events_json",
     "user_rollup", "hourly_windows", "cohort_retention",
-    "top_supplier_revenue", "approx_cardinality", "quality_scores",
-    "language_id", "doc_fingerprints", "tfidf_top_terms", "doc_chunks",
+    "top_supplier_revenue", "quality_scores",
+    "language_id", "doc_fingerprints",
+]
+
+
+# Round-11 rotation, STAGED AHEAD (swap at the start of round 11;
+# re-validate against whatever rounds 10-11 add). Head: the 19
+# r7-window rows in none of the r8/r9/r10 windows, plus the 2 r7-window
+# rows the round-9 head insertions pushed out of the round-10 backfill
+# (tfidf_top_terms, doc_chunks); backfill: the oldest 29 r8-window rows
+# in their r8 order. The remaining 21 r8-window rows (pq_quantization ..
+# bounce_rate_by_dow) roll to round 12.
+_ROUND11_FIRST = [
+    # -- r7-window rows in none of the r8/r9/r10 windows (19 + the 2
+    # round-10 spills) --
+    "doc_chunks_overlapping", "train_test_split", "stratified_sample",
+    "mixture_rebalance", "length_histogram", "sequence_packing",
+    "dedup_exact", "dedup_prefix", "ngram_jaccard", "minhash_dedup",
+    "decontamination", "simhash", "curation_stats", "nation_customer_ranks",
+    "segment_setops", "events_dedup", "purchase_asof_view",
+    "views_before_purchase", "repetition_stats",
+    "tfidf_top_terms", "doc_chunks",
+    # -- oldest r8-window rows (29) --
+    "dedup_token_savings", "knn_label_vote", "boilerplate_ngrams",
+    "dup_span_stats", "basket_pairs", "value_outliers", "scd2_history",
+    "table_profile", "decayed_engagement", "salted_event_rollup",
+    "fuzzy_customer_pairs", "value_drift_psi", "incremental_daily_rollup",
+    "orders_cdc_summary", "event_transitions", "value_equidepth",
+    "part_pagerank", "keyword_pagerank", "source_contamination",
+    "winsorized_stats", "doc_stats", "session_stats", "dedup_clusters",
+    "knn_bruteforce", "knn_lsh", "embedding_neardup", "knn_ivf",
+    "ivf_cell_sizes", "embedding_stats",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dict ORDER is deliberate — see ``_ROUND8_FIRST``: the driver checks
+    """Dict ORDER is deliberate — see ``_ROUND9_FIRST``: the driver checks
     the first 50 entries per round, so entries rotate toward BOUNDED
     staleness: new queries and value-changed rewrites get a driver row the
-    round after they land, and every other registered query re-enters a
-    window on a ~3.4-round cycle (169 queries / 50 slots). Spill-overs are
-    documented on each staged list (e.g. the r5-era tail rolls to round 9,
-    ``embedding_spectrum`` to round 10).
+    round they land (head of the active window), and every other
+    registered query re-enters a window on a ~3.4-round cycle (171
+    queries / 50 slots). Spill-overs are documented on each staged list
+    (e.g. the round-9 head insertions displace term_cooccurrence /
+    overview / orders_by_date to round 10 and tfidf_top_terms /
+    doc_chunks to round 11).
     """
     base = {
         # --- never driver-checked in r1: similarity search family ---
@@ -823,7 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events")
         ),
     }
-    ordered = {name: base[name] for name in _ROUND8_FIRST}
+    ordered = {name: base[name] for name in _ROUND9_FIRST}
     ordered.update(base)  # remaining entries keep their relative order
     return ordered
 

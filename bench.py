@@ -167,6 +167,8 @@ EXTENDED = [
     "quality_dup_correlation",
     "sole_late_suppliers",
     "dedup_token_savings",
+    "top_customers_faithful",
+    "streaming_silver_merge",
 ]
 
 
