@@ -1,0 +1,106 @@
+"""Bounded index caches (VERDICT r8 #7): the per-type LRU must evict
+least-recently-used entries, UNPERSIST what it evicts, and keep the
+standard build-on-miss idiom correct — an evicted index is rebuilt and
+its consumer's output is unchanged (coherence)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from xboard_spark.cache import BoundedFrameCache
+
+
+class _FakeFrame:
+    def __init__(self) -> None:
+        self.unpersisted = 0
+
+    def unpersist(self):
+        self.unpersisted += 1
+        return self
+
+
+def test_lru_evicts_and_unpersists():
+    c = BoundedFrameCache(max_entries=2)
+    a, b, d = _FakeFrame(), _FakeFrame(), _FakeFrame()
+    c["a"] = a
+    c["b"] = b
+    _ = c["a"]  # bump a -> b is now LRU
+    c["d"] = d
+    assert set(c) == {"a", "d"}
+    assert b.unpersisted == 1 and a.unpersisted == 0 and d.unpersisted == 0
+    assert c.evictions == 1
+
+
+def test_tuple_entries_release_every_frame():
+    c = BoundedFrameCache(max_entries=1)
+    t1 = (_FakeFrame(), _FakeFrame(), _FakeFrame())
+    c["x"] = t1
+    c["y"] = _FakeFrame()
+    assert all(f.unpersisted == 1 for f in t1)
+
+
+def test_overwrite_releases_replaced_entry():
+    c = BoundedFrameCache(max_entries=4)
+    old, new = _FakeFrame(), _FakeFrame()
+    c["k"] = old
+    c["k"] = new
+    assert old.unpersisted == 1 and new.unpersisted == 0
+    assert c.evictions == 0  # replacement is not an eviction
+
+
+def test_contains_does_not_bump_recency():
+    c = BoundedFrameCache(max_entries=2)
+    a, b = _FakeFrame(), _FakeFrame()
+    c["a"] = a
+    c["b"] = b
+    assert "a" in c  # membership probe must NOT save "a" from eviction
+    c["c"] = _FakeFrame()
+    assert set(c) == {"b", "c"} and a.unpersisted == 1
+
+
+def test_eviction_then_rebuild_is_coherent(spark):
+    """End-to-end on a real cache: force _INDEX_CACHE evictions by
+    building indexes for more corpora than the bound, then re-run the
+    FIRST corpus's consumer — output must be bit-identical to its
+    pre-eviction result (build-on-miss after eviction)."""
+    from xboard_spark.operators import dedup
+
+    def docs(tag: str, n: int = 12):
+        rows = [
+            (i, f"{tag} alpha beta gamma delta common text {i % 3}", "en")
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    first = docs("corpus0")
+    before = sorted(map(tuple, dedup.ngram_jaccard_pairs(first).collect()))
+    key0 = set(dedup._INDEX_CACHE)
+
+    old_bound = dedup._INDEX_CACHE.max_entries
+    dedup._INDEX_CACHE.max_entries = 2
+    try:
+        ev0 = dedup._INDEX_CACHE.evictions
+        for i in range(1, 4):  # 3 more corpora through a bound of 2
+            dedup.ngram_jaccard_pairs(docs(f"corpus{i}")).collect()
+        assert dedup._INDEX_CACHE.evictions > ev0, "bound never evicted"
+        assert not (key0 & set(dedup._INDEX_CACHE)), "corpus0 survived LRU"
+        after = sorted(map(tuple, dedup.ngram_jaccard_pairs(first).collect()))
+        assert after == before
+    finally:
+        dedup._INDEX_CACHE.max_entries = old_bound
+
+
+def test_clear_index_caches_still_releases_everything(spark):
+    """The manual release valve must keep working on the bounded caches
+    (it unpersists + clears without going through eviction)."""
+    import xboard_spark
+    from xboard_spark.operators import dedup
+
+    rows = [(i, f"release valve text sample {i % 2}", "en") for i in range(8)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    dedup.ngram_jaccard_pairs(d).collect()
+    assert len(dedup._INDEX_CACHE) >= 1
+    released = xboard_spark.clear_index_caches()
+    assert released >= 1
+    assert len(dedup._INDEX_CACHE) == 0

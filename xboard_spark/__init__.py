@@ -31,6 +31,11 @@ def clear_index_caches() -> int:
     for long-lived sessions that move on to a different corpus. Returns
     the number of artifacts released.
 
+    Since round 9 each cache is a ``BoundedFrameCache`` (per-type LRU,
+    unpersist-on-evict — see ``xboard_spark/cache.py``), so a session
+    that never calls this no longer leaks persisted frames without
+    bound; this function remains the immediate full release.
+
     Caveat: cache keys are ``DataFrame.semanticHash()`` of the source plan
     (plus the index parameters). The hash identifies the PLAN, not the
     bytes behind it — if files at the same path are overwritten mid-session

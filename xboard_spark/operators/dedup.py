@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from xboard_spark.cache import BoundedFrameCache
 from xboard_spark.functions.portable_hash import (
     MINHASH_P,
     _X_MASK,
@@ -130,17 +131,19 @@ def shingle_index(documents: DataFrame, n: int = 3) -> DataFrame:
 # reusable artifact — at scale it would be a bucketed table on disk;
 # in-session the persisted frame plays that role. semanticHash covers the
 # source paths + plan, so a different sf_dir misses the cache correctly.
-_INDEX_CACHE: dict[tuple[int, int, int], DataFrame] = {}
+_INDEX_CACHE: dict[tuple[int, int, int], DataFrame] = BoundedFrameCache()
 # (documents semanticHash, n, n_perms, n_bands, max_df) -> persisted
 # LSH-candidate pairs with exact Jaccard, BEFORE the tau filter (see
 # minhash_dedup_pairs).
-_PAIRS_CACHE: dict[tuple[int, int, int, int, int], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[int, int, int, int, int], DataFrame] = BoundedFrameCache()
 # (documents semanticHash, n, n_perms, n_bands, tau in micro-units,
 # max_df) -> persisted component labels of the verified pair graph. tau is
 # part of the key (unlike _PAIRS_CACHE, which stores unfiltered pairs and
 # filters on read) because the threshold changes the GRAPH the components
 # are computed over.
-_CLUSTERS_CACHE: dict[tuple[int, int, int, int, int, int], DataFrame] = {}
+_CLUSTERS_CACHE: dict[tuple[int, int, int, int, int, int], DataFrame] = (
+    BoundedFrameCache()
+)
 # star-rounds diagnostic for each cached cluster frame, restored onto
 # ``components_star.last_rounds`` on cache hits (kept OUT of
 # _CLUSTERS_CACHE so clear_index_caches' unpersist loop only sees frames)

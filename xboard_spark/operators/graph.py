@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xboard_spark.operators.text import TOKEN_RE
+from xboard_spark.cache import BoundedFrameCache
 
 DAMPING = 0.85
 
@@ -34,12 +35,12 @@ DAMPING = 0.85
 # frame. The co-purchase graph is an index-like artifact (built once,
 # consumed by every centrality call); same cache contract as
 # dedup._PAIRS_CACHE, released by xboard_spark.clear_index_caches().
-_EDGE_CACHE: dict[int, DataFrame] = {}
+_EDGE_CACHE: dict[int, DataFrame] = BoundedFrameCache()
 # lineitem semanticHash -> persisted raw undirected edge list. Shared by
 # part_pagerank (via the directed cache above), part_degree_profile, and
 # copurchase_triangles — the basket self-join is the expensive part of all
 # three and need only run once per corpus per session.
-_RAW_EDGE_CACHE: dict[int, DataFrame] = {}
+_RAW_EDGE_CACHE: dict[int, DataFrame] = BoundedFrameCache()
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from xboard_spark.cache import BoundedFrameCache
 
 # Session caches, keyed by (customer-plan semanticHash, max_dist) — the
 # verified fuzzy pair set and the entity-cluster labels derived from it.
@@ -41,8 +42,8 @@ from pyspark.sql import functions as F
 # dedup pair index, refreshed with the corpus; in-session the analogue is
 # a persist + explicit release via ``clear_index_caches`` (same contract
 # as dedup._PAIRS_CACHE/_CLUSTERS_CACHE).
-_FUZZY_PAIRS_CACHE: dict[tuple[int, int], DataFrame] = {}
-_ENTITY_CLUSTERS_CACHE: dict[tuple[int, int], DataFrame] = {}
+_FUZZY_PAIRS_CACHE: dict[tuple[int, int], DataFrame] = BoundedFrameCache()
+_ENTITY_CLUSTERS_CACHE: dict[tuple[int, int], DataFrame] = BoundedFrameCache()
 # star-rounds diagnostic sidecar, restored on cache hits (kept out of the
 # frame caches so clear_index_caches' unpersist loop only sees frames)
 _ENTITY_ROUNDS: dict[tuple[int, int], int] = {}

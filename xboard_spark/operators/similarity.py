@@ -36,6 +36,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from xboard_spark.cache import BoundedFrameCache
 
 N_PLANES = 8
 N_TABLES = 4  # independent LSH tables (the recall knob; see lsh_corpus)
@@ -83,7 +84,7 @@ def _norm(a: Column) -> Column:
 # bucket-free base every similarity operator shares. Separate from the
 # bucketed index so exact operators (knn_bruteforce) keep a pure-JVM
 # lineage — their plans must stay Python-free (asserted in test_plans).
-_NORM_CACHE: dict[int, DataFrame] = {}
+_NORM_CACHE: dict[int, DataFrame] = BoundedFrameCache()
 
 # (embeddings semanticHash, n_planes, n_tables, arrow) -> persisted
 # norm+bucket-annotated corpus. The annotated corpus IS the LSH index:
@@ -93,7 +94,7 @@ _NORM_CACHE: dict[int, DataFrame] = {}
 # params are part of the key: buckets built with a different plane/table
 # count — or a different builder — are a DIFFERENT index, and serving
 # them silently would corrupt candidate sets.
-_CORPUS_CACHE: dict[tuple[int, int, int, bool], DataFrame] = {}
+_CORPUS_CACHE: dict[tuple[int, int, int, bool], DataFrame] = BoundedFrameCache()
 
 
 def _norm_corpus(embeddings: DataFrame) -> DataFrame:
@@ -569,7 +570,9 @@ def _update(vec_dims: DataFrame, assign: DataFrame) -> DataFrame:
 # expensive shared artifact — knn_ivf and ivf_cell_sizes both need it, and
 # production would build it once offline and store it; the in-session
 # cache plays that role (same rationale as dedup._INDEX_CACHE).
-_IVF_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame, DataFrame]] = {}
+_IVF_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame, DataFrame]] = (
+    BoundedFrameCache()
+)
 
 
 def ivf_index(
@@ -763,7 +766,7 @@ PQ_K = 4  # centroids per subspace codebook
 # for another.
 _PQ_CACHE: dict[
     tuple[int, int, int, int], tuple[DataFrame, DataFrame, DataFrame]
-] = {}
+] = BoundedFrameCache()
 
 
 def pq_index(
