@@ -186,9 +186,11 @@ def top_customers_faithful_panel(
     identity. The corrected form remains the engine's real operator."""
     o = orders.filter(F.col("o_custkey") % modulus == tenant)
     c = customer.filter(F.col("c_custkey") % modulus == tenant)
+    # the tenant-filtered customer side is ~n/modulus rows — broadcast it
+    # so the (deliberately) fan-out join never shuffles the orders side
     return top_customers_faithful(
         o.withColumn("tenant_id", F.lit(tenant)),
-        c.withColumn("tenant_id", F.lit(tenant)),
+        F.broadcast(c.withColumn("tenant_id", F.lit(tenant))),
         "tenant_id",
     )
 
