@@ -218,10 +218,10 @@ def silver_merge_demo(events: DataFrame, workdir: str | None = None) -> DataFram
       ``event_id % 7 == 0`` deliveries REDELIVERED (same delivery_hash) —
       on the first batch there is no existing silver to merge against, so
       an un-deduped duplicate lands twice and inflates ``n_orders``;
-    * batch 2 (arriving a day later in event time, new delivery hashes) =
-      price updates (x1.1) for the ``event_id % 3 == 0`` orders — the
-      idempotent keyed merge must make them WIN over batch 1, which the
-      ``revenue`` column proves.
+    * batch 2 (arriving at a constant event time after every batch-1
+      row, new delivery hashes) = price updates (x1.1) for the
+      ``event_id % 3 == 0`` orders — the idempotent keyed merge must
+      make them WIN over batch 1, which the ``revenue`` column proves.
 
     The DuckDB twin recomputes the expected silver directly from
     ``events`` (``oracles.py: streaming_silver_merge``). Money stays
