@@ -439,13 +439,13 @@ def test_silver_merge_demo_panel(spark):
     rows = [
         # (event_id, ts, user_id, event_type, value, props)
         # user_id 0 -> tenant 1; values chosen so updates are visible
-        (3, dt.datetime(2026, 1, 1, 9, 0), 0, "purchase", 10.0, "{}"),   # %3==0 -> updated to 11.0
-        (7, dt.datetime(2026, 1, 1, 9, 5), 0, "purchase", 20.0, "{}"),   # %7==0 -> redelivered
+        (3, dt.datetime(2026, 1, 1, 9, 0), 0, "purchase", 10.25, "{}"),   # %3==0 -> updated to 20.50
+        (7, dt.datetime(2026, 1, 1, 9, 5), 0, "purchase", 20.0, "{}"),    # %7==0 -> redelivered
         (8, dt.datetime(2026, 1, 1, 9, 6), 0, "purchase", 40.0, "{}"),
-        (21, dt.datetime(2026, 1, 1, 9, 7), 5, "purchase", 100.0, "{}"), # tenant 1; %3 AND %7
-        (4, dt.datetime(2026, 1, 1, 9, 8), 1, "purchase", 7.0, "{}"),    # tenant 2
-        (5, dt.datetime(2026, 1, 1, 9, 9), 1, "view", 999.0, "{}"),      # not a purchase
-        (6, dt.datetime(2026, 1, 1, 9, 10), 1, "purchase", None, "{}"),  # null value excluded
+        (21, dt.datetime(2026, 1, 1, 9, 7), 5, "purchase", 100.05, "{}"), # tenant 1; %3 AND %7
+        (4, dt.datetime(2026, 1, 1, 9, 8), 1, "purchase", 7.0, "{}"),     # tenant 2
+        (5, dt.datetime(2026, 1, 1, 9, 9), 1, "view", 999.0, "{}"),       # not a purchase
+        (6, dt.datetime(2026, 1, 1, 9, 10), 1, "purchase", None, "{}"),   # null value excluded
     ]
     ev = spark.createDataFrame(
         rows,
@@ -455,9 +455,9 @@ def test_silver_merge_demo_panel(spark):
     out = {r.tenant_id: r for r in webhook.silver_merge_demo(ev).collect()}
     assert set(out) == {1, 2}
     # tenant 1: orders 3,7,8,21 each ONCE (7 and 21 were redelivered);
-    # 3 and 21 updated x1.1 -> 11.0 + 20.0 + 40.0 + 110.0
+    # 3 and 21 updated x2 -> 20.50 + 20.0 + 40.0 + 200.10
     assert out[1].n_orders == 4
-    assert abs(out[1].revenue - 181.0) < 1e-9
+    assert abs(out[1].revenue - 280.60) < 1e-9
     # tenant 2: order 4 untouched; the view and the null-value purchase
     # never enter the fixture
     assert out[2].n_orders == 1

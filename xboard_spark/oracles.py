@@ -3547,20 +3547,23 @@ GROUP BY 1 ORDER BY total_spent DESC, cust_name""",
         # batch-equivalence twin of the ST4 streaming chain
         # (streaming/webhook.py silver_merge_demo): recompute the expected
         # final silver table directly from events — redeliveries deduped
-        # (each purchase once), batch-2 price updates (x1.1 on
-        # event_id % 3 == 0) winning the keyed merge. Money is exact
-        # DECIMAL end-to-end on both engines; the only double is the
-        # final rounded cast.
+        # (each purchase once), batch-2 price updates (exact DECIMAL x2 on
+        # event_id % 3 == 0) winning the keyed merge. Money goes DECIMAL
+        # before the update multiply and stays DECIMAL (a x1.1 on the
+        # DOUBLE split the engines by a cent at .005 boundaries — see the
+        # silver_merge_demo docstring); the only double is the final
+        # rounded cast.
         "streaming_silver_merge": """
 WITH p AS (
-  SELECT event_id, user_id % 5 + 1 AS tenant_id, value
+  SELECT event_id, user_id % 5 + 1 AS tenant_id,
+         CAST(round(value, 2) AS DECIMAL(18,2)) AS base_price
   FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
 ),
 silver AS (
   SELECT tenant_id, event_id AS shopify_order_id,
          CASE WHEN event_id % 3 = 0
-              THEN CAST(round(value * 1.1, 2) AS DECIMAL(18,2))
-              ELSE CAST(round(value, 2) AS DECIMAL(18,2)) END AS total_price
+              THEN CAST(base_price * 2 AS DECIMAL(18,2))
+              ELSE base_price END AS total_price
   FROM p
 )
 SELECT tenant_id, count(*) AS n_orders,

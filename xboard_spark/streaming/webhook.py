@@ -219,15 +219,24 @@ def silver_merge_demo(events: DataFrame, workdir: str | None = None) -> DataFram
       on the first batch there is no existing silver to merge against, so
       an un-deduped duplicate lands twice and inflates ``n_orders``;
     * batch 2 (arriving at a constant event time after every batch-1
-      row, new delivery hashes) = price updates (x1.1) for the
-      ``event_id % 3 == 0`` orders — the idempotent keyed merge must
-      make them WIN over batch 1, which the ``revenue`` column proves.
+      row, new delivery hashes) = price updates (x2, computed in exact
+      DECIMAL) for the ``event_id % 3 == 0`` orders — the idempotent
+      keyed merge must make them WIN over batch 1, which the ``revenue``
+      column proves.
 
     The DuckDB twin recomputes the expected silver directly from
-    ``events`` (``oracles.py: streaming_silver_merge``). Money stays
-    DECIMAL end-to-end (payload string -> DECIMAL(18,2) -> exact decimal
-    sum), so the cross-engine hash has no float-sum-order hazard; the
-    single double appears after the final round.
+    ``events`` (``oracles.py: streaming_silver_merge``). Money goes
+    DECIMAL at the first possible moment and stays DECIMAL (payload
+    string -> DECIMAL(18,2) -> exact x2 update -> exact decimal sum), so
+    the cross-engine hash has neither a float-sum-order hazard nor a
+    rounding-boundary one; the single double appears after the final
+    round. Measured, not hypothetical: a x1.1 update computed on the
+    DOUBLE before the decimal cast put updated prices on .005 half-cent
+    boundaries where Spark's HALF_UP (decimal-string) and DuckDB's
+    binary-double rounding disagree — at sf0.1 a handful of rows split
+    the engines by one cent (events.value itself is 2-decimal clean, so
+    ``round(value, 2)`` is boundary-free; only derived prices were at
+    risk).
 
     Driver footprint: the returned panel is <= n_tenants rows,
     collected once so the temp fixture/silver/checkpoint dirs can be
@@ -256,10 +265,12 @@ def silver_merge_demo(events: DataFrame, workdir: str | None = None) -> DataFram
         "ts",
     )
 
-    def _lines(df: DataFrame, price_factor: str, tag: str, ts_col) -> DataFrame:
+    def _lines(df: DataFrame, price_mult: int, tag: str, ts_col) -> DataFrame:
+        # decimal FIRST, multiply SECOND: the update factor must apply to
+        # the exact DECIMAL, never to the double (see docstring)
         price = F.expr(
-            f"CAST(CAST(round(value {price_factor}, 2)"
-            " AS DECIMAL(18,2)) AS STRING)"
+            "CAST(CAST(CAST(round(value, 2) AS DECIMAL(18,2))"
+            f" * {price_mult} AS DECIMAL(18,2)) AS STRING)"
         )
         payload = F.to_json(
             F.struct(
@@ -293,9 +304,9 @@ def silver_merge_demo(events: DataFrame, workdir: str | None = None) -> DataFram
         os.rename(part, os.path.join(indir, fname))
         shutil.rmtree(stage)
 
-    b1 = _lines(base, "", "d1", F.col("ts"))
+    b1 = _lines(base, 1, "d1", F.col("ts"))
     redelivered = _lines(
-        base.filter(F.col("event_id") % 7 == 0), "", "d1", F.col("ts")
+        base.filter(F.col("event_id") % 7 == 0), 1, "d1", F.col("ts")
     )
     # batch 2 arrives at a CONSTANT event time later than every batch-1
     # row: per-row ts+delta received_at would put most updates behind the
@@ -305,7 +316,7 @@ def silver_merge_demo(events: DataFrame, workdir: str | None = None) -> DataFram
     # variant of this fixture
     b2 = _lines(
         base.filter(F.col("event_id") % 3 == 0),
-        "* 1.1",
+        2,
         "d2",
         F.to_timestamp(F.lit("2030-01-01 00:00:00")),
     )
