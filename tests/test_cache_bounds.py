@@ -104,3 +104,71 @@ def test_clear_index_caches_still_releases_everything(spark):
     released = xboard_spark.clear_index_caches()
     assert released >= 1
     assert len(dedup._INDEX_CACHE) == 0
+
+
+def test_on_evict_fires_only_on_true_eviction():
+    gone: list = []
+    c = BoundedFrameCache(max_entries=2, on_evict=gone.append)
+    a, b = _FakeFrame(), _FakeFrame()
+    c["a"] = a
+    c["a"] = _FakeFrame()  # replacement: key stays -> no callback
+    assert gone == []
+    c["b"] = b
+    c["c"] = _FakeFrame()  # evicts "a"
+    assert gone == ["a"]
+
+
+def test_sidecar_keys_evict_in_lockstep(spark):
+    """The star-rounds sidecars must not outlive their cluster frames:
+    evicting a key from the bounded cluster cache pops its sidecar."""
+    from xboard_spark.operators import dedup
+
+    dedup._CLUSTERS_CACHE["k1"] = _FakeFrame()
+    dedup._CLUSTERS_ROUNDS["k1"] = 3
+    old_bound = dedup._CLUSTERS_CACHE.max_entries
+    dedup._CLUSTERS_CACHE.max_entries = 1
+    try:
+        dedup._CLUSTERS_CACHE["k2"] = _FakeFrame()  # evicts k1
+        assert "k1" not in dedup._CLUSTERS_CACHE
+        assert "k1" not in dedup._CLUSTERS_ROUNDS
+    finally:
+        dedup._CLUSTERS_CACHE.max_entries = old_bound
+        dedup._CLUSTERS_CACHE.pop("k2", None)
+
+
+def test_cache_model_property():
+    """Model-based check: against a reference model of LRU-with-release,
+    a random (seeded, deterministic) op sequence must agree on contents,
+    order, eviction count, and exactly-once release of dead frames."""
+    import random
+
+    rng = random.Random(90210)
+    keys = [f"k{i}" for i in range(12)]
+    c = BoundedFrameCache(max_entries=4)
+    model: dict[str, _FakeFrame] = {}  # insertion==recency order (py3.7+)
+    released: list[_FakeFrame] = []
+
+    for step in range(600):
+        op = rng.random()
+        k = rng.choice(keys)
+        if op < 0.55:  # insert/replace
+            f = _FakeFrame()
+            if k in model:  # replacement releases the old frame
+                released.append(model.pop(k))
+            model[k] = f
+            if len(model) > 4:
+                lru = next(iter(model))
+                released.append(model.pop(lru))
+            c[k] = f
+        elif op < 0.85:  # get (bumps recency on hit)
+            if k in model:
+                model[k] = model.pop(k)
+                assert c[k] is model[k]
+            else:
+                assert k not in c
+        else:  # membership probe (must NOT bump)
+            assert (k in c) == (k in model)
+        assert list(c) == list(model), f"order diverged at step {step}"
+        assert all(f.unpersisted == 0 for f in model.values())
+        assert all(f.unpersisted == 1 for f in released)
+    assert c.evictions > 0  # the sequence actually exercised eviction

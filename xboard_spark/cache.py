@@ -40,12 +40,20 @@ class BoundedFrameCache(OrderedDict):
     - inserting beyond ``max_entries`` evicts the least-recently-used
       entry and calls ``unpersist()`` on each DataFrame in it.
     - ``evictions`` counts evictions (for tests/diagnostics).
+    - ``on_evict(key)`` (optional) fires after a key is EVICTED (left
+      the cache; value replacement keeps the key and does not fire) —
+      the hook for diagnostic SIDECAR dicts keyed alongside the cache
+      (e.g. the star-rounds counters next to the cluster caches), so
+      sidecar keys can't outlive their frames.
     """
 
-    def __init__(self, max_entries: int = DEFAULT_MAX_ENTRIES):
+    def __init__(
+        self, max_entries: int = DEFAULT_MAX_ENTRIES, on_evict=None
+    ):
         super().__init__()
         self.max_entries = max_entries
         self.evictions = 0
+        self.on_evict = on_evict
 
     @staticmethod
     def _release(entry) -> None:
@@ -74,3 +82,5 @@ class BoundedFrameCache(OrderedDict):
             self._release(super().__getitem__(oldest))
             super().__delitem__(oldest)
             self.evictions += 1
+            if self.on_evict is not None:
+                self.on_evict(oldest)

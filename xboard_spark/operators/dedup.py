@@ -141,13 +141,14 @@ _PAIRS_CACHE: dict[tuple[int, int, int, int, int], DataFrame] = BoundedFrameCach
 # part of the key (unlike _PAIRS_CACHE, which stores unfiltered pairs and
 # filters on read) because the threshold changes the GRAPH the components
 # are computed over.
-_CLUSTERS_CACHE: dict[tuple[int, int, int, int, int, int], DataFrame] = (
-    BoundedFrameCache()
-)
 # star-rounds diagnostic for each cached cluster frame, restored onto
 # ``components_star.last_rounds`` on cache hits (kept OUT of
-# _CLUSTERS_CACHE so clear_index_caches' unpersist loop only sees frames)
+# _CLUSTERS_CACHE so clear_index_caches' unpersist loop only sees frames;
+# the cache's on_evict keeps the two keyed in lockstep)
 _CLUSTERS_ROUNDS: dict[tuple[int, int, int, int, int, int], int] = {}
+_CLUSTERS_CACHE: dict[tuple[int, int, int, int, int, int], DataFrame] = (
+    BoundedFrameCache(on_evict=lambda k: _CLUSTERS_ROUNDS.pop(k, None))
+)
 
 
 def cached_filtered_index(documents: DataFrame, n: int, max_df: int) -> DataFrame:

@@ -43,10 +43,13 @@ from xboard_spark.cache import BoundedFrameCache
 # a persist + explicit release via ``clear_index_caches`` (same contract
 # as dedup._PAIRS_CACHE/_CLUSTERS_CACHE).
 _FUZZY_PAIRS_CACHE: dict[tuple[int, int], DataFrame] = BoundedFrameCache()
-_ENTITY_CLUSTERS_CACHE: dict[tuple[int, int], DataFrame] = BoundedFrameCache()
 # star-rounds diagnostic sidecar, restored on cache hits (kept out of the
-# frame caches so clear_index_caches' unpersist loop only sees frames)
+# frame caches so clear_index_caches' unpersist loop only sees frames;
+# the cluster cache's on_evict keeps the two keyed in lockstep)
 _ENTITY_ROUNDS: dict[tuple[int, int], int] = {}
+_ENTITY_CLUSTERS_CACHE: dict[tuple[int, int], DataFrame] = BoundedFrameCache(
+    on_evict=lambda k: _ENTITY_ROUNDS.pop(k, None)
+)
 
 
 def _deletion_neighborhood(name_col: str) -> F.Column:
