@@ -121,9 +121,11 @@ def test_login_unknown_email_burns_kdf_cost():
     the dummy-hash verify keeps timing uniform with wrong-password. Pin
     the mechanism (the dummy hash exists, is a real scrypt PHC string,
     and verifies only its unpresentable sentinel), not wall-clock."""
-    assert auth._DUMMY_HASH.startswith("$scrypt$")
-    assert auth.verify_password("!dummy-equal-cost-verify!", auth._DUMMY_HASH)
-    assert not auth.verify_password("s3cret!", auth._DUMMY_HASH)
+    dummy = auth._dummy_hash()
+    assert dummy.startswith("$scrypt$")
+    assert auth.verify_password(auth._DUMMY_HASH_INPUT, dummy)
+    assert not auth.verify_password("s3cret!", dummy)
+    assert auth._dummy_hash() is dummy  # lazy + cached, never recomputed
 
 
 # ----------------------------------------------------------------- flows

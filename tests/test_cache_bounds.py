@@ -5,9 +5,6 @@ its consumer's output is unchanged (coherence)."""
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
-import pytest
-
 from xboard_spark.cache import BoundedFrameCache
 
 
@@ -172,3 +169,17 @@ def test_cache_model_property():
         assert all(f.unpersisted == 0 for f in model.values())
         assert all(f.unpersisted == 1 for f in released)
     assert c.evictions > 0  # the sequence actually exercised eviction
+
+
+def test_release_all_unpersists_fires_on_evict_and_counts():
+    gone: list = []
+    c = BoundedFrameCache(max_entries=8, on_evict=gone.append)
+    t = (_FakeFrame(), _FakeFrame())
+    single = _FakeFrame()
+    c["t"] = t
+    c["s"] = single
+    n = c.release_all()
+    assert n == 3  # counts FRAMES, not keys (tuple = 2)
+    assert len(c) == 0 and c.evictions == 0  # release != LRU pressure
+    assert sorted(gone) == ["s", "t"]
+    assert all(f.unpersisted == 1 for f in (*t, single))

@@ -45,27 +45,21 @@ def clear_index_caches() -> int:
     the same contract: explicit invalidation, not mtime-watching.)"""
     from xboard_spark.operators import dedup, graph, linkage, similarity
 
-    n = 0
-    for cache in (
-        dedup._INDEX_CACHE,
-        dedup._PAIRS_CACHE,
-        dedup._CLUSTERS_CACHE,
-        graph._EDGE_CACHE,
-        graph._RAW_EDGE_CACHE,
-        linkage._FUZZY_PAIRS_CACHE,
-        linkage._ENTITY_CLUSTERS_CACHE,
-        similarity._NORM_CACHE,
-        similarity._CORPUS_CACHE,
-        similarity._IVF_CACHE,
-        similarity._PQ_CACHE,
-    ):
-        for entry in cache.values():
-            frames = entry if isinstance(entry, tuple) else (entry,)
-            for df in frames:
-                df.unpersist()
-                n += 1
-        cache.clear()
-    # diagnostic sidecars, no frames to release
-    dedup._CLUSTERS_ROUNDS.clear()
-    linkage._ENTITY_ROUNDS.clear()
-    return n
+    # release semantics live on BoundedFrameCache.release_all (unpersist
+    # + on_evict, which empties the star-rounds sidecars in lockstep)
+    return sum(
+        cache.release_all()
+        for cache in (
+            dedup._INDEX_CACHE,
+            dedup._PAIRS_CACHE,
+            dedup._CLUSTERS_CACHE,
+            graph._EDGE_CACHE,
+            graph._RAW_EDGE_CACHE,
+            linkage._FUZZY_PAIRS_CACHE,
+            linkage._ENTITY_CLUSTERS_CACHE,
+            similarity._NORM_CACHE,
+            similarity._CORPUS_CACHE,
+            similarity._IVF_CACHE,
+            similarity._PQ_CACHE,
+        )
+    )

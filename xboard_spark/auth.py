@@ -32,6 +32,7 @@ Documented divergences (both are container constraints, not corners):
 from __future__ import annotations
 
 import base64
+import functools
 import hashlib
 import hmac
 import json
@@ -204,9 +205,14 @@ def authenticate_token(
 # (auth.js:85 returns before bcrypt.compare runs); here the error message
 # AND the latency are uniform. Fixed salt on purpose — it hashes a
 # password no caller can present, its only job is burning the KDF cost.
-_DUMMY_HASH = hash_password(
-    "!dummy-equal-cost-verify!", salt=b"xboard-dummy-salt"
-)
+# Computed lazily on first use: the KDF costs ~50 ms and ~16 MB, which
+# doesn't belong on the import path of sessions that never call login().
+_DUMMY_HASH_INPUT = "!dummy-equal-cost-verify!"
+
+
+@functools.lru_cache(maxsize=1)
+def _dummy_hash() -> str:
+    return hash_password(_DUMMY_HASH_INPUT, salt=b"xboard-dummy-salt")
 
 
 def register(
@@ -277,7 +283,7 @@ def login(
         .select("id", "email", "password_hash", "tenant_id", "shop_domain")
         .first()
     )
-    stored = row.password_hash if row is not None else _DUMMY_HASH
+    stored = row.password_hash if row is not None else _dummy_hash()
     ok = verify_password(password, stored)
     if row is None or not ok:
         raise AuthError("invalid credentials")

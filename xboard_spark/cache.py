@@ -84,3 +84,24 @@ class BoundedFrameCache(OrderedDict):
             self.evictions += 1
             if self.on_evict is not None:
                 self.on_evict(oldest)
+
+    def release_all(self) -> int:
+        """Unpersist every frame, fire ``on_evict`` for every key (so
+        sidecars empty in lockstep), and clear. Returns the number of
+        frames released. This is the ONE place release semantics live —
+        ``xboard_spark.clear_index_caches`` delegates here. (Doesn't
+        count toward ``evictions``: that counter tracks LRU pressure.)
+
+        Note: plain ``del``/``pop``/``clear`` bypass release on purpose
+        — they are not part of the consumers' idiom (build-on-miss +
+        release_all); anything removing entries another way owns the
+        unpersist itself."""
+        n = 0
+        for key in list(self):
+            entry = super().__getitem__(key)
+            self._release(entry)
+            n += len(entry) if isinstance(entry, tuple) else 1
+            if self.on_evict is not None:
+                self.on_evict(key)
+        self.clear()
+        return n

@@ -241,6 +241,9 @@ def silver_merge_demo(events: DataFrame, workdir: str | None = None) -> DataFram
     Driver footprint: the returned panel is <= n_tenants rows,
     collected once so the temp fixture/silver/checkpoint dirs can be
     deleted before returning (the sanctioned k-row collect pattern).
+    A caller-provided ``workdir`` is caller-owned: the fixture, silver
+    table, and checkpoint are left in place for inspection and the
+    caller handles cleanup; only a self-created temp dir is removed.
     At 100 TB this demo IS the production shape: the file source becomes
     Kafka, the two runs become a continuous trigger, and the panel is any
     downstream aggregate of the silver table."""
@@ -250,7 +253,9 @@ def silver_merge_demo(events: DataFrame, workdir: str | None = None) -> DataFram
     import tempfile
 
     spark = events.sparkSession
-    workdir = workdir or tempfile.mkdtemp(prefix="xboard_silver_demo_")
+    owns_workdir = workdir is None
+    if owns_workdir:
+        workdir = tempfile.mkdtemp(prefix="xboard_silver_demo_")
     indir = os.path.join(workdir, "in")
     silver = os.path.join(workdir, "silver")
     ckpt = os.path.join(workdir, "ckpt")
@@ -308,17 +313,26 @@ def silver_merge_demo(events: DataFrame, workdir: str | None = None) -> DataFram
     redelivered = _lines(
         base.filter(F.col("event_id") % 7 == 0), 1, "d1", F.col("ts")
     )
-    # batch 2 arrives at a CONSTANT event time later than every batch-1
-    # row: per-row ts+delta received_at would put most updates behind the
-    # run-1 watermark (max batch-1 ts - delay), and
-    # dropDuplicatesWithinWatermark DROPS late rows — measured, not
-    # hypothetical: at sf0.001 only 2 of 79 updates survived a ts+1day
-    # variant of this fixture
+    # batch 2 arrives at a CONSTANT event time later than EVERY batch-1
+    # row — derived from the source's max(ts), not a fixed literal (a
+    # literal is a data-dependent bomb: source data past it would put
+    # run 1's watermark beyond batch 2 and dropDuplicatesWithinWatermark
+    # DROPS late rows — measured: with per-row ts+1day received_at only
+    # 2 of 79 updates survived at sf0.001). The 1-row max(ts) collect is
+    # the sanctioned driver-footprint pattern.
+    max_ts = base.agg(F.max("ts")).first()[0]
+    if max_ts is None:
+        raise ValueError("silver_merge_demo: no usable purchase events")
+    import datetime as _dt
+
+    b2_arrival = (max_ts + _dt.timedelta(days=1)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
     b2 = _lines(
         base.filter(F.col("event_id") % 3 == 0),
         2,
         "d2",
-        F.to_timestamp(F.lit("2030-01-01 00:00:00")),
+        F.to_timestamp(F.lit(b2_arrival)),
     )
 
     run_log: list = []
@@ -361,5 +375,9 @@ def silver_merge_demo(events: DataFrame, workdir: str | None = None) -> DataFram
         rows = panel.collect()  # <= n_tenants rows; detaches from temp files
         schema = panel.schema
     finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+        # only destroy what we created: a caller-provided workdir is
+        # caller-owned (they keep the fixture/silver/checkpoint for
+        # inspection and handle cleanup)
+        if owns_workdir:
+            shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
