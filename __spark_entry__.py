@@ -29,6 +29,7 @@ from xboard_spark.operators import (
     incremental,
     linkage,
     ml,
+    multimodal,
     profiling,
     sampling,
     similarity,
@@ -254,16 +255,17 @@ _ROUND8_FIRST = [
 
 # Round-9 rotation (ACTIVE since round 9; the staged list was
 # re-validated against the round-9 additions per its contract). Head:
-# the 2 queries NEW this round (first driver rows) + the 2 sketch
+# the 3 queries NEW this round (first driver rows) + the 2 sketch
 # queries REWRITTEN to invariant-oracle form this round (values
 # changed -> must re-hash now); then the 18 r5-era rows the staged list
 # carried (quantile_sketch_error moved into the head); then the oldest
-# r6-window rows. The 4 head insertions displace the 3 r6-window tail
-# entries (term_cooccurrence, overview, orders_by_date -> head of
-# _ROUND10_FIRST, aging one extra round).
+# r6-window rows. The 5 head insertions displace the 4 r6-window tail
+# entries (term_cooccurrence, overview, orders_by_date,
+# funnel_conversion -> head of _ROUND10_FIRST, aging one extra round).
 _ROUND9_FIRST = [
-    # -- new in round 9 (2) + rewritten to invariant-oracle form (2) --
+    # -- new in round 9 (3) + rewritten to invariant-oracle form (2) --
     "streaming_silver_merge", "top_customers_faithful",
+    "media_decode_audit",
     "approx_cardinality", "quantile_sketch_error",
     # -- r5-era driver rows (17; the r5-window tail that fit in neither
     # the r7 nor the r8 window) --
@@ -283,25 +285,25 @@ _ROUND9_FIRST = [
     "events_json_variant", "status_distinct_aggs", "revenue_rollup",
     "value_percentiles", "daily_type_pivot", "customers_without_orders",
     "rolling_revenue", "customer_order_gaps", "orders_cube", "rfm_segments",
-    "funnel_conversion",
 ]
 
 
 # Round-10 rotation, STAGED AHEAD (swap at the start of round 10;
 # re-validate against whatever round 10 adds — new queries displace
-# tail entries here). Head: the 3 r6-window rows the round-9 head
+# tail entries here). Head: the 4 r6-window rows the round-9 head
 # insertions displaced (oldest evidence in the union), then the 19
 # queries that appear in NONE of the r7/r8/r9 windows (the 18
 # r6-window tail rows — events_daily, knn_pq, embedding_quantization,
 # the reference-surface basics — plus embedding_spectrum, displaced
-# from the r8 head by the round-7 addition); backfill: the oldest 28
+# from the r8 head by the round-7 addition); backfill: the oldest 27
 # r7-window rows in their r7 order (approx_cardinality left this list
-# for the round-9 head when its rewrite landed; tfidf_top_terms and
-# doc_chunks spill to round 11). The remaining r7-window rows
-# (doc_chunks_overlapping .. repetition_stats) head round 11.
+# for the round-9 head when its rewrite landed; tfidf_top_terms,
+# doc_chunks and doc_fingerprints spill to round 11). The remaining
+# r7-window rows (doc_chunks_overlapping .. repetition_stats) head
+# round 11.
 _ROUND10_FIRST = [
-    # -- displaced from the round-9 window by its head insertions (3) --
-    "term_cooccurrence", "overview", "orders_by_date",
+    # -- displaced from the round-9 window by its head insertions (4) --
+    "term_cooccurrence", "overview", "orders_by_date", "funnel_conversion",
     # -- in none of the r7/r8/r9 windows (19) --
     "knn_pq", "embedding_quantization", "embedding_spectrum",
     "orders_by_date_range", "top_customers", "recent_orders",
@@ -320,19 +322,20 @@ _ROUND10_FIRST = [
     "bpe_merge_candidates", "bpe_learn", "epochs_plan", "events_json",
     "user_rollup", "hourly_windows", "cohort_retention",
     "top_supplier_revenue", "quality_scores",
-    "language_id", "doc_fingerprints",
+    "language_id",
 ]
 
 
 # Round-11 rotation, STAGED AHEAD (swap at the start of round 11;
 # re-validate against whatever rounds 10-11 add). Head: the 19
-# r7-window rows in none of the r8/r9/r10 windows, plus the 2 r7-window
+# r7-window rows in none of the r8/r9/r10 windows, plus the 3 r7-window
 # rows the round-9 head insertions pushed out of the round-10 backfill
-# (tfidf_top_terms, doc_chunks); backfill: the oldest 29 r8-window rows
-# in their r8 order. The remaining 21 r8-window rows (pq_quantization ..
-# bounce_rate_by_dow) roll to round 12.
+# (tfidf_top_terms, doc_chunks, doc_fingerprints); backfill: the oldest
+# 28 r8-window rows in their r8 order. The remaining 22 r8-window rows
+# (embedding_stats, pq_quantization .. bounce_rate_by_dow) roll to
+# round 12.
 _ROUND11_FIRST = [
-    # -- r7-window rows in none of the r8/r9/r10 windows (19 + the 2
+    # -- r7-window rows in none of the r8/r9/r10 windows (19 + the 3
     # round-10 spills) --
     "doc_chunks_overlapping", "train_test_split", "stratified_sample",
     "mixture_rebalance", "length_histogram", "sequence_packing",
@@ -340,7 +343,7 @@ _ROUND11_FIRST = [
     "decontamination", "simhash", "curation_stats", "nation_customer_ranks",
     "segment_setops", "events_dedup", "purchase_asof_view",
     "views_before_purchase", "repetition_stats",
-    "tfidf_top_terms", "doc_chunks",
+    "tfidf_top_terms", "doc_chunks", "doc_fingerprints",
     # -- oldest r8-window rows (29) --
     "dedup_token_savings", "knn_label_vote", "boilerplate_ngrams",
     "dup_span_stats", "basket_pairs", "value_outliers", "scd2_history",
@@ -350,7 +353,7 @@ _ROUND11_FIRST = [
     "part_pagerank", "keyword_pagerank", "source_contamination",
     "winsorized_stats", "doc_stats", "session_stats", "dedup_clusters",
     "knn_bruteforce", "knn_lsh", "embedding_neardup", "knn_ivf",
-    "ivf_cell_sizes", "embedding_stats",
+    "ivf_cell_sizes",
 ]
 
 
@@ -359,7 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the first 50 entries per round, so entries rotate toward BOUNDED
     staleness: new queries and value-changed rewrites get a driver row the
     round they land (head of the active window), and every other
-    registered query re-enters a window on a ~3.4-round cycle (171
+    registered query re-enters a window on a ~3.4-round cycle (172
     queries / 50 slots). Spill-overs are documented on each staged list
     (e.g. the round-9 head insertions displace term_cooccurrence /
     overview / orders_by_date to round 10 and tfidf_top_terms /
@@ -865,6 +868,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # foreachBatch chain incl. a checkpoint restart (VERDICT r8 #6)
         "streaming_silver_merge": lambda s, d: silver_merge_demo(
             _t(s, d, "events")
+        ),
+        # decode-integrity audit of the multimodal layer: closed-form
+        # synthetic WAV/PPM/y4m payloads round-tripped through the REAL
+        # decoders, integer-exact facts re-derived formula-side by the
+        # DuckDB twin (the multimodal family's driver-hashed face)
+        "media_decode_audit": lambda s, d: multimodal.media_decode_audit(
+            _t(s, d, "documents")
         ),
     }
     ordered = {name: base[name] for name in _ROUND9_FIRST}

@@ -169,6 +169,7 @@ EXTENDED = [
     "dedup_token_savings",
     "top_customers_faithful",
     "streaming_silver_merge",
+    "media_decode_audit",
 ]
 
 

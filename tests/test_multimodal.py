@@ -323,3 +323,86 @@ def test_ffmpeg_absent_gate_names_the_boundary(monkeypatch):
     monkeypatch.setattr(mm.shutil, "which", lambda _: None)
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         mm._real_features("audio", b"\xff\xfb-fake-mp3")
+
+
+def _audit_expected(doc_id: int):
+    """Pure-numpy recompute of the media_decode_audit facts straight from
+    the formulas — the same independent derivation the DuckDB twin does."""
+    import numpy as np
+
+    kind = ("audio", "image", "video")[doc_id % 3]
+    if kind == "audio":
+        n = 256 + (doc_id % 7) * 64
+        vals = (
+            1103515245 * (doc_id + 1) + 12345 * np.arange(n, dtype=np.int64)
+        ) % 65521 - 32760
+        payload_bytes = 44 + 2 * n
+    elif kind == "image":
+        w, h = 16 + (doc_id % 5) * 4, 12 + (doc_id % 4) * 4
+        vals = (doc_id * 31 + np.arange(3 * w * h, dtype=np.int64) * 17) % 256
+        payload_bytes = len(f"P6\n{w} {h}\n255\n") + 3 * w * h
+    else:
+        w, h = 16 + (doc_id % 4) * 8, 8 + (doc_id % 2) * 8
+        nf = 3 + (doc_id % 5)
+        vals = np.concatenate(
+            [
+                (doc_id * 13 + f * 7 + np.arange(w * h, dtype=np.int64) * 5) % 256
+                for f in range(nf)
+            ]
+        )
+        payload_bytes = len(f"YUV4MPEG2 W{w} H{h} F10:1 C420\n") + nf * (
+            6 + (3 * w * h) // 2
+        )
+    return kind, payload_bytes, len(vals), int(vals.sum()), int(vals.min()), int(vals.max())
+
+
+def test_media_decode_audit_matches_formula_recompute(spark):
+    """The audit's decoded statistics equal an independent pure-numpy
+    derivation from the generation formulas — i.e. the REAL decoders
+    recover every sample/pixel/luma byte exactly (the property the
+    DuckDB twin hash-checks cross-engine)."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(0, 160)], "doc_id long"
+    )
+    out = mm.media_decode_audit(docs, modulus=11, residue=3, limit=45).collect()
+    ids = [3 + 11 * k for k in range(15)]  # 45 capped by the 160-id universe
+    assert [r.media_id for r in out] == ids[: len(out)]
+    assert {r.kind for r in out} == {"audio", "image", "video"}
+    for r in out:
+        kind, pb, n, vsum, vmin, vmax = _audit_expected(r.media_id)
+        assert (
+            r.kind,
+            r.payload_bytes,
+            r.n_units,
+            r.value_sum,
+            r.value_min,
+            r.value_max,
+            r.decode_ok,
+        ) == (kind, pb, n, vsum, vmin, vmax, True)
+
+
+def test_media_decode_audit_catches_plane_math_corruption(monkeypatch):
+    """Sensitivity: if the y4m decoder's C420 plane-size term were wrong
+    (chroma bytes per luma byte), the parser would land off the next
+    FRAME boundary and the audit could not silently pass — it raises
+    executor-side (task failure -> the driver records an err row) rather
+    than producing formula-matching sums. Driver-side call: a Spark-side
+    monkeypatch would not reach the re-imported worker module."""
+    monkeypatch.setitem(mm._Y4M_PLANE_RATIO, "420", 0.25)
+    with pytest.raises(NotImplementedError, match="FRAME marker"):
+        mm._y4m_parse(mm._synth_y4m(47))  # 47 % 3 == 2: a video doc_id
+
+
+def test_media_decode_audit_catches_payload_corruption(monkeypatch):
+    """Sensitivity at the bytes level: a single flipped sample byte in a
+    generated WAV payload shifts the decoded sum away from the formula
+    derivation — the decoded statistics really come from the bytes, not
+    from the generation parameters."""
+    import numpy as np
+
+    payload = bytearray(mm._synth_wav(3))  # 3 % 3 == 0: an audio doc_id
+    payload[44 + 100] ^= 0xFF  # flip one data byte past the 44-byte header
+    x, _rate, _n_ch = mm._wav_decode(bytes(payload))
+    got = int(np.rint(x * 32768.0).astype(np.int64).sum())
+    _kind, _pb, _n, vsum, _vmin, _vmax = _audit_expected(3)
+    assert got != vsum

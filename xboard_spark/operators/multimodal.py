@@ -677,3 +677,155 @@ def resize_images(
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, schema=RESIZED_SCHEMA
     )
+
+
+AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("n_units", T.LongType()),
+        T.StructField("value_sum", T.LongType()),
+        T.StructField("value_min", T.LongType()),
+        T.StructField("value_max", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+# Closed-form synthetic payload generators for the decode audit: every
+# byte of the media content is an integer formula of (doc_id, position),
+# so an independent engine can re-derive the decoded sample/pixel/luma
+# statistics WITHOUT parsing any binary — which is exactly what makes the
+# round-trip hash-checkable cross-engine (see media_decode_audit).
+# 65521 is the largest prime < 2^16 (the Adler-32 modulus): coprime to
+# the 12345 stride, so audio min/max stay genuinely data-dependent at
+# n < 65521 samples instead of degenerating to the range endpoints.
+
+
+def _synth_wav(doc_id: int) -> bytes:
+    """Mono 16-bit PCM WAV, rate 8000: sample[i] =
+    (1103515245*(doc_id+1) + 12345*i) mod 65521 - 32760."""
+    n = 256 + (doc_id % 7) * 64
+    i = np.arange(n, dtype=np.int64)
+    samples = ((1103515245 * (doc_id + 1) + 12345 * i) % 65521 - 32760).astype("<i2")
+    data = samples.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _synth_ppm(doc_id: int) -> bytes:
+    """PPM P6, w=16+(doc_id%5)*4, h=12+(doc_id%4)*4: byte[j] =
+    (doc_id*31 + j*17) mod 256 over the 3*w*h raster bytes."""
+    w = 16 + (doc_id % 5) * 4
+    h = 12 + (doc_id % 4) * 4
+    j = np.arange(3 * w * h, dtype=np.int64)
+    px = ((doc_id * 31 + j * 17) % 256).astype(np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def _synth_y4m(doc_id: int) -> bytes:
+    """YUV4MPEG2 C420, w=16+(doc_id%4)*8, h=8+(doc_id%2)*8 (both even),
+    3+(doc_id%5) frames at F10:1: luma[f][j] = (doc_id*13 + f*7 + j*5)
+    mod 256. Chroma planes carry (f*3 + j) mod 256 — the decoder must
+    SKIP exactly w*h/2 chroma bytes per frame to land on the next
+    frame's luma, so a wrong C420 plane-size term shifts every frame
+    after the first and breaks the audit sums."""
+    w = 16 + (doc_id % 4) * 8
+    h = 8 + (doc_id % 2) * 8
+    n_frames = 3 + (doc_id % 5)
+    j = np.arange(w * h, dtype=np.int64)
+    cj = np.arange((w * h) // 2, dtype=np.int64)
+    parts = [f"YUV4MPEG2 W{w} H{h} F10:1 C420\n".encode()]
+    for f in range(n_frames):
+        luma = ((doc_id * 13 + f * 7 + j * 5) % 256).astype(np.uint8)
+        chroma = ((f * 3 + cj) % 256).astype(np.uint8)
+        parts.append(b"FRAME\n" + luma.tobytes() + chroma.tobytes())
+    return b"".join(parts)
+
+
+def media_decode_audit(
+    docs: DataFrame, modulus: int = 11, residue: int = 3, limit: int = 45
+) -> DataFrame:
+    """Decode-integrity audit of the REAL media codecs over a bounded
+    deterministic fixture: for each selected doc_id, synthesize a WAV /
+    PPM / y4m payload whose every byte is a closed-form integer formula
+    (``_synth_wav``/``_synth_ppm``/``_synth_y4m``), round-trip the bytes
+    through the module's production decoders (``_wav_decode``,
+    ``_ppm_decode``, ``_y4m_parse`` — the same functions
+    ``extract_features``/``image_ahash``/``sample_frames`` call), and
+    emit integer-exact facts: container size, unit count (samples /
+    raster bytes / luma bytes), and the sum/min/max of the decoded
+    values. The DuckDB twin re-derives every number from the formulas
+    alone, so a header misparse, a wrong chunk offset, a bad C420
+    plane-size term, or a PCM scaling error breaks the cross-engine
+    hash — this is the driver-checkable face of the multimodal layer
+    (the codec unit tests pin per-format details; this pins the
+    deployed plumbing end-to-end). ``decode_ok`` additionally runs
+    ``_real_features`` on each payload and checks the feature vector is
+    FEATURE_DIM finite floats (the twin emits TRUE by contract).
+
+    The fixture is the 45 smallest doc_ids with doc_id % 11 == 3 — ids
+    are contiguous from 0 in every testdata SF, so the audit surface is
+    IDENTICAL across scale factors (max id 487 < the sf0.001 row
+    count). Scale posture: like ``ann_recall_audit``, this is a bounded
+    canary (O(fixture), not O(corpus)) — at 100 TB it runs unchanged as
+    a per-release decode-integrity gate while the corpus-scale media
+    work flows through ``extract_features``/``image_neardup_pairs``."""
+    sel = (
+        docs.select(F.col("doc_id"))
+        .filter(F.col("doc_id") % modulus == residue)
+        .orderBy("doc_id")
+        .limit(limit)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                kind = ("audio", "image", "video")[doc_id % 3]
+                if kind == "audio":
+                    payload = _synth_wav(doc_id)
+                    x, _rate, _n_ch = _wav_decode(payload)
+                    # /32768 is a power-of-two scale: rint(x*32768)
+                    # recovers the int16 samples exactly
+                    vals = np.rint(x * 32768.0).astype(np.int64)
+                elif kind == "image":
+                    payload = _synth_ppm(doc_id)
+                    _w, _h, rgb = _ppm_decode(payload)
+                    vals = np.rint(rgb * 255.0).astype(np.int64).ravel()
+                else:
+                    payload = _synth_y4m(doc_id)
+                    _w, _h, _fps, _cs, frames = _y4m_parse(payload)
+                    vals = np.concatenate(
+                        [np.frombuffer(f, dtype=np.uint8) for f in frames]
+                    ).astype(np.int64)
+                feats = _real_features(kind, payload)
+                ok = len(feats) == FEATURE_DIM and all(
+                    np.isfinite(v) for v in feats
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        kind,
+                        len(payload),
+                        len(vals),
+                        int(vals.sum()),
+                        int(vals.min()),
+                        int(vals.max()),
+                        bool(ok),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=list(AUDIT_SCHEMA.names))
+
+    return sel.mapInPandas(run, schema=AUDIT_SCHEMA).orderBy("media_id")

@@ -3569,6 +3569,82 @@ silver AS (
 SELECT tenant_id, count(*) AS n_orders,
        round(sum(total_price), 2)::DOUBLE AS revenue
 FROM silver GROUP BY 1 ORDER BY 1""",
+        # decode-integrity twin of the multimodal layer
+        # (multimodal.media_decode_audit): every payload byte is a
+        # closed-form integer formula of (doc_id, position), so the
+        # expected decoded statistics are re-derived here WITHOUT parsing
+        # any binary — the Spark side must recover them through the REAL
+        # WAV/PPM/y4m decoders. range() upper bounds are the formula
+        # maxima (audio n<=640, image 3wh<=2304, video frames<=7,
+        # wh<=640); decode_ok is TRUE by the FEATURE_DIM-finite contract.
+        "media_decode_audit": """
+WITH sel AS (
+  SELECT doc_id FROM documents WHERE doc_id % 11 = 3 ORDER BY doc_id LIMIT 45
+),
+meta AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INTEGER)
+              WHEN 0 THEN 'audio' WHEN 1 THEN 'image' ELSE 'video'
+         END AS kind,
+         256 + (doc_id % 7) * 64 AS a_n,
+         16 + (doc_id % 5) * 4 AS i_w,
+         12 + (doc_id % 4) * 4 AS i_h,
+         16 + (doc_id % 4) * 8 AS v_w,
+         8 + (doc_id % 2) * 8 AS v_h,
+         3 + (doc_id % 5) AS v_f
+  FROM sel
+),
+audio AS (
+  SELECT m.doc_id AS media_id, 'audio' AS kind,
+         (44 + 2 * m.a_n)::BIGINT AS payload_bytes,
+         count(*)::BIGINT AS n_units,
+         sum((1103515245 * (m.doc_id + 1) + 12345 * t.range) % 65521
+             - 32760)::BIGINT AS value_sum,
+         min((1103515245 * (m.doc_id + 1) + 12345 * t.range) % 65521
+             - 32760)::BIGINT AS value_min,
+         max((1103515245 * (m.doc_id + 1) + 12345 * t.range) % 65521
+             - 32760)::BIGINT AS value_max
+  FROM meta m JOIN range(0, 640) t ON t.range < m.a_n
+  WHERE m.kind = 'audio'
+  GROUP BY m.doc_id, m.a_n
+),
+image AS (
+  SELECT m.doc_id AS media_id, 'image' AS kind,
+         (length('P6' || chr(10) || m.i_w || ' ' || m.i_h || chr(10)
+                 || '255' || chr(10)) + 3 * m.i_w * m.i_h)::BIGINT
+           AS payload_bytes,
+         count(*)::BIGINT AS n_units,
+         sum((m.doc_id * 31 + t.range * 17) % 256)::BIGINT AS value_sum,
+         min((m.doc_id * 31 + t.range * 17) % 256)::BIGINT AS value_min,
+         max((m.doc_id * 31 + t.range * 17) % 256)::BIGINT AS value_max
+  FROM meta m JOIN range(0, 2304) t ON t.range < 3 * m.i_w * m.i_h
+  WHERE m.kind = 'image'
+  GROUP BY m.doc_id, m.i_w, m.i_h
+),
+video AS (
+  SELECT m.doc_id AS media_id, 'video' AS kind,
+         (length('YUV4MPEG2 W' || m.v_w || ' H' || m.v_h || ' F10:1 C420'
+                 || chr(10))
+          + m.v_f * (6 + (3 * m.v_w * m.v_h) // 2))::BIGINT
+           AS payload_bytes,
+         count(*)::BIGINT AS n_units,
+         sum((m.doc_id * 13 + f.range * 7 + j.range * 5) % 256)::BIGINT
+           AS value_sum,
+         min((m.doc_id * 13 + f.range * 7 + j.range * 5) % 256)::BIGINT
+           AS value_min,
+         max((m.doc_id * 13 + f.range * 7 + j.range * 5) % 256)::BIGINT
+           AS value_max
+  FROM meta m
+  JOIN range(0, 8) f ON f.range < m.v_f
+  JOIN range(0, 640) j ON j.range < m.v_w * m.v_h
+  WHERE m.kind = 'video'
+  GROUP BY m.doc_id, m.v_w, m.v_h, m.v_f
+)
+SELECT media_id, kind, payload_bytes, n_units, value_sum, value_min,
+       value_max, TRUE AS decode_ok
+FROM (SELECT * FROM audio UNION ALL SELECT * FROM image
+      UNION ALL SELECT * FROM video)
+ORDER BY media_id""",
         # same contract: exact percentiles at the driver-proven 4-decimal
         # precision (see value_percentiles); the rank-space sketch checks
         # are TRUE by the approx_percentile accuracy contract
