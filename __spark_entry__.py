@@ -275,7 +275,7 @@ _ROUND9_FIRST = [
     "lsh_candidate_profile", "fk_integrity_audit", "volume_gaps",
     "user_erasure_audit", "ivf_delta_assign",
     "brand_supplier_diversity", "revenue_change_forecast",
-    # -- oldest r6-window rows (29) --
+    # -- oldest r6-window rows (28) --
     "customer_entity_clusters", "orders_mom_growth", "seasonal_naive_error",
     "effective_tokens", "customer_spend_percentiles", "order_fanout_profile",
     "watermark_delay_profile", "supplier_panel", "revenue_concentration",
@@ -312,7 +312,7 @@ _ROUND10_FIRST = [
     "order_priority_counts", "nation_market_share", "orders_above_cust_avg",
     "part_type_breakdown", "brand_promo_revenue", "tenant_orders_overview",
     "events_daily",
-    # -- oldest r7-window rows (28) --
+    # -- oldest r7-window rows (27) --
     "pii_redact_stats", "quality_dup_correlation", "sole_late_suppliers",
     "ridge_probe", "logistic_probe", "bootstrap_mean_ci",
     "hard_negative_mining", "incremental_nation_rollup", "volume_shipping",
@@ -344,7 +344,7 @@ _ROUND11_FIRST = [
     "segment_setops", "events_dedup", "purchase_asof_view",
     "views_before_purchase", "repetition_stats",
     "tfidf_top_terms", "doc_chunks", "doc_fingerprints",
-    # -- oldest r8-window rows (29) --
+    # -- oldest r8-window rows (28) --
     "dedup_token_savings", "knn_label_vote", "boilerplate_ngrams",
     "dup_span_stats", "basket_pairs", "value_outliers", "scd2_history",
     "table_profile", "decayed_engagement", "salted_event_rollup",

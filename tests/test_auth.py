@@ -167,3 +167,25 @@ def test_register_then_login_flow(spark):
     with pytest.raises(auth.AuthError, match="invalid credentials"):
         auth.login(users, tenants, email="nobody@x.com",
                    password="s3cret!", secret=SECRET)
+
+
+def test_login_null_hash_row_reads_as_invalid_credentials(spark):
+    """A users row with password_hash = NULL (ingested from raw data
+    rather than register()) must fail with the SAME uniform AuthError —
+    never an AttributeError 500 — and must not be authenticatable via
+    the dummy hash's public preimage (its verify outcome is ignored for
+    rows without a real hash)."""
+    tenants = spark.createDataFrame(
+        [(1, "shop.example", "tok", None, None, "active", None, None)],
+        ingest.TENANT_SCHEMA,
+    )
+    users = spark.createDataFrame(
+        [(1, "raw@shop.example", None, 1, None)], ingest.USER_SCHEMA
+    )
+    for pw in ["anything", auth._DUMMY_HASH_INPUT]:
+        with pytest.raises(auth.AuthError, match="invalid credentials"):
+            auth.login(users, tenants, email="raw@shop.example",
+                       password=pw, secret=SECRET)
+    # verify_password's never-an-exception contract covers non-strings
+    assert not auth.verify_password("pw", None)
+    assert not auth.verify_password("pw", b"$scrypt$bytes")

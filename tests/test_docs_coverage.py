@@ -65,6 +65,27 @@ def test_coverage_totals_line_is_current():
     assert n_rows_only == len(q - o)
 
 
+def test_readme_coverage_line_is_current():
+    """The README carries the same oracle-checked/rows-only counts as
+    COVERAGE.md but was unguarded — it drifted off by one twice (it said
+    165 at 166 and 170 at 171). Pin it to the live registry too."""
+    import re
+
+    readme = (REPO / "README.md").read_text()
+    m = re.search(
+        r"Coverage: (\d+) oracle-checked queries \+ (\d+) rows-only",
+        readme,
+    )
+    assert m, "README.md coverage line missing or reformatted"
+    n_oracle, n_rows_only = map(int, m.groups())
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert n_oracle == len(o), (
+        f"README says {n_oracle} oracle-checked; registry has {len(o)}"
+    )
+    assert n_rows_only == len(q - o)
+
+
 def test_rotation_lists_are_valid():
     """The driver checks the first 50 queries() entries per round; the
     staged rotation lists must stay consistent: exactly 50 entries, all

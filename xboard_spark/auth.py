@@ -86,7 +86,10 @@ def verify_password(password: str, stored: str) -> bool:
     """F10 analog of ``bcrypt.compare`` (``auth.js:91``): constant-time
     comparison against the recomputed KDF; False (never an exception) on
     mismatch OR on a malformed stored hash — a corrupt row must read as
-    invalid credentials, not a 500."""
+    invalid credentials, not a 500. Non-string stored values (a NULL
+    column read, a bytes cell from a raw ingest) are malformed too."""
+    if not isinstance(stored, str):
+        return False
     try:
         _, scheme, params, salt_b64, hash_b64 = stored.split("$")
         if scheme != "scrypt":
@@ -283,9 +286,16 @@ def login(
         .select("id", "email", "password_hash", "tenant_id", "shop_domain")
         .first()
     )
-    stored = row.password_hash if row is not None else _dummy_hash()
-    ok = verify_password(password, stored)
-    if row is None or not ok:
+    # rows with a NULL/non-string hash take the dummy path too: same
+    # uniform AuthError AND the same KDF cost (a fast-fail on a
+    # NULL-hash row would time-distinguish it from a wrong password).
+    # The dummy verify's outcome is deliberately ignored for such rows —
+    # its preimage is a public constant in this file, so matching it
+    # must never authenticate an account that has no real hash.
+    stored = row.password_hash if row is not None else None
+    has_real_hash = isinstance(stored, str) and bool(stored)
+    ok = verify_password(password, stored if has_real_hash else _dummy_hash())
+    if row is None or not has_real_hash or not ok:
         raise AuthError("invalid credentials")
     token = jwt_sign(
         {"userId": row.id, "email": row.email, "tenantId": row.tenant_id},
