@@ -406,3 +406,38 @@ def test_media_decode_audit_catches_payload_corruption(monkeypatch):
     got = int(np.rint(x * 32768.0).astype(np.int64).sum())
     _kind, _pb, _n, vsum, _vmin, _vmax = _audit_expected(3)
     assert got != vsum
+
+
+def test_media_decode_audit_roundtrip_property():
+    """Hypothesis sweep beyond the registered 45-id fixture: for ANY
+    doc_id the synthetic payload round-trips bit-exactly through the
+    real decoder (the fixture's exactness is not an artifact of the
+    particular ids the registry selects). Driver-side — the property is
+    about the codec pair, not the Spark plumbing."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(doc_id=st.integers(0, 10**7))
+    def check(doc_id):
+        kind, pb, n, vsum, vmin, vmax = _audit_expected(doc_id)
+        if kind == "audio":
+            p = mm._synth_wav(doc_id)
+            x, _r, _c = mm._wav_decode(p)
+            vals = np.rint(x * 32768.0).astype(np.int64)
+        elif kind == "image":
+            p = mm._synth_ppm(doc_id)
+            _w, _h, rgb = mm._ppm_decode(p)
+            vals = np.rint(rgb * 255.0).astype(np.int64).ravel()
+        else:
+            p = mm._synth_y4m(doc_id)
+            _w, _h, _f, _cs, frames = mm._y4m_parse(p)
+            vals = np.concatenate(
+                [np.frombuffer(f, dtype=np.uint8) for f in frames]
+            ).astype(np.int64)
+        assert (len(p), len(vals), int(vals.sum()), int(vals.min()), int(vals.max())) == (
+            pb, n, vsum, vmin, vmax
+        )
+
+    check()
