@@ -79,3 +79,30 @@ def test_drift_monitor_stream_logs_per_batch(spark, tmp_path):
     q2.awaitTermination(60)
     assert len(log) == 2
     assert log[1]["psi"] > 0.2
+
+
+def test_reference_survives_json_round_trip(spark):
+    """The docstring promises the frozen reference is persisted as JSON
+    next to the checkpoint — json.dumps stringifies int dict keys, so a
+    reloaded reference must still drive non-zero PSI (int-keyed shares
+    silently zeroed every PSI before the keys went string)."""
+    ref_df = spark.createDataFrame(
+        [(float(v % 10),) for v in range(100)], "value double"
+    )
+    ref = json.loads(json.dumps(monitor.reference_histogram(ref_df, n_buckets=5)))
+    assert monitor.batch_psi(ref_df, ref) == 0.0  # same distribution
+    shifted = spark.createDataFrame(
+        [(1000.0 + v,) for v in range(50)], "value double"
+    )
+    assert monitor.batch_psi(shifted, ref) > 0.2  # drift still fires
+
+
+def test_reference_histogram_rejects_degenerate_windows(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "value double")
+    with pytest.raises(ValueError, match="no non-null"):
+        monitor.reference_histogram(empty)
+    constant = spark.createDataFrame([(5.0,)] * 20, "value double")
+    with pytest.raises(ValueError, match="constant"):
+        monitor.reference_histogram(constant)

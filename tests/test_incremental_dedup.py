@@ -63,3 +63,38 @@ def test_dedup_stream_end_to_end(spark, tmp_path, texts):
     got = spark.read.parquet(pairs_out).collect()
     assert {(r.doc_a, r.doc_b) for r in got} == {(10, 11)}
     assert all(r.jaccard >= 0.5 for r in got)
+
+
+def test_sink_crash_before_index_commit_replays_same_pairs(spark, tmp_path, texts):
+    """Durability ordering contract: the pairs sink hook runs BEFORE the
+    index grows, so a crash mid-sink leaves the index unchanged and the
+    replayed batch re-derives the SAME pairs (the old write-after-append
+    shape silently lost a crashed batch's pairs forever: the replay's
+    anti-join dropped every document)."""
+    base, near, other = texts
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "idx"))
+    idx.add_batch(
+        spark.createDataFrame([(1, base), (2, other)], "doc_id long, text string")
+    )
+    b2 = spark.createDataFrame(
+        [(3, near), (4, other)], "doc_id long, text string"
+    )
+
+    class SinkCrash(RuntimeError):
+        pass
+
+    seen: list[set] = []
+
+    def crashing_sink(pairs):
+        seen.append({(r.doc_a, r.doc_b) for r in pairs.collect()})
+        raise SinkCrash("simulated crash during the pairs write")
+
+    with pytest.raises(SinkCrash):
+        idx.add_batch(b2, on_pairs=crashing_sink)
+    # the crash aborted BEFORE the appends: batch 2's docs are not indexed
+    assert idx._read("inv").filter("doc_id >= 3").count() == 0
+
+    # replay (at-least-once source redelivers the batch): same pairs again
+    replay = {(r.doc_a, r.doc_b) for r in idx.add_batch(b2).collect()}
+    assert replay == seen[0]
+    assert {(1, 3), (2, 4)} <= replay

@@ -462,3 +462,74 @@ def test_silver_merge_demo_panel(spark):
     # never enter the fixture
     assert out[2].n_orders == 1
     assert abs(out[2].revenue - 7.0) < 1e-9
+
+
+def test_silver_swap_recovers_both_crash_windows(spark, tmp_path):
+    """The stage-then-swap must survive a driver death at either point
+    between its renames (the old rmtree-then-rename had a window where
+    the WHOLE silver table vanished and the replayed batch rebuilt it
+    from itself alone)."""
+    silver = str(tmp_path / "swap" / "orders")
+    backup = silver + "._backup"
+    os.makedirs(os.path.dirname(silver), exist_ok=True)
+    # full silver schema (the parse_order_events projection) so the
+    # end-to-end merge below can union against the recovered table
+    prior = spark.createDataFrame(
+        [(1, 100, "10.00"), (1, 101, "20.00")],
+        "tenant_id long, shopify_order_id long, total_price string",
+    ).selectExpr(
+        "tenant_id",
+        "shopify_order_id",
+        "CAST(total_price AS DECIMAL(18,2)) AS total_price",
+        "'USD' AS currency",
+        "TIMESTAMP '2023-12-31 00:00:00' AS created_at",
+        "'{}' AS raw",
+        "TIMESTAMP '2023-12-31 00:00:00' AS created_recorded_at",
+    )
+
+    # window 1: died between demote and promote -> live missing, backup
+    # holds every prior batch; recovery must restore it
+    prior.write.parquet(backup)
+    webhook._recover_silver_swap(silver)
+    assert not os.path.exists(backup)
+    assert {r.shopify_order_id for r in spark.read.parquet(silver).collect()} == {100, 101}
+
+    # window 2: died after promote, before cleanup -> both exist; the
+    # promoted table must win and the stale backup must go
+    prior.limit(1).write.parquet(backup)
+    webhook._recover_silver_swap(silver)
+    assert not os.path.exists(backup)
+    assert spark.read.parquet(silver).count() == 2
+
+    # end-to-end: a batch arriving after window 1 must merge against the
+    # RECOVERED table, not start from scratch
+    os.rename(silver, backup)  # simulate the crash again
+    src = _mk_webhooks(tmp_path, "swaprec", WH)
+    stream = webhook.parse_order_events(
+        webhook.deduped_stream(webhook.read_webhook_stream(spark, src))
+    )
+    q = webhook.start_bronze_to_silver(
+        stream, silver, str(tmp_path / "swap" / "ckpt"),
+        keys=["tenant_id", "shopify_order_id"],
+    )
+    q.awaitTermination(120)
+    got = {r.shopify_order_id for r in spark.read.parquet(silver).collect()}
+    assert {100, 101} <= got  # prior batches survived the crash
+
+
+def test_quarantine_projection_is_queryable(spark, tmp_path):
+    """The documented quarantine routing — filter on is_valid, project
+    only error_raw — must actually run: a schema'd read.json intake
+    throws UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN when the
+    plan prunes to the corrupt column alone (the text+from_json intake
+    has no such restriction)."""
+    d = tmp_path / "quarantine"
+    os.makedirs(d)
+    with open(d / "mixed.json", "w") as f:
+        f.write(json.dumps(WH[0]) + "\n")
+        f.write("not json at all\n")
+    df = webhook.read_webhooks_with_errors(spark, str(d))
+    bad = df.filter(~F.col("is_valid")).select("error_raw").collect()
+    assert [r.error_raw for r in bad] == ["not json at all"]
+    good = df.filter(F.col("is_valid")).select("delivery_hash").collect()
+    assert {r.delivery_hash for r in good} == {WH[0]["delivery_hash"]}

@@ -265,6 +265,33 @@ def minhash_signatures(inv: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
     return inv.groupBy("doc_id").agg(*sig_aggs)
 
 
+def band_hashes(
+    sigs: DataFrame, n_perms: int = N_PERMS, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(doc_id, band, bh): LSH band hashes from a signature frame — the
+    banding step shared by the batch pair miner and the streaming
+    incremental index (ONE definition, so a permutation or hash change
+    cannot silently diverge the two)."""
+    rows_per_band = n_perms // n_bands
+    band_cols = []
+    for bi in range(n_bands):
+        parts = [
+            F.col(f"sig_{bi * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                fingerprint64(F.concat_ws(",", *parts)).alias("bh"),
+            )
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
 def minhash_dedup_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -288,26 +315,11 @@ def minhash_dedup_pairs(
             .filter(F.col("jaccard") >= tau)
             .orderBy("doc_a", "doc_b")
         )
-    rows_per_band = n_perms // n_bands
     # persisted + cross-query shared for the same multi-consumer reason as
     # ngram_jaccard_pairs
     inv = cached_filtered_index(documents, n, max_df)
     sigs = minhash_signatures(inv, n_perms)
-    band_cols = []
-    for bi in range(n_bands):
-        parts = [
-            F.col(f"sig_{bi * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        band_cols.append(
-            F.struct(
-                F.lit(bi).alias("band"),
-                fingerprint64(F.concat_ws(",", *parts)).alias("bh"),
-            )
-        )
-    exploded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    exploded = band_hashes(sigs, n_perms, n_bands)
     left = exploded.select("band", "bh", F.col("doc_id").alias("doc_a"))
     right = exploded.select("band", "bh", F.col("doc_id").alias("doc_b"))
     candidates = (

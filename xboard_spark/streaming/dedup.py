@@ -21,13 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xboard_spark.operators.dedup import (
-    N_BANDS,
-    N_PERMS,
+    _pair_jaccard,
+    band_hashes,
     filtered_index,
     minhash_signatures,
     shingle_index,
 )
-from xboard_spark.functions.portable_hash import fingerprint64
 
 
 class IncrementalDedupIndex:
@@ -68,27 +67,14 @@ class IncrementalDedupIndex:
     def _append(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(os.path.join(self.path, name))
 
-    def _bands(self, sigs: DataFrame) -> DataFrame:
-        rows_per_band = N_PERMS // N_BANDS
-        band_cols = []
-        for bi in range(N_BANDS):
-            parts = [
-                F.col(f"sig_{bi * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)
-            ]
-            band_cols.append(
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    fingerprint64(F.concat_ws(",", *parts)).alias("bh"),
-                )
-            )
-        return sigs.select(
-            "doc_id", F.explode(F.array(*band_cols)).alias("b")
-        ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-
-    def add_batch(self, documents: DataFrame) -> DataFrame:
+    def add_batch(
+        self, documents: DataFrame, on_pairs=None
+    ) -> DataFrame:
         """Index a batch; return duplicate pairs (new doc vs any indexed doc
         OR another doc of this batch) with exact filtered-set Jaccard.
+        Banding and the Jaccard verify are the SHARED batch definitions
+        (``band_hashes`` / ``_pair_jaccard`` from ``operators.dedup``), so
+        the incremental and batch miners cannot silently diverge.
 
         The df-cap is applied batch-locally (a true global cap would need
         re-reading global dfs — the standard approximation for streaming
@@ -97,7 +83,19 @@ class IncrementalDedupIndex:
         Exactly-once on doc identity: documents whose doc_id is already in
         the index are dropped up front (anti join), so a replayed batch —
         checkpoint loss, at-least-once source — is a no-op instead of
-        double-counting its shingles in every future Jaccard."""
+        double-counting its shingles in every future Jaccard.
+
+        ``on_pairs`` (the sink hook) runs AFTER the pairs materialize but
+        BEFORE the index grows. Ordering is the durability contract: a
+        crash inside ``on_pairs`` leaves the index unchanged, so the
+        replayed batch re-derives and re-emits the SAME pairs (writing
+        pairs after the appends — the old shape — meant a crash between
+        them silently lost the batch's pairs forever: the replay's
+        anti-join dropped every document and returned nothing). Of the
+        two appends, ``inv`` goes LAST because the anti-join keys on it —
+        it is the commit marker; a crash between the appends leaves
+        orphan band rows whose duplicate candidates the ``distinct()``
+        absorbs on the replay, losing nothing."""
         # Release the previous batch's persisted frames now (NOT at the end
         # of this call): Spark cascade-unpersists dependent cached plans, so
         # unpersisting inv_new before the caller consumes `pairs` would
@@ -112,7 +110,7 @@ class IncrementalDedupIndex:
             )
         inv_new = filtered_index(shingle_index(documents), self.max_df).persist()
         sigs_new = minhash_signatures(inv_new)
-        bands_new = self._bands(sigs_new).persist()
+        bands_new = band_hashes(sigs_new).persist()
 
         bands_old = self._read("bands")
         all_bands = (
@@ -129,36 +127,10 @@ class IncrementalDedupIndex:
             .select("doc_a", "doc_b")
             .distinct()
         )
-        # exact verify on the combined shingle index
-        sizes = all_inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-        a = candidates.join(
-            all_inv.select(F.col("doc_id").alias("doc_a"), "shfp"), "doc_a"
-        )
-        shared = (
-            a.join(
-                all_inv.select(F.col("doc_id").alias("doc_b"), "shfp"),
-                ["doc_b", "shfp"],
-            )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("shared"))
-        )
+        # exact verify on the combined shingle index — the SHARED batch
+        # definition, candidate-restricted
         pairs = (
-            shared.join(
-                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
-                "doc_a",
-            )
-            .join(
-                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
-                "doc_b",
-            )
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
-                    6,
-                ),
-            )
-            .filter(F.col("jaccard") >= self.tau)
+            _pair_jaccard(all_inv, candidates, self.tau)
             .select(
                 F.col("doc_a").cast("long").alias("doc_a"),
                 F.col("doc_b").cast("long").alias("doc_b"),
@@ -167,14 +139,15 @@ class IncrementalDedupIndex:
             .persist()
         )
         # Materialize pairs (count barrier, no row transfer to the driver)
-        # BEFORE growing the index, so an idempotent re-run of a failed batch
-        # re-derives the same pairs before re-appending. The sink then writes
-        # straight from this persisted plan — pair rows never visit the
-        # driver, which is what keeps a hot (many-collision) batch from
-        # OOM-ing the coordinator at scale.
+        # BEFORE the sink hook and the appends, so the sink writes straight
+        # from this persisted plan — pair rows never visit the driver, which
+        # is what keeps a hot (many-collision) batch from OOM-ing the
+        # coordinator at scale.
         pairs.count()
+        if on_pairs is not None:
+            on_pairs(pairs)  # sink first; see the docstring's ordering contract
         self._append(bands_new, "bands")
-        self._append(inv_new, "inv")
+        self._append(inv_new, "inv")  # commit marker: the anti-join keys on inv
         self._live = [bands_new, inv_new, pairs]
         return pairs
 
@@ -187,16 +160,27 @@ def start_dedup_stream(
     tau: float = 0.5,
 ):
     """Structured Streaming wrapper: each micro-batch of document JSON runs
-    through the incremental index; emitted pairs append to ``pairs_out``."""
+    through the incremental index; emitted pairs land in ``pairs_out`` as
+    one hive-partition directory per micro-batch
+    (``batch_id=N/part-*.parquet``), written with per-batch OVERWRITE via
+    the ``add_batch`` sink hook. The combination is exactly-once for the
+    pairs sink: the hook runs before the index grows (a crash mid-write
+    replays the whole derivation — same pairs), and the overwrite of the
+    batch's own directory makes the re-write idempotent instead of
+    appending duplicates."""
+    import os as _os
+
     index = IncrementalDedupIndex(spark, index_path, tau)
     schema = "doc_id long, text string, lang string, source string"
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        pairs = index.add_batch(batch)  # persisted, already materialized
-        if not pairs.isEmpty():
-            pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(pairs_out)
+        def sink(pairs: DataFrame) -> None:
+            if not pairs.isEmpty():
+                pairs.write.mode("overwrite").parquet(
+                    _os.path.join(pairs_out, f"batch_id={batch_id}")
+                )
+
+        index.add_batch(batch, on_pairs=sink)
 
     return (
         spark.readStream.schema(schema)

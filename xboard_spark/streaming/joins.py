@@ -75,8 +75,9 @@ def enriched_with_user_tier(
     own stream (Delta CDF-style), both noted here as the production
     paths.
 
-    Left join so unknown users survive with a null tier (the stream must
-    never drop events because the dim lags)."""
+    Left join so unknown users survive — coalesced to tier 'unknown' —
+    instead of being dropped (the stream must never lose events because
+    the dim lags)."""
     tiers = F.broadcast(user_tiers.select("user_id", "tier"))
     return stream.join(tiers, "user_id", "left").withColumn(
         "tier", F.coalesce(F.col("tier"), F.lit("unknown"))

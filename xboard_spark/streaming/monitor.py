@@ -25,12 +25,31 @@ def reference_histogram(
 ) -> dict:
     """Freeze a reference histogram from a trusted window: fixed-width
     bucket edges from the reference's exact min/max plus per-bucket
-    shares. Returns a plain dict (JSON-serializable — in production this
-    is persisted next to the checkpoint)."""
+    shares. Returns a plain dict that survives a JSON round-trip — bucket
+    keys are STRINGS because json.dumps stringifies int keys, and a
+    reloaded reference with drifted key types would silently zero every
+    PSI (in production this dict is persisted next to the checkpoint).
+
+    Degenerate references are rejected loudly: with no non-null values
+    there is nothing to freeze, and with vmin == vmax (a constant metric)
+    every later value clamps into the single occupied bucket, so PSI is
+    structurally 0 no matter how far the stream moves — a monitor that
+    can never fire must refuse to arm, not report calm."""
     ev = df.filter(F.col(value_col).isNotNull())
     vmin, vmax = ev.agg(
         F.min(value_col), F.max(value_col)
     ).first()
+    if vmin is None:
+        raise ValueError(
+            f"reference_histogram: no non-null {value_col!r} values in the "
+            "reference window"
+        )
+    if vmax == vmin:
+        raise ValueError(
+            f"reference_histogram: degenerate reference ({value_col!r} is "
+            f"constant at {vmin!r}) — a zero-width histogram cannot detect "
+            "drift; widen the reference window"
+        )
     counts = (
         ev.select(_bucket_col(value_col, vmin, vmax, n_buckets).alias("b"))
         .groupBy("b")
@@ -38,7 +57,7 @@ def reference_histogram(
         .collect()
     )
     total = sum(r["count"] for r in counts)
-    shares = {int(r["b"]): r["count"] / total for r in counts}
+    shares = {str(int(r["b"])): r["count"] / total for r in counts}
     return {
         "vmin": float(vmin),
         "vmax": float(vmax),
@@ -60,14 +79,12 @@ def _bucket_col(value_col: str, vmin: float, vmax: float, n_buckets: int):
     )
 
 
-def batch_psi(batch: DataFrame, ref: dict, value_col: str = "value") -> float:
-    """PSI of one batch against the frozen reference. Out-of-range values
-    clamp into the edge buckets (a drifting stream escapes the reference's
-    range — that mass must count as shift, not vanish). Buckets empty on
-    either side are skipped (same convention as value_drift_psi)."""
-    ev = batch.filter(F.col(value_col).isNotNull())
-    counts = (
-        ev.select(
+def _bucket_counts(batch: DataFrame, ref: dict, value_col: str) -> list:
+    """One aggregate over the batch: per-bucket non-null value counts
+    against the frozen reference edges (<= n_buckets rows to the driver)."""
+    return (
+        batch.filter(F.col(value_col).isNotNull())
+        .select(
             _bucket_col(value_col, ref["vmin"], ref["vmax"], ref["n_buckets"])
             .alias("b")
         )
@@ -75,18 +92,35 @@ def batch_psi(batch: DataFrame, ref: dict, value_col: str = "value") -> float:
         .count()
         .collect()
     )
+
+
+def _psi_from_counts(counts: list, ref: dict) -> tuple[float, int]:
+    """Driver-side PSI fold over the bucket counts -> (psi, n_values).
+    Reference shares are keyed by STRING (the JSON-round-trip form); int
+    keys from a same-process dict are accepted too."""
     total = sum(r["count"] for r in counts)
     if total == 0:
-        return 0.0
+        return 0.0, 0
+    shares = ref["shares"]
     psi = 0.0
     for r in counts:
         q = r["count"] / total
-        p = ref["shares"].get(int(r["b"]), 0.0)
+        b = int(r["b"])
+        p = shares.get(str(b), shares.get(b, 0.0))
         if p > 0 and q > 0:
             psi += (p - q) * math.log(p / q)
     # buckets present in the reference but EMPTY in the batch also skip
     # (q = 0) — symmetric with value_drift_psi
-    return round(psi, 6)
+    return round(psi, 6), total
+
+
+def batch_psi(batch: DataFrame, ref: dict, value_col: str = "value") -> float:
+    """PSI of one batch against the frozen reference. Out-of-range values
+    clamp into the edge buckets (a drifting stream escapes the reference's
+    range — that mass must count as shift, not vanish). Buckets empty on
+    either side are skipped (same convention as value_drift_psi)."""
+    psi, _n = _psi_from_counts(_bucket_counts(batch, ref, value_col), ref)
+    return psi
 
 
 def start_drift_monitor(
@@ -103,14 +137,13 @@ def start_drift_monitor(
     batch data itself is not written anywhere by this query."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        n = batch.filter(F.col(value_col).isNotNull()).count()
-        drift_log.append(
-            {
-                "batch_id": batch_id,
-                "n_values": n,
-                "psi": batch_psi(batch, ref, value_col),
-            }
+        # ONE aggregate per batch: the bucket counts yield both the PSI
+        # and n_values (a separate count() would scan the uncached
+        # micro-batch a second time for a number the fold already has)
+        psi, n = _psi_from_counts(
+            _bucket_counts(batch, ref, value_col), ref
         )
+        drift_log.append({"batch_id": batch_id, "n_values": n, "psi": psi})
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_path

@@ -84,24 +84,33 @@ CORRUPT_COL = "_corrupt_record"
 def read_webhooks_with_errors(spark: SparkSession, path: str) -> DataFrame:
     """Batch intake that KEEPS malformed payloads instead of dropping them —
     the reference's ``webhook_events.error TEXT`` design (``init.sql:28``):
-    bad rows must land with an error marker, not vanish. PERMISSIVE mode
-    parks the raw line in ``error_raw``; downstream routing filters on
-    ``is_valid`` (good rows -> silver merge, bad rows -> quarantine table).
-    """
+    bad rows must land with an error marker, not vanish. The raw line is
+    parked in ``error_raw``; downstream routing filters on ``is_valid``
+    (good rows -> silver merge, bad rows -> quarantine table).
+
+    Implementation is text-source + ``from_json`` — NOT a schema'd
+    ``read.json`` — because Spark refuses any query over a raw JSON file
+    scan whose referenced columns prune down to only the internal corrupt
+    record column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN):
+    exactly what the quarantine path does
+    (``.filter(~is_valid).select('error_raw')``). A select re-projection
+    does NOT lift the restriction (it follows the plan down to the scan),
+    and the documented cache() workaround pins the whole intake in
+    memory. ``from_json`` with the corrupt-record option has the same
+    PERMISSIVE semantics per line, no scan restriction, and mirrors the
+    Kafka path (``read_webhook_kafka``), which parses the same way."""
     # StructType.add MUTATES in place — build a fresh schema each call so the
     # shared module-level WEBHOOK_SCHEMA never grows a duplicate column
     schema = T.StructType(WEBHOOK_SCHEMA.fields + [T.StructField(CORRUPT_COL, T.StringType())])
-    df = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-    )
-    # a permissive parse can't be filtered on the corrupt column directly
-    # without materializing it first (Spark requires a checkpointed plan) —
-    # re-project through select so the column is a plain attribute
-    return df.select(
-        *[c for c in df.columns if c != CORRUPT_COL],
+    parsed = spark.read.text(path).select(
+        F.from_json(
+            F.col("value"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("w")
+    ).select("w.*")
+    return parsed.select(
+        *[c for c in parsed.columns if c != CORRUPT_COL],
         F.col(CORRUPT_COL).alias("error_raw"),
     ).withColumn(
         "is_valid", F.col("error_raw").isNull()
@@ -151,6 +160,29 @@ def parse_order_events(webhook: DataFrame) -> DataFrame:
     )
 
 
+def _recover_silver_swap(silver_path: str) -> None:
+    """Recover an interrupted stage-then-swap (``start_bronze_to_silver``).
+    The swap's two crash windows and their cures:
+
+    - live MISSING + backup present: died between the demote and promote
+      renames -> restore the backup (every previously merged batch).
+      Without this, the replayed batch would find no silver table, take
+      the first-batch branch, and rebuild the table from itself alone —
+      silently discarding all prior data.
+    - live present + backup present: died after the promote, before the
+      backup cleanup -> the new table already won; drop the stale backup.
+    """
+    import os
+    import shutil
+
+    backup = silver_path.rstrip("/") + "._backup"
+    if os.path.exists(backup):
+        if os.path.exists(silver_path):
+            shutil.rmtree(backup)
+        else:
+            os.rename(backup, silver_path)
+
+
 def start_bronze_to_silver(
     stream: DataFrame,
     silver_path: str,
@@ -162,6 +194,8 @@ def start_bronze_to_silver(
     """foreachBatch merge into a parquet silver table (ST4 exactly-once:
     checkpoint + idempotent merge; re-processing a batch converges to the
     same table). ``run_log`` collects per-batch bookkeeping (ST5)."""
+    from pyspark.sql import Observation
+
     from xboard_spark.ingest import merge_upsert
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -169,6 +203,12 @@ def start_bronze_to_silver(
         import shutil
 
         spark = batch.sparkSession
+        _recover_silver_swap(silver_path)  # heal any interrupted swap first
+        # run-log row count via an Observation on the batch: the metric
+        # rides the staging write's job instead of costing a second full
+        # source scan (the old ``batch.count()``)
+        obs = Observation()
+        batch = batch.observe(obs, F.count(F.lit(1)).alias("n_rows"))
         if os.path.exists(silver_path):
             current = spark.read.parquet(silver_path)
             merged = merge_upsert(
@@ -180,18 +220,28 @@ def start_bronze_to_silver(
             merged = batch
         out = merged.select(batch.columns)
         # stage-then-swap: write the merged table next to the live one, then
-        # atomically replace the directory. All data movement stays on
-        # executors (no collect); only the rename is driver-side. This is
-        # the Delta-free transactional overwrite (at warehouse scale the
-        # swap is a metastore partition-location flip instead).
+        # promote it via two atomic renames with a backup in between — the
+        # crash-safe Delta-free transactional overwrite (a bare
+        # rmtree-then-rename had a window where a driver death lost the
+        # whole table; see _recover_silver_swap). All data movement stays
+        # on executors (no collect); only the renames are driver-side. At
+        # warehouse scale the swap is a metastore partition-location flip
+        # instead.
         staging = silver_path.rstrip("/") + f"._staging_{batch_id}"
+        backup = silver_path.rstrip("/") + "._backup"
         out.write.mode("overwrite").parquet(staging)
         if os.path.exists(silver_path):
-            shutil.rmtree(silver_path)
-        os.rename(staging, silver_path)
+            os.rename(silver_path, backup)  # atomic demote
+        os.rename(staging, silver_path)  # atomic promote
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
         if run_log is not None:
             run_log.append(
-                {"batch_id": batch_id, "n_rows": batch.count(), "status": "ok"}
+                {
+                    "batch_id": batch_id,
+                    "n_rows": int(obs.get["n_rows"]),
+                    "status": "ok",
+                }
             )
 
     writer = stream.writeStream.foreachBatch(process).option(
@@ -305,8 +355,15 @@ def silver_merge_demo(events: DataFrame, workdir: str | None = None) -> DataFram
     def _write_file(lines: DataFrame, fname: str) -> None:
         stage = os.path.join(workdir, f"_stage_{fname}")
         lines.coalesce(1).write.mode("overwrite").text(stage)
-        part = glob.glob(os.path.join(stage, "part-*"))[0]
-        os.rename(part, os.path.join(indir, fname))
+        parts = glob.glob(os.path.join(stage, "part-*"))
+        if not parts:
+            raise ValueError(
+                f"silver_merge_demo: fixture {fname!r} produced no part "
+                "file — a modulo class of the source events is empty (the "
+                "demo needs purchases in every class; use a larger events "
+                "table)"
+            )
+        os.rename(parts[0], os.path.join(indir, fname))
         shutil.rmtree(stage)
 
     b1 = _lines(base, 1, "d1", F.col("ts"))
