@@ -195,3 +195,48 @@ def test_paginated_capture_duplicate_id_within_page(spark, tmp_path):
     }
     assert sorted(got) == [7, 8]
     assert got[7].email == "fresh@x.com"  # later array position won
+
+
+def test_paginated_capture_keeps_null_id_rows(spark, tmp_path):
+    """Entities whose id is missing (or fails the LongType cast) have no
+    merge identity: the paginated path must pass them through un-deduped
+    like the single-file path — partitionBy(id) used to group every NULL
+    across all pages and keep exactly one."""
+    d = tmp_path / "nullid"
+    os.makedirs(d)
+    for page, rows in [
+        (1, [{"email": "lost1@x.com"}, {"id": 5, "email": "keep@x.com"}]),
+        (2, [{"email": "lost2@x.com"}]),
+    ]:
+        with open(d / f"page-{page}.json", "w") as f:
+            f.write(json.dumps({"customers": rows}))
+    out = ingest.ingest_entity_pages(
+        spark, str(d), ingest.CUSTOMER_PAYLOAD, "customers"
+    ).collect()
+    assert len(out) == 3  # nothing vanished
+    assert sorted(r.email for r in out if r.id is None) == [
+        "lost1@x.com",
+        "lost2@x.com",
+    ]
+
+
+def test_pretty_printed_capture_body_parses(spark, tmp_path):
+    """A pretty-printed (multi-line) API response body must parse — the
+    JSON-Lines default mode yielded a NULL envelope and ZERO rows with no
+    error."""
+    d = tmp_path / "pretty"
+    os.makedirs(d)
+    body = {"customers": [{"id": 1, "email": "a@x.com"},
+                          {"id": 2, "email": "b@x.com"}]}
+    with open(d / "page-1.json", "w") as f:
+        f.write(json.dumps(body, indent=2))  # multi-line
+    single = d / "single.json"
+    with open(single, "w") as f:
+        f.write(json.dumps(body, indent=2))
+    got_pages = ingest.ingest_entity_pages(
+        spark, str(d), ingest.CUSTOMER_PAYLOAD, "customers"
+    ).count()
+    got_single = ingest.ingest_entity_json(
+        spark, str(single), ingest.CUSTOMER_PAYLOAD, "customers"
+    ).count()
+    assert got_pages == 2 and got_single == 2

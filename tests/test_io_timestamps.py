@@ -84,3 +84,42 @@ def test_all_layouts_agree(spark, tmp_path):
             )
         )
     assert vals[0] == vals[1] == vals[2]
+
+
+def test_nanos_rebuild_is_footer_driven_not_name_driven(spark, tmp_path):
+    """The nanos rebuild must fire for ANY table/column physically stored
+    as timestamp[ns] (it was hard-coded to events.ts, leaving other
+    writers' ns columns as raw longs) — and must NOT touch genuine BIGINT
+    columns, which share the same Spark-side LongType under the legacy
+    conf."""
+    sf_dir = str(tmp_path / "lake")
+    os.makedirs(sf_dir)
+    table = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),  # genuine long
+            "created_at": pa.array(
+                [
+                    datetime.datetime(2025, 5, 1, 9, 0, 0, 111111),
+                    datetime.datetime(2025, 5, 2, 10, 30, 0, 222222),
+                ]
+            ).cast(pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(table, os.path.join(sf_dir, "mydocs.parquet"))
+    df = read_table(spark, sf_dir, "mydocs")
+    assert isinstance(df.schema["created_at"].dataType, T.TimestampType)
+    assert isinstance(df.schema["doc_id"].dataType, T.LongType)
+    got = {r.doc_id: r.created_at for r in df.collect()}
+    assert got[1] == datetime.datetime(2025, 5, 1, 9, 0, 0, 111111)
+    # unix_micros resolves (the plan-time failure class this guards)
+    df.select(F.unix_micros("created_at")).collect()
+
+
+def test_compact_silver_refuses_unlistable_path(spark, tmp_path):
+    """compact_silver sizes output files from MEASURED local bytes; an
+    empty listing must raise, not rewrite the whole table through one
+    blind task (n_out=1)."""
+    from xboard_spark.io import compact_silver
+
+    with pytest.raises(FileNotFoundError, match="no parquet files"):
+        compact_silver(spark, str(tmp_path / "nope"), partition_cols=())

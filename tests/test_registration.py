@@ -99,3 +99,24 @@ def test_backfill_orchestration(spark, empty_tables):
     assert "429" in by_status["failed"].details
     # success stamped, failure left due for retry
     assert tenants_needing_backfill(tenants2).count() == 1
+
+
+def test_backfill_survives_unserializable_ingest_details(spark, empty_tables):
+    """ingest_fn naturally returns dict[str, DataFrame] (the S12 pipeline
+    does); serializing the run-log details must not crash the orchestrator
+    AFTER a successful ingest (json.dumps(DataFrame) raised TypeError and
+    lost every accumulated run record)."""
+    from xboard_spark.ingest import run_backfill
+
+    tenants, users = empty_tables
+    tenants, users, _ = ingest.register_tenant(
+        spark, tenants, users, "a.example", "tok", "a@x.com", "h"
+    )
+
+    def frame_returning_ingest(row):
+        return {"customers": spark.range(3)}  # a DataFrame, not JSON
+
+    tenants2, runs = run_backfill(spark, tenants, frame_returning_ingest)
+    row = runs.first()
+    assert row.status == "success"
+    assert "DataFrame" in row.details  # default=str stringified it

@@ -7,6 +7,7 @@ overlap resolution."""
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -108,3 +109,63 @@ def test_fetch_loop_guard(tmp_path):
             "http://x", "customers.json", "t", str(tmp_path / "loop"),
             "customers", max_pages=5, transport=transport,
         )
+
+
+def test_recapture_clears_stale_pages(tmp_path):
+    """A tenant whose data SHRANK between captures must not resurrect old
+    rows: stale higher-numbered page files from the previous sweep would
+    win ingest_entity_pages' highest-page-wins window."""
+    out = str(tmp_path / "recap")
+
+    def transport_5pages(url, headers):
+        n = int(url.rsplit("p=", 1)[1]) if "p=" in url else 1
+        body = json.dumps({"customers": [{"id": n}]}).encode()
+        link = {"Link": f'<http://x/c.json?p={n + 1}>; rel="next"'} if n < 5 else {}
+        return body, link
+
+    rest.fetch_entity_pages(
+        "http://x", "c.json", "t", out, "customers", transport=transport_5pages
+    )
+    assert len(os.listdir(out)) == 5
+
+    def transport_2pages(url, headers):
+        n = int(url.rsplit("p=", 1)[1]) if "p=" in url else 1
+        body = json.dumps({"customers": [{"id": 100 + n}]}).encode()
+        link = {"Link": f'<http://x/c.json?p={n + 1}>; rel="next"'} if n < 2 else {}
+        return body, link
+
+    written = rest.fetch_entity_pages(
+        "http://x", "c.json", "t", out, "customers", transport=transport_2pages
+    )
+    assert len(written) == 2
+    assert sorted(os.listdir(out)) == ["page-1.json", "page-2.json"]
+
+
+def test_mid_chain_empty_page_does_not_truncate(tmp_path):
+    """An empty entity array that still carries rel="next" (filtered /
+    eventually-consistent endpoints) must not end the walk — the old
+    break-on-empty dropped every later page silently."""
+    pages = {
+        1: ([{"id": 1}], 2),
+        2: ([], 3),  # empty mid-chain page WITH a next link
+        3: ([{"id": 3}], None),
+    }
+
+    def transport(url, headers):
+        n = int(url.rsplit("p=", 1)[1]) if "p=" in url else 1
+        rows, nxt = pages[n]
+        link = {"Link": f'<http://x/c.json?p={nxt}>; rel="next"'} if nxt else {}
+        return json.dumps({"customers": rows}).encode(), link
+
+    written = rest.fetch_entity_pages(
+        "http://x", "c.json", "t", str(tmp_path / "mid"), "customers",
+        transport=transport,
+    )
+    # two non-empty pages written contiguously; page 3's row survived
+    assert [os.path.basename(p) for p in written] == ["page-1.json", "page-2.json"]
+    ids = {
+        row["id"]
+        for p in written
+        for row in json.loads(open(p).read())["customers"]
+    }
+    assert ids == {1, 3}

@@ -137,9 +137,16 @@ def ingest_entity_json(
     spark: SparkSession, path: str, schema: T.StructType, envelope_field: str
 ) -> DataFrame:
     """Read a captured Shopify REST payload file ({customers: [...]} etc.,
-    S2-S4 ``services/shopifyApi.js:35-45``) into one row per entity."""
+    S2-S4 ``services/shopifyApi.js:35-45``) into one row per entity.
+
+    ``multiLine`` because each capture file is ONE JSON document (the
+    response body written verbatim) — the default JSON-Lines mode only
+    worked while APIs happened to serve single-line bodies; a
+    pretty-printed response would parse to a NULL envelope and explode to
+    ZERO rows with no error (the silent truncation this module exists to
+    prevent)."""
     env = T.StructType([T.StructField(envelope_field, T.ArrayType(schema))])
-    raw = spark.read.schema(env).json(path)
+    raw = spark.read.schema(env).option("multiLine", "true").json(path)
     return raw.select(F.explode(F.col(envelope_field)).alias("e")).select("e.*")
 
 
@@ -168,19 +175,33 @@ def ingest_entity_pages(
     later-listed version wins deterministically, instead of tying on
     ``desc(_page)`` and letting the shuffle pick."""
     env = T.StructType([T.StructField(envelope_field, T.ArrayType(schema))])
-    raw = spark.read.schema(env).json(os.path.join(dir_path, "page-*.json"))
+    raw = (
+        spark.read.schema(env)
+        .option("multiLine", "true")  # one JSON document per page file —
+        # see ingest_entity_json: JSON-Lines mode silently zeroes
+        # pretty-printed bodies
+        .json(os.path.join(dir_path, "page-*.json"))
+    )
     rows = raw.select(
         F.regexp_extract(F.col("_metadata.file_path"), r"page-(\d+)\.json", 1)
         .cast("long")
         .alias("_page"),
         F.posexplode(F.col(envelope_field)).alias("_pos", "e"),
     ).select("_page", "_pos", "e.*")
+    # rows with a NULL id (field missing or failed the schema cast) have
+    # no merge identity: pass them through UN-deduped — the same behavior
+    # as the single-file path — instead of letting partitionBy(id) group
+    # every NULL across all pages into one partition and keep exactly one
+    # (N malformed entities silently becoming 1 row)
+    keyed = rows.filter(F.col("id").isNotNull())
+    unkeyed = rows.filter(F.col("id").isNull()).drop("_page", "_pos")
     w = Window.partitionBy("id").orderBy(F.desc("_page"), F.desc("_pos"))
-    return (
-        rows.withColumn("_rn", F.row_number().over(w))
+    deduped = (
+        keyed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_page", "_pos")
     )
+    return deduped.unionByName(unkeyed)
 
 
 def ingest_tenant_data(
@@ -417,7 +438,14 @@ def run_backfill(
             details = {"error": str(e)[:500]}
             status = "failed"
         finished = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-        runs.append((row.id, started, finished, status, _json.dumps(details)))
+        # default=str: ingest_fn naturally returns non-JSON values (the
+        # S12 pipeline returns dict[str, DataFrame]) — a serialization
+        # TypeError here would escape the try above and abort the whole
+        # orchestrator AFTER a successful ingest, losing every
+        # accumulated run record
+        runs.append(
+            (row.id, started, finished, status, _json.dumps(details, default=str))
+        )
         if status == "success":
             done_ids.append(row.id)
 

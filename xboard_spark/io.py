@@ -41,18 +41,58 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _list_parquet_files(path: str) -> list[str]:
+    """Recursive local listing of the parquet data files under ``path``
+    (shared by the compaction sizing and the layout report). Local-FS
+    only by construction — callers that measure bytes must fail loudly
+    when the listing comes back empty rather than proceed on 0."""
+    import glob as _glob
+
+    return [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+
+
+def _nanos_timestamp_cols(path: str) -> set[str]:
+    """Column names physically stored as parquet TIMESTAMP(NANOS), from
+    the footer (KB-sized metadata read, no data). Needed because under
+    ``nanosAsLong`` Spark surfaces those columns as plain LongType —
+    indistinguishable in the SPARK schema from a genuine BIGINT, so the
+    rebuild decision must consult the physical type, never a column-name
+    convention."""
+    import pyarrow.parquet as _pq
+    import pyarrow.types as _pt
+
+    if os.path.isdir(path):
+        inner = _list_parquet_files(path)
+        if not inner:
+            return set()
+        path = inner[0]
+    schema = _pq.read_schema(path)
+    return {
+        f.name
+        for f in schema
+        if _pt.is_timestamp(f.type) and f.type.unit == "ns"
+    }
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (layout: ``{sf_dir}/{name}.parquet``).
 
-    Timestamp-layout tolerance: a real parquet lake mixes writers, so the
-    ``events.ts`` column is normalized to session-zoned ``TimestampType``
-    whatever physical layout the file uses:
+    Timestamp-layout tolerance: a real parquet lake mixes writers, so
+    EVERY timestamp column is normalized to session-zoned
+    ``TimestampType`` whatever physical layout the file uses:
 
     * ``timestamp[ns]`` — Spark 4 rejects parquet TIMESTAMP(NANOS)
       outright, so we read nanos as long (runtime-settable legacy conf)
       and rebuild microseconds with integer division —
-      ``timestamp_micros(ts div 1000)`` — the same truncation DuckDB
-      applies casting TIMESTAMP_NS -> TIMESTAMP.
+      ``timestamp_micros(col div 1000)`` — the same truncation DuckDB
+      applies casting TIMESTAMP_NS -> TIMESTAMP. Which Long columns are
+      really nanos comes from the parquet FOOTER (was a hard-coded
+      ``events.ts`` check, which left any other writer's ns column as
+      raw longs).
     * ``timestamp[us]`` with no timezone — Spark reads TIMESTAMP_NTZ,
       which ``unix_micros``/windowed range frames reject; cast to
       ``timestamp``. The session TZ is UTC so the cast is
@@ -61,12 +101,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     * ``timestamp[us, UTC]`` — already TimestampType, no-op.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    # generic NTZ tolerance, not just events.ts: if the upstream writer
-    # flips ANY timestamp column to no-timezone micros, normalize it
-    # rather than letting unix_micros/range frames fail at plan time
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    long_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.LongType)
+    ]
+    if long_cols:
+        for col in _nanos_timestamp_cols(path) & set(long_cols):
+            df = df.withColumn(
+                col, F.expr(f"timestamp_micros(`{col}` div 1000)")
+            )
+    # generic NTZ tolerance: if the upstream writer flips ANY timestamp
+    # column to no-timezone micros, normalize it rather than letting
+    # unix_micros/range frames fail at plan time
     for field in df.schema.fields:
         if isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
@@ -163,13 +210,13 @@ def compact_silver(
     transactional replace (the operator shape is identical).
 
     Returns {"files_before", "files_after", "bytes"} for the ops log."""
-    import glob as _glob
-
-    files = [
-        f
-        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if os.path.isfile(f)
-    ]
+    files = _list_parquet_files(path)
+    if not files:
+        raise FileNotFoundError(
+            f"compact_silver: no parquet files found under {path!r} — the "
+            "bytes-measured sizing only works on a local path it can list; "
+            "refusing to rewrite the table through a single blind task"
+        )
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))  # ceil
     df = spark.read.parquet(path)
@@ -180,11 +227,7 @@ def compact_silver(
     # so the overwrite doesn't read the files it is deleting
     out = out.localCheckpoint(eager=True)
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-    files_after = [
-        f
-        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if os.path.isfile(f)
-    ]
+    files_after = _list_parquet_files(path)
     return {
         "files_before": len(files),
         "files_after": len(files_after),
@@ -227,19 +270,9 @@ def parquet_layout_report(path: str) -> list[dict]:
     before it shows up in the storage bill). Driver-side metadata walk:
     footers are KB-sized; at lake scale this parallelizes per file with a
     mapInPandas over the file listing — same per-footer logic."""
-    import glob as _glob
-
     import pyarrow.parquet as _pq
 
-    files = (
-        [path]
-        if os.path.isfile(path)
-        else [
-            f
-            for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-            if os.path.isfile(f)
-        ]
-    )
+    files = [path] if os.path.isfile(path) else _list_parquet_files(path)
     agg: dict[str, dict] = {}
     for f in files:
         meta = _pq.ParquetFile(f).metadata

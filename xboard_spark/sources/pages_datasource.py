@@ -6,9 +6,13 @@ This closes the S5 loop Spark-natively: capture is driver-side cursor
 walking (inherently serial — see ``rest.py``), but the READ of the capture
 is a genuine distributed source — each page file is an ``InputPartition``,
 so Spark schedules one task per page and the JSON parse runs where the
-split is assigned, exactly like any file source. Downstream,
-``ingest.ingest_entity_json`` consumes the (page, pos, raw) rows with the
-same deterministic overlap resolution as the direct file path.
+split is assigned, exactly like any file source. The emitted
+(page, pos, raw) rows carry exactly the provenance
+``ingest.ingest_entity_pages`` derives on the direct file path via
+``_metadata.file_path`` + ``posexplode`` — a consumer applies the same
+desc(page), desc(pos) last-write-wins window over ``from_json(raw)`` to
+get identical overlap resolution (``tests/test_pages_datasource.py``
+exercises the read side).
 
 Why a DataSource and not ``spark.read.json``: the page ENVELOPE (one JSON
 object wrapping an entity array, page order encoded in the file name) is

@@ -72,39 +72,55 @@ def fetch_entity_pages(
 ) -> list[str]:
     """Walk ``{base_url}/{endpoint}?limit={limit}`` through its Link-header
     cursor chain, writing each page body to ``{out_dir}/page-<N>.json``.
-    Returns the written paths. Stops on: no next link, an empty entity
-    array, or ``max_pages`` (a loop guard against a server that links to
+    Returns the written paths. Stops ONLY on: no next link, or
+    ``max_pages`` fetches (a loop guard against a server that links to
     itself — hitting it raises, because silent truncation is exactly the
-    defect this exists to fix)."""
+    defect this exists to fix). A mid-chain EMPTY page does not end the
+    walk — filtered endpoints and eventually-consistent APIs can serve an
+    empty array that still carries ``rel="next"``; breaking there would
+    drop every later page with no error (the same silent-truncation
+    class). Empty pages are skipped on disk (nothing to ingest), so the
+    page-file numbering stays contiguous.
+
+    Any ``page-*.json`` files already in ``out_dir`` are REMOVED first:
+    the capture dir is this function's output contract, and a re-capture
+    of a tenant whose data shrank would otherwise leave stale
+    higher-numbered pages behind — which ``ingest_entity_pages``'
+    highest-page-wins window would then let beat the fresh data."""
+    import glob
+
     transport = transport or _default_transport
     headers = {
         "X-Shopify-Access-Token": access_token,
         "Content-Type": "application/json",
     }
     os.makedirs(out_dir, exist_ok=True)
+    for stale in glob.glob(os.path.join(out_dir, "page-*.json")):
+        os.remove(stale)
     sep = "&" if "?" in endpoint else "?"
     url: str | None = f"{base_url.rstrip('/')}/{endpoint}{sep}limit={limit}"
     written: list[str] = []
-    page = 1
+    fetches = 0
     while url:
-        if page > max_pages:
+        fetches += 1
+        if fetches > max_pages:
             raise RuntimeError(
                 f"pagination exceeded max_pages={max_pages} at {url!r}; "
                 "refusing to truncate silently"
             )
         body, resp_headers = transport(url, headers)
         rows = json.loads(body).get(entity, [])
-        if not rows and written:
-            break  # trailing empty page ends the chain
-        path = os.path.join(out_dir, f"page-{page}.json")
-        with open(path, "wb") as f:
-            f.write(body)
-        written.append(path)
         link = next(
             (v for k, v in resp_headers.items() if k.lower() == "link"), None
         )
+        if rows or not written:
+            # an empty FIRST page is still written: the capture dir must
+            # exist with evidence of the (empty) sweep
+            path = os.path.join(out_dir, f"page-{len(written) + 1}.json")
+            with open(path, "wb") as f:
+                f.write(body)
+            written.append(path)
         url = parse_next_link(link)
-        page += 1
     return written
 
 
