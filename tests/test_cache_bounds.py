@@ -183,3 +183,15 @@ def test_release_all_unpersists_fires_on_evict_and_counts():
     assert len(c) == 0 and c.evictions == 0  # release != LRU pressure
     assert sorted(gone) == ["s", "t"]
     assert all(f.unpersisted == 1 for f in (*t, single))
+
+
+def test_release_rejects_non_frame_entries():
+    """A non-DataFrame inside an entry is consumer misuse: _release must
+    raise, not swallow the AttributeError and silently skip the
+    unpersist (reintroducing the storage leak the cache exists to fix)."""
+    import pytest
+
+    from xboard_spark.cache import BoundedFrameCache
+
+    with pytest.raises(TypeError, match="must be DataFrames"):
+        BoundedFrameCache._release((object(),))

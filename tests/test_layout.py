@@ -111,3 +111,19 @@ def test_zorder_roundtrip_values_and_schema(spark, sf_dir, tmp_path):
     assert merged.count() == orders.count() + 10
     # old files surface NULL for the new column
     assert merged.filter(F.col("o_channel").isNull()).count() == orders.count()
+
+
+def test_zorder_nulls_land_in_cell_zero(spark):
+    """NULL z-order values must map to cell 0 (grouped at the curve
+    origin like the constant-column collapse) — Spark's least() skips
+    NULLs, which used to promote every NULL to the TOP cell and pollute
+    the max tiles' row-group stats."""
+    from xboard_spark.operators.layout import with_zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 5.0), (2, None, 5.0), (3, 1000.0, 5.0)],
+        "id long, x double, y double",
+    )
+    keys = {r.id: r._zkey for r in with_zorder_key(df, "x", "y").collect()}
+    assert keys[2] == min(keys.values())  # NULL x -> origin-side key
+    assert keys[3] == max(keys.values())

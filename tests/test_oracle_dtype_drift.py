@@ -126,3 +126,23 @@ def test_pandas_dtype_kind_agreement(spark, sf_dir, duck, name):
         f"{name}: pandas-path dtype drift (driver hash would fail): "
         + "; ".join(mismatches)
     )
+
+
+def test_check_oracle_norm_cell_decimal_and_negative_zero():
+    """The local gate's value normalizer must not false-FAIL numerically
+    equal cells: Decimal('123.456700') vs float 123.4567, and -0.0 vs
+    0.0, normalize identically."""
+    import decimal
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        pathlib.Path(__file__).resolve().parent.parent / "tools" / "check_oracle.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    norm = mod._norm_cell
+    assert norm(decimal.Decimal("123.456700")) == norm(123.4567)
+    assert norm(decimal.Decimal("1.10")) == norm(1.1)
+    assert norm(-0.0) == norm(0.0)

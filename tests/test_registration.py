@@ -120,3 +120,24 @@ def test_backfill_survives_unserializable_ingest_details(spark, empty_tables):
     row = runs.first()
     assert row.status == "success"
     assert "DataFrame" in row.details  # default=str stringified it
+
+
+def test_tenant_filter_lint_rejects_lookalike_predicates(spark, sf_dir):
+    """The lint must anchor on the exact column token next to =/IN — a
+    substring match passed on a parent_tenant_id filter and on a bare
+    isnotnull(tenant_id), neither of which isolates a tenant."""
+    orders = read_table(spark, sf_dir, "orders")
+    # a filter on a DIFFERENT column whose name merely contains the token
+    lookalike = orders.withColumnRenamed(
+        "o_custkey", "parent_o_key"
+    ).filter(F.col("parent_o_key") == 7)
+    with pytest.raises(ValueError, match="isolation predicate"):
+        assert_filter_on(lookalike, "o_key")
+    # isnotnull alone is not isolation
+    notnull_only = orders.filter(F.col("o_custkey").isNotNull())
+    with pytest.raises(ValueError, match="isolation predicate"):
+        assert_filter_on(notnull_only, "o_custkey")
+    # IN-list isolation still passes
+    assert_filter_on(
+        orders.filter(F.col("o_custkey").isin(7, 8)), "o_custkey"
+    )

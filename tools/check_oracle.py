@@ -25,12 +25,20 @@ from xboard_spark.session import get_spark
 
 def _norm_cell(v):
     import datetime
+    import decimal
 
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        # one engine may surface DECIMAL where the other gives float
+        # (e.g. avg over DECIMAL): str(Decimal('1.10')) == '1.10' vs the
+        # float branch's '1.1' — normalize through the same float path
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            v = 0.0  # -0.0 and 0.0 compare equal; '-0' vs '0' must not FAIL
         return f"{v:.6f}".rstrip("0").rstrip(".")
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
@@ -92,6 +100,12 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not produce a vacuous '0 failures' green
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
+
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
@@ -104,57 +118,70 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        sdf = None
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
-            failures.append(name)
-            continue
-        if name not in oracles:
-            print(f"SKIP {name}: no oracle ({len(srows)} rows, rows-only)")
-            continue
-        try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
-            failures.append(name)
-            continue
-        dt = time.time() - t0
-        if sorted(scols) != sorted(dcols):
-            print(f"FAIL {name}: cols spark={sorted(scols)} duck={sorted(dcols)}")
-            failures.append(name)
-            continue
-        if len(srows) != len(drows):
-            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
-            failures.append(name)
-            continue
-        sn = _normalize(srows, scols)
-        dn = _normalize(drows, dcols)
-        if sn != dn:
-            diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-            print(f"FAIL {name}: value mismatch ({len(srows)} rows); first diffs:")
-            for a, b in diffs:
-                print(f"   spark={a}\n   duck ={b}")
-            failures.append(name)
-            continue
-        # pandas-path dtype families — the representation the driver hashes
-        try:
-            pdf_s = sdf.toPandas()
-            pdf_d = con.execute(oracles[name]).df()
-        except Exception as e:
-            print(f"FAIL {name}: pandas-path error: {str(e)[:300]}")
-            failures.append(name)
-            continue
-        dmis = _dtype_mismatches(pdf_s, pdf_d)
-        if dmis:
-            print(f"FAIL {name}: pandas dtype drift: {'; '.join(dmis)}")
-            failures.append(name)
-            continue
-        print(f"PASS {name} ({len(srows)} rows, {dt:.1f}s)")
+            try:
+                sdf = fn(spark, sf_dir)
+                # persist: collect (the value/row path) and toPandas (the
+                # dtype path the driver hashes) are two DELIBERATE client
+                # materializations — keep both views, but execute the
+                # plan once instead of twice
+                sdf.persist()
+                scols = sdf.columns
+                srows = [tuple(r) for r in sdf.collect()]
+            except Exception as e:
+                print(f"FAIL {name}: spark error: {e}")
+                failures.append(name)
+                continue
+            if name not in oracles:
+                print(f"SKIP {name}: no oracle ({len(srows)} rows, rows-only)")
+                continue
+            try:
+                res = con.execute(oracles[name])
+                dcols = [d[0] for d in res.description]
+                drows = res.fetchall()
+            except Exception as e:
+                print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+                failures.append(name)
+                continue
+            dt = time.time() - t0
+            if sorted(scols) != sorted(dcols):
+                print(f"FAIL {name}: cols spark={sorted(scols)} duck={sorted(dcols)}")
+                failures.append(name)
+                continue
+            if len(srows) != len(drows):
+                print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+                failures.append(name)
+                continue
+            sn = _normalize(srows, scols)
+            dn = _normalize(drows, dcols)
+            if sn != dn:
+                diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+                print(f"FAIL {name}: value mismatch ({len(srows)} rows); first diffs:")
+                for a, b in diffs:
+                    print(f"   spark={a}\n   duck ={b}")
+                failures.append(name)
+                continue
+            # pandas-path dtype families — the representation the driver hashes
+            try:
+                pdf_s = sdf.toPandas()
+                pdf_d = con.execute(oracles[name]).df()
+            except Exception as e:
+                print(f"FAIL {name}: pandas-path error: {str(e)[:300]}")
+                failures.append(name)
+                continue
+            dmis = _dtype_mismatches(pdf_s, pdf_d)
+            if dmis:
+                print(f"FAIL {name}: pandas dtype drift: {'; '.join(dmis)}")
+                failures.append(name)
+                continue
+            print(f"PASS {name} ({len(srows)} rows, {dt:.1f}s)")
+        finally:
+            if sdf is not None:
+                try:
+                    sdf.unpersist()
+                except Exception:
+                    pass  # dead context at teardown
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0

@@ -63,19 +63,29 @@ def _summarize(name: str, out: str, rc: int) -> str:
                     j = json.loads(line)
                 except ValueError:
                     continue
-                base = json.loads((REPO / "BASELINE_BENCH.json").read_text())
-                total = base.get("total_sec")  # guard AND interpolate the
-                ratio = (                      # .get — a baseline file
-                    round(j["value"] / total, 2)  # missing the key must
-                    if total                      # record "?", not KeyError
+                # every lookup is guarded: a missing/invalid baseline file
+                # or a bench JSON missing a key must record "?" in the
+                # evidence line, never crash the seal after the whole
+                # chain already ran (the verdict line would be lost)
+                try:
+                    base = json.loads(
+                        (REPO / "BASELINE_BENCH.json").read_text()
+                    )
+                except (OSError, ValueError):
+                    base = {}
+                total = base.get("total_sec")
+                value = j.get("value")
+                ratio = (
+                    round(value / total, 2)
+                    if total and value is not None
                     else "?"
                 )
                 return (
-                    f"headline {j['value']}s vs {total or '?'}s baseline"
-                    f" = {ratio}x; regressions={j['regressions']}"
-                    f" extended_regressions={j['extended_regressions']}"
-                    f" errors={list(j['errors'])}"
-                    f" calibration={j['calibration_sec']}"
+                    f"headline {value}s vs {total or '?'}s baseline"
+                    f" = {ratio}x; regressions={j.get('regressions')}"
+                    f" extended_regressions={j.get('extended_regressions')}"
+                    f" errors={list(j.get('errors') or {})}"
+                    f" calibration={j.get('calibration_sec')}"
                 )
         return f"no JSON line from bench.py (rc {rc})"
     return f"rc {rc}"
@@ -159,9 +169,13 @@ def main() -> int:
         all_ok &= ok
         mark = "x" if ok else " "
         verdict = "PASS" if ok else f"**FAIL (rc {proc.returncode})**"
+        try:
+            summary = _summarize(name, out, proc.returncode)
+        except Exception as e:  # a summarize bug must not lose the verdict
+            summary = f"(summary error: {type(e).__name__}: {str(e)[:120]})"
         lines.append(
             f"- [{mark}] `{name}` ({time.time() - t0:.0f}s): {verdict} — "
-            + _summarize(name, out, proc.returncode)
+            + summary
         )
         _write_section(notes, lines)
         print(lines[-1], flush=True)

@@ -59,10 +59,22 @@ class BoundedFrameCache(OrderedDict):
     def _release(entry) -> None:
         frames = entry if isinstance(entry, tuple) else (entry,)
         for df in frames:
+            unpersist = getattr(df, "unpersist", None)
+            if unpersist is None:
+                # a non-DataFrame in an entry is consumer misuse, not a
+                # teardown condition — swallowing it would silently skip
+                # the unpersist and reintroduce the storage leak this
+                # class exists to fix
+                raise TypeError(
+                    "BoundedFrameCache entries must be DataFrames or "
+                    f"tuples of them; got {type(df).__name__}"
+                )
             try:
-                df.unpersist()
+                unpersist()
             except Exception:
-                # a dead SparkContext at teardown must not mask eviction
+                # a dead SparkContext/Py4J bridge at interpreter teardown
+                # must not mask eviction — the ONLY failure unpersist()
+                # itself can raise comes through that bridge
                 pass
 
     def __getitem__(self, key):

@@ -32,14 +32,21 @@ ZBITS = 16  # per-dimension resolution: 2^16 cells per axis
 def _scale(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     """Min/max-normalize a numeric column into [0, 2^bits): exact long
     arithmetic after one double scaling; degenerate (constant) columns
-    collapse to cell 0."""
+    collapse to cell 0, and NULL values land in cell 0 too — without the
+    coalesce, ``least(NULL, top)`` (Spark's least skips NULLs) silently
+    promoted every NULL to the TOP cell, interleaving them among the
+    genuinely-max rows and polluting exactly the row-group min/max stats
+    the z-order exists to sharpen."""
     span = (hi.cast("double") - lo.cast("double"))
     frac = F.when(span == 0.0, F.lit(0.0)).otherwise(
         (col.cast("double") - lo.cast("double")) / span
     )
     top = (1 << bits) - 1
-    return F.least(
-        F.floor(frac * F.lit(top)).cast("long"), F.lit(top)
+    scaled = F.floor(frac * F.lit(top)).cast("long")
+    # the NULL guard must wrap least(), not follow it: Spark's least()
+    # SKIPS null arguments, so least(NULL, top) is already top
+    return F.when(scaled.isNull(), F.lit(0).cast("long")).otherwise(
+        F.least(scaled, F.lit(top))
     )
 
 

@@ -570,7 +570,7 @@ def _update(vec_dims: DataFrame, assign: DataFrame) -> DataFrame:
 # expensive shared artifact — knn_ivf and ivf_cell_sizes both need it, and
 # production would build it once offline and store it; the in-session
 # cache plays that role (same rationale as dedup._INDEX_CACHE).
-_IVF_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame, DataFrame]] = (
+_IVF_CACHE: dict[tuple[int, int], tuple[DataFrame, ...]] = (
     BoundedFrameCache()
 )
 

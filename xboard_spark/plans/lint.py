@@ -30,11 +30,24 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def assert_filter_on(df: DataFrame, column: str) -> None:
-    """Raise if the analyzed plan has no filter touching ``column`` — the
-    tenant-isolation lint. Call it at the API boundary of any multi-tenant
-    query entry point."""
+    """Raise unless the analyzed plan carries an equality (or IN)
+    predicate on ``column`` ITSELF — the tenant-isolation lint. Call it
+    at the API boundary of any multi-tenant query entry point.
+
+    The match anchors on the exact attribute token (analyzed plans print
+    references as ``name#id``) adjacent to ``=``/``IN`` — a bare
+    substring match was a false-negative hole: it passed on a filter
+    over ``parent_tenant_id`` or on a mere ``isnotnull(tenant_id)``,
+    neither of which isolates a tenant."""
     plan = df._jdf.queryExecution().analyzed().toString()
-    pat = rf"Filter .*{re.escape(column)}"
+    ref = rf"(?<![A-Za-z0-9_]){re.escape(column)}#\d+[A-Za-z]*"
+    # the analyzed plan may wrap the attribute in a widening cast —
+    # `cast(tenant_id#5L as bigint) IN (...)` — so allow one trailing
+    # `as <type>)` between the token and the operator (and a leading
+    # `cast(` on the right-hand-side form)
+    lhs = rf"{ref}(?:\s+as\s+\w+\))?\s*(?:=|IN\b)"
+    rhs = rf"=\s*(?:cast\()?{ref}"
+    pat = rf"Filter .*(?:{lhs}|{rhs})"
     if not re.search(pat, plan):
         raise ValueError(
             f"query plan carries no filter on '{column}' — multi-tenant "
