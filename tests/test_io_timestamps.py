@@ -123,3 +123,35 @@ def test_compact_silver_refuses_unlistable_path(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="no parquet files"):
         compact_silver(spark, str(tmp_path / "nope"), partition_cols=())
+
+
+def test_nanos_cols_union_all_footers_and_reject_mixed_physical_types(tmp_path):
+    """_nanos_timestamp_cols must union the ns-column sets across EVERY
+    file of a directory table (a first-file sample silently skips the
+    rebuild for other writers' ns columns) and must fail loudly when
+    files disagree on a column's physical type (INT64 in one,
+    TIMESTAMP(NANOS) in another — the merged Long column mixes units)."""
+    from xboard_spark.io import _nanos_timestamp_cols
+
+    d = str(tmp_path / "mixed_writers")
+    os.makedirs(d)
+    ts = pa.array([datetime.datetime(2025, 5, 1)]).cast(pa.timestamp("ns"))
+    pq.write_table(
+        pa.table({"x": pa.array([1], pa.int64()), "t1": ts}),
+        os.path.join(d, "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"x": pa.array([2], pa.int64()), "t2": ts}),
+        os.path.join(d, "b.parquet"),
+    )
+    assert _nanos_timestamp_cols(d) == {"t1", "t2"}
+
+    conflict = str(tmp_path / "conflict")
+    os.makedirs(conflict)
+    pq.write_table(
+        pa.table({"y": pa.array([1], pa.int64())}),
+        os.path.join(conflict, "a.parquet"),
+    )
+    pq.write_table(pa.table({"y": ts}), os.path.join(conflict, "b.parquet"))
+    with pytest.raises(ValueError, match="disagree on the physical type"):
+        _nanos_timestamp_cols(conflict)

@@ -169,3 +169,42 @@ def test_mid_chain_empty_page_does_not_truncate(tmp_path):
         for row in json.loads(open(p).read())["customers"]
     }
     assert ids == {1, 3}
+
+
+def test_mid_walk_transport_error_preserves_previous_capture(tmp_path):
+    """A transport error mid-walk must not destroy the previous COMPLETE
+    capture: the old clear-then-write-in-place left a partial,
+    contiguously-numbered page set that a later ingest would read as a
+    complete (silently truncated) capture. The staging-dir swap promotes
+    a new capture only after the whole cursor chain succeeds."""
+    out = str(tmp_path / "durable")
+
+    def transport_ok(url, headers):
+        n = int(url.rsplit("p=", 1)[1]) if "p=" in url else 1
+        body = json.dumps({"customers": [{"id": n}]}).encode()
+        link = {"Link": f'<http://x/c.json?p={n + 1}>; rel="next"'} if n < 3 else {}
+        return body, link
+
+    rest.fetch_entity_pages(
+        "http://x", "c.json", "t", out, "customers", transport=transport_ok
+    )
+    before = {
+        p: open(os.path.join(out, p)).read() for p in sorted(os.listdir(out))
+    }
+    assert len(before) == 3
+
+    def transport_dies_on_page_2(url, headers):
+        n = int(url.rsplit("p=", 1)[1]) if "p=" in url else 1
+        if n >= 2:
+            raise OSError("connection reset mid-walk")
+        return transport_ok(url, headers)
+
+    with pytest.raises(OSError):
+        rest.fetch_entity_pages(
+            "http://x", "c.json", "t", out, "customers",
+            transport=transport_dies_on_page_2,
+        )
+    after = {
+        p: open(os.path.join(out, p)).read() for p in sorted(os.listdir(out))
+    }
+    assert after == before  # previous complete capture untouched

@@ -533,3 +533,24 @@ def test_quarantine_projection_is_queryable(spark, tmp_path):
     assert [r.error_raw for r in bad] == ["not json at all"]
     good = df.filter(F.col("is_valid")).select("delivery_hash").collect()
     assert {r.delivery_hash for r in good} == {WH[0]["delivery_hash"]}
+
+
+def test_blank_lines_do_not_become_valid_null_rows(spark, tmp_path):
+    """The text source emits an empty-string row per blank line and
+    from_json('') parses to a NULL struct (NOT a corrupt record), so an
+    unfiltered blank line would surface as is_valid=true with every field
+    — including the silver merge key — NULL. read.json silently skipped
+    blank lines; the text+from_json intake must too."""
+    d = tmp_path / "blanks"
+    os.makedirs(d)
+    with open(d / "mixed.json", "w") as f:
+        f.write(json.dumps(WH[0]) + "\n")
+        f.write("\n")          # blank line
+        f.write("   \t \n")    # whitespace-only line
+        f.write("not json\n")
+    df = webhook.read_webhooks_with_errors(spark, str(d))
+    rows = df.collect()
+    assert len(rows) == 2  # one valid + one quarantined; blanks vanish
+    valid = [r for r in rows if r.is_valid]
+    assert len(valid) == 1 and valid[0].delivery_hash == WH[0]["delivery_hash"]
+    assert all(r.delivery_hash is not None for r in valid)

@@ -57,25 +57,44 @@ def _list_parquet_files(path: str) -> list[str]:
 
 def _nanos_timestamp_cols(path: str) -> set[str]:
     """Column names physically stored as parquet TIMESTAMP(NANOS), from
-    the footer (KB-sized metadata read, no data). Needed because under
+    the footers (KB-sized metadata reads, no data). Needed because under
     ``nanosAsLong`` Spark surfaces those columns as plain LongType —
     indistinguishable in the SPARK schema from a genuine BIGINT, so the
     rebuild decision must consult the physical type, never a column-name
-    convention."""
+    convention.
+
+    The ns-column sets are UNIONED across every file of a directory
+    table, not sampled from the first: a mixed-writer table (the
+    scenario motivating the footer-driven rebuild) can store the column
+    as plain INT64 in the sampled file and TIMESTAMP(NANOS) in others,
+    and Spark's schema merge still surfaces LongType — a first-file
+    sample would silently skip the rebuild for the nanos files' rows.
+    If the files DISAGREE on a column (physically INT64 in one,
+    TIMESTAMP(NANOS) in another) we fail loudly: the merged Long column
+    mixes units and no single rebuild is correct. At lake scale this
+    check rides the catalog/manifest metadata instead of per-read
+    footer walks; footers here are local KB reads."""
     import pyarrow.parquet as _pq
     import pyarrow.types as _pt
 
-    if os.path.isdir(path):
-        inner = _list_parquet_files(path)
-        if not inner:
-            return set()
-        path = inner[0]
-    schema = _pq.read_schema(path)
-    return {
-        f.name
-        for f in schema
-        if _pt.is_timestamp(f.type) and f.type.unit == "ns"
-    }
+    files = _list_parquet_files(path) if os.path.isdir(path) else [path]
+    ns_cols: set[str] = set()
+    int64_cols: set[str] = set()
+    for f in files:
+        for field in _pq.read_schema(f):
+            if _pt.is_timestamp(field.type) and field.type.unit == "ns":
+                ns_cols.add(field.name)
+            elif _pt.is_int64(field.type):
+                int64_cols.add(field.name)
+    mixed = ns_cols & int64_cols
+    if mixed:
+        raise ValueError(
+            f"parquet files under {path!r} disagree on the physical type of "
+            f"{sorted(mixed)}: TIMESTAMP(NANOS) in some files, plain INT64 "
+            "in others — the merged column mixes units; rewrite the "
+            "offending files before reading"
+        )
+    return ns_cols
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

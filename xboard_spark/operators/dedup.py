@@ -21,7 +21,7 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from xboard_spark.cache import BoundedFrameCache
@@ -101,7 +101,6 @@ def shingle_index(documents: DataFrame, n: int = 3) -> DataFrame:
     The cost is one shuffle of the token stream for the per-doc window;
     token rows are (long, int, short string) — compact — and the subsequent
     df-filter/pair joins dwarf it at any scale."""
-    from pyspark.sql import Window
 
     words = F.regexp_extract_all(_norm_text(F.col("text")), F.lit(TOKEN_RE), 0)
     tok = documents.select(
@@ -498,7 +497,6 @@ def dup_span_stats(documents: DataFrame, window: int = 10) -> DataFrame:
     # spans ⋈ groupBy(spfp) self-join plans TWO full scans of the corpus
     # with two md5 passes (verified in the physical plan) — this shape
     # shuffles only aggregated rows after the single scan.
-    from pyspark.sql import Window
 
     g = spans.groupBy("spfp", "lang", "source").agg(
         F.count("*").alias("n_occ"),
@@ -671,7 +669,6 @@ def min_label_components(
             "converging — component diameter exceeds the cap; use "
             "components_star (O(log n) rounds) for this graph"
         )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id")
     return (
@@ -756,7 +753,6 @@ def canonical_docs(
     rate), and representative selection is a per-cluster window over the
     small frame. The expensive part remains the shared, cached MinHash
     pair stack."""
-    from pyspark.sql import Window
 
     from xboard_spark.operators.text import token_count_col
 
@@ -1070,7 +1066,6 @@ def delta_dedup_stats(documents: DataFrame, mod: int = 5) -> DataFrame:
     Reference parity: extends ``exact_dedup_groups`` (dedup.py:44) the
     way ST5's backfill bookkeeping extends ingest — state from the last
     run bounds the work of this run."""
-    from pyspark.sql import Window
 
     fp = fingerprint64(_norm_text(F.col("text")))
     docs = documents.select("doc_id", "source", fp.alias("fp"))
@@ -1140,7 +1135,6 @@ def components_star(
     silently-unmerged clusters (the failure mode the sf0.1 sweep caught
     in the old fixed-unroll propagation). Rounds used are exposed as
     ``components_star.last_rounds`` for the convergence tests."""
-    from pyspark.sql import Window
 
     und = (
         pairs.select(
@@ -1237,7 +1231,6 @@ def components_star(
             F.least("mn", F.col("u")).alias("cluster_id"),
         )
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id")
     return labels.withColumn(

@@ -72,6 +72,27 @@ def events_daily(events: DataFrame) -> DataFrame:
     )
 
 
+def _with_session_seq(events: DataFrame, gap_minutes: int) -> DataFrame:
+    """Gaps-and-islands session tagging, shared by ``sessionize`` /
+    ``session_paths`` / ``conversion_attribution`` (ONE definition so the
+    session boundary rule cannot silently diverge between the consumers —
+    the ``band_hashes`` treatment): lag over (user_id; ts, event_id), a
+    new-session flag on inactivity > ``gap_minutes``, and the running-sum
+    session id. One shuffle on user_id; every downstream window reuses
+    that partitioning."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(by_user)
+    return events.withColumn(
+        "new_session",
+        F.when(
+            prev_ts.isNull()
+            | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("session_seq", F.sum("new_session").over(by_user))
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: per-user sessions split on inactivity gaps — the
     classic gaps-and-islands, all window functions, no UDF, no state in the
@@ -81,22 +102,9 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     Streaming twin: ``session_window`` / ``applyInPandasWithState`` in
     ``xboard_spark.streaming.windows``.
     """
-    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_sec = gap_minutes * 60
-    prev_ts = F.lag("ts").over(by_user)
-    with_flag = events.withColumn(
-        "new_session",
-        F.when(
-            prev_ts.isNull()
-            | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > gap_sec * 1_000_000),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    with_id = with_flag.withColumn(
-        "session_seq", F.sum("new_session").over(by_user)
-    )
     return (
-        with_id.groupBy("user_id", "session_seq")
+        _with_session_seq(events, gap_minutes)
+        .groupBy("user_id", "session_seq")
         .agg(
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
@@ -702,17 +710,7 @@ def session_paths(
     (user_id, session_seq), a hash agg on path, and a distributed top-N
     (TakeOrderedAndProject). The per-session event-struct sort is bounded
     at ``depth`` rows per session after the rn filter."""
-    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = gap_minutes * 60 * 1_000_000
-    prev_ts = F.lag("ts").over(by_user)
-    flagged = events.withColumn(
-        "new_session",
-        F.when(
-            prev_ts.isNull()
-            | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > gap_us),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn("session_seq", F.sum("new_session").over(by_user))
+    flagged = _with_session_seq(events, gap_minutes)
     per_sess = Window.partitionBy("user_id", "session_seq").orderBy(
         "ts", "event_id"
     )
@@ -839,17 +837,7 @@ def conversion_attribution(events: DataFrame, gap_minutes: int = 30) -> DataFram
     attribution lookback all reuse; the rollup keys on the bounded
     event-type domain, and the share divides by a post-agg global sum
     over that tiny frame."""
-    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = gap_minutes * 60 * 1_000_000
-    prev_ts = F.lag("ts").over(by_user)
-    flagged = events.withColumn(
-        "new_session",
-        F.when(
-            prev_ts.isNull()
-            | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > gap_us),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn("session_seq", F.sum("new_session").over(by_user))
+    flagged = _with_session_seq(events, gap_minutes)
     look = (
         Window.partitionBy("user_id", "session_seq")
         .orderBy("ts", "event_id")

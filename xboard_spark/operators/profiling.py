@@ -162,7 +162,6 @@ def key_skew_profile(df: DataFrame, key: str = "o_custkey", top: int = 20) -> Da
         .limit(top)
         .crossJoin(F.broadcast(total))
     )
-    from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
     return topk.select(

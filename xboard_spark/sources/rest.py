@@ -82,24 +82,32 @@ def fetch_entity_pages(
     class). Empty pages are skipped on disk (nothing to ingest), so the
     page-file numbering stays contiguous.
 
-    Any ``page-*.json`` files already in ``out_dir`` are REMOVED first:
-    the capture dir is this function's output contract, and a re-capture
-    of a tenant whose data shrank would otherwise leave stale
-    higher-numbered pages behind — which ``ingest_entity_pages``'
-    highest-page-wins window would then let beat the fresh data."""
-    import glob
+    The walk writes into a sibling ``._staging`` directory and swaps it
+    over ``out_dir`` (demote/promote renames, the silver-swap pattern)
+    only after the cursor chain completes. Clearing ``out_dir`` up front
+    and writing in place had the inverse durability hole: a transport
+    error mid-walk destroyed the previous COMPLETE capture and left a
+    partial, contiguously-numbered page set a later ingest would read as
+    a complete (silently truncated) capture — the exact defect class this
+    function documents itself as preventing. ``out_dir`` is wholly owned
+    by this function (it holds nothing but the page files), and a
+    re-capture of a tenant whose data shrank can leave no stale
+    higher-numbered pages behind because the swap replaces the directory
+    as a unit."""
+    import shutil
 
     transport = transport or _default_transport
     headers = {
         "X-Shopify-Access-Token": access_token,
         "Content-Type": "application/json",
     }
-    os.makedirs(out_dir, exist_ok=True)
-    for stale in glob.glob(os.path.join(out_dir, "page-*.json")):
-        os.remove(stale)
+    staging = out_dir.rstrip("/") + "._staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    os.makedirs(staging)
     sep = "&" if "?" in endpoint else "?"
     url: str | None = f"{base_url.rstrip('/')}/{endpoint}{sep}limit={limit}"
-    written: list[str] = []
+    staged: list[str] = []
     fetches = 0
     while url:
         fetches += 1
@@ -113,15 +121,27 @@ def fetch_entity_pages(
         link = next(
             (v for k, v in resp_headers.items() if k.lower() == "link"), None
         )
-        if rows or not written:
+        if rows or not staged:
             # an empty FIRST page is still written: the capture dir must
             # exist with evidence of the (empty) sweep
-            path = os.path.join(out_dir, f"page-{len(written) + 1}.json")
+            path = os.path.join(staging, f"page-{len(staged) + 1}.json")
             with open(path, "wb") as f:
                 f.write(body)
-            written.append(path)
+            staged.append(path)
         url = parse_next_link(link)
-    return written
+    # complete walk -> promote the staging dir. A crash inside the swap
+    # leaves either the old capture intact (pre-demote) or no out_dir at
+    # all (a reader fails loudly; the next capture rebuilds) — never a
+    # silently truncated page set.
+    backup = out_dir.rstrip("/") + "._backup"
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    if os.path.exists(out_dir):
+        os.rename(out_dir, backup)
+    os.rename(staging, out_dir)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    return [os.path.join(out_dir, os.path.basename(p)) for p in staged]
 
 
 ENTITY_ENDPOINTS = {

@@ -98,11 +98,23 @@ def read_webhooks_with_errors(spark: SparkSession, path: str) -> DataFrame:
     and the documented cache() workaround pins the whole intake in
     memory. ``from_json`` with the corrupt-record option has the same
     PERMISSIVE semantics per line, no scan restriction, and mirrors the
-    Kafka path (``read_webhook_kafka``), which parses the same way."""
+    Kafka path (``read_webhook_kafka``), which parses the same way.
+
+    Blank lines are filtered BEFORE the parse: the text source emits an
+    empty-string row per blank line (``read.json`` silently skipped
+    them), and ``from_json('')`` returns a NULL struct — not a corrupt
+    record — so an unfiltered blank line would surface as an
+    ``is_valid=true`` row with every field (including the merge key)
+    NULL and flow into the silver merge. The emptiness check is a
+    whitespace-CLASS regex, not ``trim()`` — Spark's trim strips only
+    spaces, so a tab-only line would slip through a trim-based filter
+    (measured before fixing)."""
     # StructType.add MUTATES in place — build a fresh schema each call so the
     # shared module-level WEBHOOK_SCHEMA never grows a duplicate column
     schema = T.StructType(WEBHOOK_SCHEMA.fields + [T.StructField(CORRUPT_COL, T.StringType())])
-    parsed = spark.read.text(path).select(
+    parsed = spark.read.text(path).filter(
+        F.col("value").rlike(r"\S")
+    ).select(
         F.from_json(
             F.col("value"),
             schema,
