@@ -1309,3 +1309,89 @@ def test_props_key_coverage_planted(spark):
     out = {r.event_type: r for r in events.props_key_coverage(_mkev(spark, rows)).collect()}
     assert out["view"].n_with_key == 1 and abs(out["view"].coverage - 0.5) < 1e-12
     assert out["click"].coverage == 1.0
+
+
+def test_traffic_anomalies_dead_hour_is_flagged(spark):
+    """The round-10 dense-grid fix: a (date, hour) bucket with ZERO events
+    must (a) pull its hour-of-day baseline down as a 0, and (b) be
+    flaggable itself — the sparse frame silently excluded dead hours from
+    both roles."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    # hour 13: 10 events on days 1-4, NOTHING on day 5
+    for day in range(1, 5):
+        for _ in range(10):
+            eid += 1
+            rows.append((eid, dt.datetime(2026, 8, day, 13, 0), 1, "view", 1.0, "{}"))
+    # day 5 exists in the observed range via another hour
+    eid += 1
+    rows.append((eid, dt.datetime(2026, 8, 5, 7, 0), 1, "view", 1.0, "{}"))
+    out = events.traffic_anomalies(_mkev(spark, rows), z=2.0).collect()
+    # hour 13 baseline over days 1-5 = [10,10,10,10,0]: mean 8, std 4
+    # -> day-5 dead bucket z = -2.0, flagged with n_events = 0
+    flagged = {(r.event_date, r.hour): r for r in out}
+    dead = flagged[(dt.date(2026, 8, 5), 13)]
+    assert dead.n_events == 0
+    assert abs(dead.hour_mean - 8.0) < 1e-12
+    assert abs(dead.hour_std - 4.0) < 1e-12
+    assert abs(dead.zscore + 2.0) < 1e-12
+
+
+def test_volume_gaps_exact_boundary_is_flagged(spark):
+    """Inclusive bounds: a day that EXACTLY halved or EXACTLY doubled is
+    flagged (the strict <0.5/>2.0 bounds let both pass)."""
+    import datetime as dt
+
+    from xboard_spark.operators.profiling import volume_gaps
+
+    rows, eid = [], 0
+    for day, n in [(1, 10), (2, 5), (3, 10)]:  # exact halve then exact double
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2026, 5, day, 12, 0), 1, "view", 1.0, "{}")
+            )
+    out = {r.event_date: r for r in volume_gaps(_mkev(spark, rows)).collect()}
+    assert out[dt.date(2026, 5, 2)].is_anomaly == 1  # ratio exactly 0.5
+    assert out[dt.date(2026, 5, 3)].is_anomaly == 1  # ratio exactly 2.0
+
+
+def test_user_rollup_sketch_stays_out_of_hash_surface(spark):
+    """user_rollup's approximate-distinct path is surfaced as the
+    invariant boolean only: no raw engine-specific estimate column, and
+    the bound holds trivially at per-user type cardinalities."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2026, 1, 1, 0, i), i % 3, t, 1.0, "{}")
+        for i, t in enumerate(["view", "purchase", "cart", "view", "view", "cart"])
+    ]
+    out = events.user_rollup(_mkev(spark, rows))
+    assert "approx_types" not in out.columns
+    assert all(r.types_within_bound for r in out.collect())
+
+
+def test_hourly_windows_emits_exclusive_end(spark):
+    import datetime as dt
+
+    rows = [(1, dt.datetime(2026, 3, 1, 9, 30), 1, "view", 1.0, "{}")]
+    r = events.hourly_windows(_mkev(spark, rows)).collect()[0]
+    assert r.window_start == dt.datetime(2026, 3, 1, 9, 0)
+    assert r.window_end == dt.datetime(2026, 3, 1, 10, 0)
+
+
+def test_nation_customer_ranks_running_share(spark):
+    """running_share is the cumulative top-k share (the docstring's
+    'running share of the nation's total balance'); balance_share stays
+    the customer's own static share."""
+    from xboard_spark.operators.window_ops import nation_customer_ranks
+
+    cust = spark.createDataFrame(
+        [(1, "a", 0, 50.0), (2, "b", 0, 30.0), (3, "c", 0, 15.0), (4, "d", 0, 5.0)],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double",
+    )
+    nat = spark.createDataFrame([(0, "X")], "n_nationkey int, n_name string")
+    out = {r.rnk: r for r in nation_customer_ranks(cust, nat, k=3).collect()}
+    assert [out[i].balance_share for i in (1, 2, 3)] == [0.5, 0.3, 0.15]
+    assert [out[i].running_share for i in (1, 2, 3)] == [0.5, 0.8, 0.95]

@@ -102,3 +102,22 @@ def test_session_stats_mean_from_exact_micros(stream):
     assert out[10].avg_session_sec == 540.0
     # user 12: both events at the same instant -> zero-length session
     assert out[12].avg_session_sec == 0.0
+
+
+def test_asof_same_instant_view_with_larger_id_is_matched(spark):
+    """The round-10 tie-rule fix: a view at ts EQUAL to the purchase whose
+    event_id is LARGER than the purchase's still counts as prior-or-equal
+    (the plain (ts, event_id) order sorted it after the purchase and
+    missed it)."""
+    rows = [
+        (1, _t(5), 30, "purchase", 9.0, "{}"),
+        (2, _t(5), 30, "view", 1.0, "{}"),  # same instant, larger id
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = temporal.purchase_asof_view(df).collect()
+    assert len(got) == 1
+    assert got[0].view_id == 2 and got[0].gap_sec == 0.0

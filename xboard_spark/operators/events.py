@@ -168,18 +168,42 @@ def events_json_props(events: DataFrame) -> DataFrame:
     )
 
 
-def user_rollup(events: DataFrame) -> DataFrame:
-    """Per-user activity rollup with exact and approximate distinct — the
+def user_rollup(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Per-user activity rollup with exact AND approximate distinct — the
     approx_count_distinct (HyperLogLog++) path is the one that survives
-    100 TB; the exact path is the oracle-checkable twin."""
+    100 TB (fixed-size mergeable sketch state vs a shuffle carrying every
+    distinct (user, type) pair); the exact path is the oracle-checkable
+    twin. The approximate side is surfaced the invariant-oracle way
+    (the ``approx_cardinality`` pattern): the hashed columns are the
+    exact facts plus a deterministic ``types_within_bound`` boolean whose
+    integer bound (``n_types DIV 5 + 2`` — generous at the tiny per-user
+    type cardinalities, where HLL++'s sparse path is near-exact) the
+    DuckDB twin re-derives as TRUE; the engine-specific estimate itself
+    stays out of the hash, but a sketch drifting outside its contract
+    fails the driver hash. (The round-9 symmetric-defect review found
+    the docstring promised the approximate path while no such column
+    existed.)"""
+    bound = F.expr("n_types DIV 5 + 2")
     return (
         events.groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
             F.count_distinct("event_type").alias("n_types"),
+            F.approx_count_distinct("event_type", rsd).alias("approx_types"),
             F.round(F.sum("value"), 2).alias("total_value"),
             F.min("ts").alias("first_seen"),
             F.max("ts").alias("last_seen"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            (F.abs(F.col("approx_types") - F.col("n_types")) <= bound).alias(
+                "types_within_bound"
+            ),
+            "total_value",
+            "first_seen",
+            "last_seen",
         )
         .orderBy("user_id")
     )
@@ -189,7 +213,10 @@ def hourly_windows(events: DataFrame) -> DataFrame:
     """Tumbling-window aggregation via the native ``window()`` expression —
     the batch form of the Structured Streaming tumbling aggregate (same
     expression works under readStream + watermark; see
-    ``streaming.windows``). Emits window start/end explicitly."""
+    ``streaming.windows``). Emits window start AND end explicitly (the
+    end is start + 1 hour, exclusive — the struct's own ``w.end``, so a
+    consumer never re-derives the window width; the round-9
+    symmetric-defect review found only the start was selected)."""
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -198,6 +225,7 @@ def hourly_windows(events: DataFrame) -> DataFrame:
         )
         .select(
             F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
             "event_type",
             "n_events",
             "total_value",
@@ -340,9 +368,14 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
 
 def cohort_retention(events: DataFrame) -> DataFrame:
     """Weekly cohort retention matrix: users grouped by first-seen week
-    (cohort), tracked by distinct-active weeks after — the standard
-    product-analytics rollup the reference's daily revenue endpoint
-    (routes/analytics.js:55-70) grows into.
+    (cohort), tracked by distinct-active week offsets FROM the cohort week
+    — the standard product-analytics rollup the reference's daily revenue
+    endpoint (routes/analytics.js:55-70) grows into. The week-0 row (the
+    matrix diagonal) is EMITTED and is 1.0 by construction: it is the
+    conventional anchor that carries each cohort's size and lets a
+    consumer verify n_active(week 0) == cohort_size; retention analysis
+    reads from weeks_since >= 1. (Round-9 review disposition: convention
+    documented rather than dropping the row.)
 
     Shape: first-seen is one per-user hash agg; (user, week) activity is a
     dropDuplicates on co-located keys; the matrix is a second agg keyed by
@@ -615,23 +648,47 @@ def activity_heatmap(events: DataFrame) -> DataFrame:
 
 def traffic_anomalies(events: DataFrame, z: float = 2.0) -> DataFrame:
     """Hourly traffic anomaly scan: each (date, hour) bucket's event count
-    scored against the mean/std of the SAME hour-of-day across all days —
-    the seasonal baseline from ``activity_heatmap`` turned into an alerting
-    panel. Returns anomalous buckets (|z| >= ``z``) with their hour-of-day
-    baseline. Variance is computed from exact integer sums (n, sum, sum of
-    squares) so both engines evaluate the identical double expression tree
-    — population variance, guarded at 0 for single-day hours.
+    scored against the mean/std of the SAME hour-of-day across ALL days of
+    the observed range — the seasonal baseline from ``activity_heatmap``
+    turned into an alerting panel. The bucket frame is a DENSE
+    date x hour grid (min..max observed date x 0..23), zero-filled: hours
+    with no events contribute 0 to their hour-of-day baseline AND are
+    themselves scoreable — a dead hour is the most anomalous bucket there
+    is, and the sparse frame both excluded it from n_days/mean/std and
+    could never flag it (the round-9 symmetric-defect finding). Returns
+    anomalous buckets (|z| >= ``z``) with their hour-of-day baseline.
+    Variance is computed from exact integer sums (n, sum, sum of squares)
+    so both engines evaluate the identical double expression tree —
+    population variance, guarded at 0 for constant hours.
 
     Scale shape: one scan -> (date, hour) hash agg (bounded by days x 24
-    keys), a second tiny agg per hour-of-day (24 keys), broadcast join
-    back. No window over raw events."""
-    buckets = (
+    keys), the grid is calendar-bounded (days x 24 rows, built from a
+    1-row min/max aggregate), a second tiny agg per hour-of-day (24
+    keys), broadcast joins back. No window over raw events."""
+    observed = (
         events.select(
             F.to_date("ts").alias("event_date"),
             F.hour("ts").cast("long").alias("hour"),
         )
         .groupBy("event_date", "hour")
-        .agg(F.count("*").alias("n_events"))
+        .agg(F.count("*").alias("n_obs"))
+    )
+    grid = (
+        events.agg(
+            F.min(F.to_date("ts")).alias("d0"),
+            F.max(F.to_date("ts")).alias("d1"),
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("event_date"))
+        .select(
+            "event_date",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("h"),
+        )
+        .select("event_date", F.col("h").cast("long").alias("hour"))
+    )
+    buckets = grid.join(F.broadcast(observed), ["event_date", "hour"], "left").select(
+        "event_date",
+        "hour",
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_events"),
     )
     base = buckets.groupBy("hour").agg(
         F.count("*").alias("n_days"),
@@ -643,7 +700,7 @@ def traffic_anomalies(events: DataFrame, z: float = 2.0) -> DataFrame:
     scored = buckets.join(F.broadcast(base), "hour").select(
         "event_date",
         "hour",
-        F.col("n_events").cast("long").alias("n_events"),
+        "n_events",
         mean.alias("hour_mean"),
         F.sqrt(F.greatest(var, F.lit(0.0))).alias("hour_std"),
     )

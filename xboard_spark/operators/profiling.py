@@ -219,10 +219,13 @@ def fk_integrity_audit(
 def volume_gaps(events: DataFrame) -> DataFrame:
     """Ingest-volume health scan: the full daily-count panel with each
     day's day-over-day ratio, calendar gap to the previous observed day,
-    and an anomaly flag (volume halved/doubled, or days missing in
-    between) — the first monitor an ingestion pipeline grows. The whole
-    panel is returned (not just flagged days) so a healthy corpus still
-    yields a verifiable report.
+    and an anomaly flag (volume halved or worse / doubled or more —
+    INCLUSIVE bounds, so a day that exactly halved or exactly doubled is
+    flagged, matching the stated rule; the round-9 symmetric-defect
+    review found the strict bounds let the exact-boundary day pass — or
+    days missing in between) — the first monitor an ingestion pipeline
+    grows. The whole panel is returned (not just flagged days) so a
+    healthy corpus still yields a verifiable report.
 
     Scale shape: one scan -> per-day hash agg (key domain bounded by the
     calendar), then lag over the tiny daily frame (single-partition
@@ -246,8 +249,8 @@ def volume_gaps(events: DataFrame) -> DataFrame:
         F.col("prev_date").isNotNull()
         & (
             (F.col("gap_days") > 1)
-            | (F.col("dod_ratio") < 0.5)
-            | (F.col("dod_ratio") > 2.0)
+            | (F.col("dod_ratio") <= 0.5)
+            | (F.col("dod_ratio") >= 2.0)
         )
     ).cast("long")
     return scanned.withColumn("is_anomaly", anomaly).orderBy("event_date")

@@ -21,10 +21,19 @@ def purchase_asof_view(events: DataFrame) -> DataFrame:
     preceding frame, keep purchase rows. ONE shuffle on user_id, linear per
     partition; equivalent to DuckDB's ASOF JOIN but expressed in portable
     window algebra so the oracle runs the identical plan.
+
+    Tie rule (the "or-equal" part of prior-or-equal): the scan orders by
+    (ts, view-before-purchase, event_id), so a view at the SAME instant
+    as the purchase sorts BEFORE it and is matched — a plain
+    (ts, event_id) order missed same-instant views whose event_id
+    happened to exceed the purchase's (the round-9 symmetric-defect
+    finding). Among several same-instant views the largest event_id wins
+    (it is the frame's last row).
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    view_first = F.when(F.col("event_type") == "view", 0).otherwise(1)
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", view_first, "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     last_view = F.last(
         F.when(
             F.col("event_type") == "view",

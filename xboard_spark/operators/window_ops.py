@@ -18,19 +18,27 @@ from pyspark.sql import functions as F
 
 def nation_customer_ranks(customer: DataFrame, nation: DataFrame, k: int = 3) -> DataFrame:
     """Ranking windows: top-k customers by account balance per nation, with
-    rank + running share of the nation's total balance."""
+    rank, the customer's own share of the nation's total balance
+    (``balance_share``), and the RUNNING share accumulated through that
+    rank (``running_share`` — a cumulative unbounded-preceding frame over
+    the rank order; the round-9 symmetric-defect review found the
+    docstring promised this while the code emitted only the static
+    share). Both windows reuse the one shuffle on n_name."""
     joined = customer.join(
         F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
     )
     by_nation = Window.partitionBy("n_name").orderBy(
         F.desc("c_acctbal"), F.asc("c_custkey")
     )
+    running = by_nation.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     nation_total = Window.partitionBy("n_name")
+    total = F.sum("c_acctbal").over(nation_total)
     return (
         joined.withColumn("rnk", F.row_number().over(by_nation))
+        .withColumn("balance_share", F.round(F.col("c_acctbal") / total, 6))
         .withColumn(
-            "balance_share",
-            F.round(F.col("c_acctbal") / F.sum("c_acctbal").over(nation_total), 6),
+            "running_share",
+            F.round(F.sum("c_acctbal").over(running) / total, 6),
         )
         .filter(F.col("rnk") <= k)
         .select(
@@ -40,6 +48,7 @@ def nation_customer_ranks(customer: DataFrame, nation: DataFrame, k: int = 3) ->
             "c_name",
             F.round("c_acctbal", 2).alias("acctbal"),
             "balance_share",
+            "running_share",
         )
         .orderBy("nation_name", "rnk")
     )

@@ -2401,6 +2401,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
         "user_rollup": """
 SELECT user_id, count(*) AS n_events,
        count(DISTINCT event_type) AS n_types,
+       TRUE AS types_within_bound,
        round(sum(value), 2) AS total_value,
        min(ts::TIMESTAMP) AS first_seen,
        max(ts::TIMESTAMP) AS last_seen
@@ -3050,8 +3051,8 @@ SELECT event_date, n_events, prev_date, prev_events::BIGINT AS prev_events,
        n_events / prev_events AS dod_ratio,
        (CASE WHEN prev_date IS NOT NULL
              AND (date_diff('day', prev_date, event_date) > 1
-                  OR n_events / prev_events < 0.5
-                  OR n_events / prev_events > 2.0)
+                  OR n_events / prev_events <= 0.5
+                  OR n_events / prev_events >= 2.0)
              THEN 1 ELSE 0 END)::BIGINT AS is_anomaly
 FROM scanned
 ORDER BY event_date""",
@@ -3127,11 +3128,27 @@ SELECT row_number() OVER (ORDER BY n_rows DESC, key)::BIGINT AS rank,
        key, n_rows, n_rows / total AS share
 FROM topk, tot ORDER BY rank""",
         "traffic_anomalies": f"""
-WITH b AS (
+WITH obs AS (
   SELECT CAST({EVENTS_TS} AS DATE) AS event_date,
          hour({EVENTS_TS})::BIGINT AS hour,
-         count(*)::BIGINT AS n_events
+         count(*)::BIGINT AS n_obs
   FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(CAST({EVENTS_TS} AS DATE)) AS d0,
+         max(CAST({EVENTS_TS} AS DATE)) AS d1
+  FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS event_date,
+         h.range::BIGINT AS hour
+  FROM bounds, range(24) h
+),
+b AS (
+  SELECT grid.event_date, grid.hour,
+         coalesce(obs.n_obs, 0)::BIGINT AS n_events
+  FROM grid LEFT JOIN obs
+    ON grid.event_date = obs.event_date AND grid.hour = obs.hour
 ),
 base AS (
   SELECT hour, count(*)::BIGINT AS n_days, sum(n_events)::BIGINT AS s1,
@@ -3480,11 +3497,17 @@ r AS (
          row_number() OVER (PARTITION BY n_name
                             ORDER BY c_acctbal DESC, c_custkey) AS rnk,
          round(c_acctbal / sum(c_acctbal) OVER (PARTITION BY n_name), 6)
-           AS balance_share
+           AS balance_share,
+         round(sum(c_acctbal) OVER (PARTITION BY n_name
+                                    ORDER BY c_acctbal DESC, c_custkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)
+               / sum(c_acctbal) OVER (PARTITION BY n_name), 6)
+           AS running_share
   FROM j
 )
 SELECT n_name AS nation_name, rnk::BIGINT AS rnk, c_custkey, c_name,
-       round(c_acctbal, 2) AS acctbal, balance_share
+       round(c_acctbal, 2) AS acctbal, balance_share, running_share
 FROM r WHERE rnk <= 3 ORDER BY nation_name, rnk""",
         "segment_setops": """
 WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
@@ -3685,7 +3708,10 @@ scan AS (
          last_value(CASE WHEN event_type = 'view'
                          THEN struct_pack(vts := ts, vid := event_id) END
                     IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
+           OVER (PARTITION BY user_id
+                 ORDER BY ts,
+                          CASE WHEN event_type = 'view' THEN 0 ELSE 1 END,
+                          event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
   FROM base
 )
@@ -3708,9 +3734,11 @@ SELECT event_id AS purchase_id, user_id,
        coalesce(nv, 0)::BIGINT AS n_views_before
 FROM c WHERE event_type = 'purchase' ORDER BY purchase_id""",
         "hourly_windows": """
-SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
+SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start,
+       date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR AS window_end,
+       event_type,
        count(*) AS n_events, round(sum(value), 2) AS total_value
-FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
         "tfidf_top_terms": """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
