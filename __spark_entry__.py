@@ -817,9 +817,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_candidates": lambda s, d: text.bpe_merge_candidates(
             _t(s, d, "documents")
         ),
-        # rows-only by design: the merge loop's re-segmentation fold has no
-        # tractable ANSI-SQL twin; equivalence is pinned by the pytest
-        # against a pure-Python reference BPE trainer instead
+        # full hash oracle since round 10: the merge loop unrolls to
+        # n_merges CTE stages DuckDB-side (oracles.bpe_learn_sql — greedy
+        # list_reduce re-segmentation per stage), every emitted fact
+        # integer/string-exact; the pure-Python Sennrich-reference pytest
+        # stays as the semantic anchor
         "bpe_learn": lambda s, d: text.bpe_learn(_t(s, d, "documents")),
         "epochs_plan": lambda s, d: sampling.epochs_plan(
             _t(s, d, "documents")

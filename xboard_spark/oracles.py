@@ -1261,6 +1261,65 @@ SELECT pair, count(*) AS cnt FROM p GROUP BY 1
 ORDER BY cnt DESC, pair LIMIT {top_k}"""
 
 
+def bpe_learn_sql(n_merges: int = 5) -> str:
+    """DuckDB twin of ``text.bpe_learn`` — the full sequential BPE
+    training loop, UNROLLED to ``n_merges`` CTE stages (the loop bound is
+    a compile-time constant, so unrolling is exact, not an
+    approximation). Each stage: adjacent-pair counts over the previous
+    segmentation, the deterministic (cnt DESC, a, b) top-1 pick, then a
+    greedy left-to-right ``list_reduce`` re-segmentation capturing the
+    picked pair from a cross-joined 1-row CTE — the same fold semantics
+    as the Spark side's ``aggregate`` expression (singleton-list initial
+    accumulator == empty-accumulator fold, because the fold's first step
+    always appends). Converts the registry's last rows-only entry into a
+    full value-hash oracle: every emitted fact (round, pair, merged
+    token, weighted count) is integer/string-exact."""
+    stages = [
+        f"""wf AS (
+  SELECT word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))
+               AS word
+        FROM documents)
+  GROUP BY 1
+),
+s0 AS (
+  SELECT list_transform(generate_series(1, length(word)), i -> word[i])
+           AS sym,
+         freq
+  FROM wf
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        stages.append(f"""p{r} AS (
+  SELECT pr[1] AS a, pr[2] AS b, sum(freq)::BIGINT AS cnt
+  FROM (SELECT unnest(list_transform(generate_series(1, len(sym) - 1),
+                                     i -> [sym[i], sym[i + 1]])) AS pr,
+               freq
+        FROM s{r - 1} WHERE len(sym) >= 2)
+  GROUP BY 1, 2
+),
+t{r} AS (
+  SELECT a, b, a || b AS m, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+),
+s{r} AS (
+  SELECT list_reduce(
+           list_transform(sym, s -> [s]),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t{r}.a
+                                 AND x[1] = t{r}.b
+                       THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                                        t{r}.m)
+                       ELSE list_append(acc, x[1]) END) AS sym,
+         freq
+  FROM s{r - 1}, t{r}
+)""")
+    union = "\nUNION ALL ".join(
+        f'SELECT {r}::INT AS round, a AS "left", b AS "right", m AS merged, '
+        f"cnt AS pair_count FROM t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(stages) + "\n" + union + "\nORDER BY round"
+
+
 def epochs_plan_sql(budget_factor: float = 2.0, alpha: float = 0.7) -> str:
     return f"""
 WITH per AS (
@@ -3482,6 +3541,7 @@ ORDER BY numwait DESC, s_name, s_suppkey LIMIT 20""",
         "ridge_probe": ridge_probe_sql(),
         "logistic_probe": logistic_probe_sql(),
         "bpe_merge_candidates": bpe_merge_candidates_sql(),
+        "bpe_learn": bpe_learn_sql(),
         "epochs_plan": epochs_plan_sql(),
         "length_histogram": length_histogram_sql(),
         "knn_ivf": knn_ivf_sql(),
