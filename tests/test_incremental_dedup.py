@@ -98,3 +98,45 @@ def test_sink_crash_before_index_commit_replays_same_pairs(spark, tmp_path, text
     replay = {(r.doc_a, r.doc_b) for r in idx.add_batch(b2).collect()}
     assert replay == seen[0]
     assert {(1, 3), (2, 4)} <= replay
+
+
+def test_new_doc_with_smaller_id_than_indexed_dup_is_paired(spark, tmp_path, texts):
+    """Candidate canonicalization: ids carry no arrival-order guarantee,
+    so a new doc whose id is SMALLER than an indexed duplicate's must
+    still pair. The old candidate join pinned the new doc to the doc_b
+    side of a doc_a < doc_b filter and emitted nothing for this case."""
+    base, _, _ = texts
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "idx"))
+    idx.add_batch(
+        spark.createDataFrame([(10, base)], "doc_id long, text string")
+    )
+    p2 = idx.add_batch(
+        spark.createDataFrame([(5, base)], "doc_id long, text string")
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in p2] == [(5, 10, 1.0)]
+
+
+def test_dedup_stream_demo_batch_attribution(spark, tmp_path, texts):
+    """The registered demo surface: within-batch-1 pairs carry
+    batch_id 0, cross/batch-2 pairs carry batch_id 1, and the
+    redelivered doc (doc_id % 14 == 0 evens re-sent in batch 2) is an
+    index no-op — its pair is emitted exactly once, in batch 0."""
+    from xboard_spark.streaming.dedup import dedup_stream_demo
+
+    base, near, other = texts
+    docs = spark.createDataFrame(
+        [
+            (0, base, "en", "s"),   # even; 0 % 14 == 0 -> redelivered in b2
+            (2, base, "en", "s"),   # even exact dup of 0 -> batch-0 pair
+            (1, near, "en", "s"),   # odd near-dup of 0/2 -> batch-1 pairs
+            (3, other, "en", "s"),  # odd, no dup
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = [
+        (r.doc_a, r.doc_b, r.batch_id)
+        for r in dedup_stream_demo(docs).collect()
+    ]
+    assert (0, 2, 0) in got          # within batch 1, emitted once
+    assert got.count((0, 2, 0)) == 1 and (0, 2, 1) not in got
+    assert (0, 1, 1) in got and (1, 2, 1) in got  # cross pairs, new id smaller

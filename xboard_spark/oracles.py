@@ -191,6 +191,111 @@ FROM lab
 ORDER BY doc_id"""
 
 
+def dedup_stream_sql(
+    n: int = 3,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    tau: float = 0.5,
+    max_df: int = 100,
+) -> str:
+    """DuckDB twin of ``streaming.dedup.dedup_stream_demo`` — re-derives
+    BOTH micro-batches of the incremental LSH dedup from the parity
+    split alone, generated from the same permutation/band constants the
+    operators import. Batch-local semantics are mirrored exactly:
+
+    * per-batch df-capped inverted index (``add_batch`` caps df within
+      the batch, not globally — the documented streaming approximation);
+    * batch 0 = within-even pairs, verified on inv1 alone (at batch 1
+      the index IS the batch);
+    * batch 1 = odd docs vs (evens UNION odds), candidates canonicalized
+      with least/greatest, verified on inv1 UNION inv2 — the redelivered
+      evens of the fixture's second file never appear because the
+      anti-join semantics make them index no-ops (the twin simply uses
+      the clean parity split).
+    """
+    params = minhash_params(n_perms)
+    rows_per_band = n_perms // n_bands
+    shingle = " || ' ' || ".join(f"words[i+{j}]" for j in range(n))
+    sig_exprs = ",\n  ".join(
+        f"min(((shfp & {_X_MASK}) * {a} + {b}) % {MINHASH_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+
+    def batch_stack(sfx: str, where: str) -> str:
+        band_selects = []
+        for bi in range(n_bands):
+            parts = ", ".join(
+                f"sig_{bi * rows_per_band + r}::VARCHAR"
+                for r in range(rows_per_band)
+            )
+            band_hash = _fp(f"concat_ws(',', {parts})")
+            band_selects.append(
+                f"SELECT doc_id, {bi} AS band, {band_hash} AS bh FROM sigs{sfx}"
+            )
+        bands_union = "\nUNION ALL\n".join(band_selects)
+        return f"""docs{sfx} AS (
+  SELECT doc_id, list_distinct(list_transform(shingles, s -> {_fp('s')})) AS fps
+  FROM (
+    SELECT doc_id,
+      CASE WHEN len(words) >= {n}
+        THEN list_transform(generate_series(1, len(words) - {n - 1}), i -> {shingle})
+        ELSE [] END AS shingles
+    FROM (SELECT doc_id, regexp_extract_all({_NORM_TEXT}, '{TOKEN_RE_SQL}') AS words
+          FROM documents WHERE {where})
+  ) WHERE len(shingles) > 0
+),
+inv0{sfx} AS (SELECT doc_id, unnest(fps) AS shfp FROM docs{sfx}),
+df_ok{sfx} AS (SELECT shfp FROM inv0{sfx} GROUP BY shfp HAVING count(*) <= {max_df}),
+inv{sfx} AS (SELECT inv0{sfx}.doc_id, inv0{sfx}.shfp
+             FROM inv0{sfx} JOIN df_ok{sfx} USING (shfp)),
+sigs{sfx} AS (SELECT doc_id, {sig_exprs} FROM inv{sfx} GROUP BY doc_id),
+bands{sfx} AS ({bands_union})"""
+
+    def verify(tag: str, cand: str, inv: str) -> str:
+        return f"""sizes{tag} AS (
+  SELECT doc_id, count(*)::BIGINT AS n_sh FROM {inv} GROUP BY doc_id
+),
+shared{tag} AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS shared
+  FROM {cand} c
+  JOIN {inv} a ON a.doc_id = c.doc_a
+  JOIN {inv} b ON b.doc_id = c.doc_b AND b.shfp = a.shfp
+  GROUP BY 1, 2
+),
+pairs{tag} AS (
+  SELECT doc_a, doc_b,
+         round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+  FROM shared{tag} s
+  JOIN sizes{tag} sa ON sa.doc_id = s.doc_a
+  JOIN sizes{tag} sb ON sb.doc_id = s.doc_b
+)"""
+
+    return f"""
+WITH {batch_stack('_e', 'doc_id % 2 = 0')},
+{batch_stack('_o', 'doc_id % 2 = 1')},
+cand0 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_e a JOIN bands_e b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+{verify('0', 'cand0', 'inv_e')},
+allbands AS (SELECT * FROM bands_e UNION ALL SELECT * FROM bands_o),
+allinv AS (SELECT * FROM inv_e UNION ALL SELECT * FROM inv_o),
+cand1 AS (
+  SELECT least(o.doc_id, nw.doc_id) AS doc_a,
+         greatest(o.doc_id, nw.doc_id) AS doc_b
+  FROM allbands o JOIN bands_o nw ON o.band = nw.band AND o.bh = nw.bh
+  WHERE o.doc_id <> nw.doc_id GROUP BY 1, 2
+),
+{verify('1', 'cand1', 'allinv')}
+SELECT doc_a, doc_b, jaccard, 0::BIGINT AS batch_id
+FROM pairs0 WHERE jaccard >= {tau}
+UNION ALL
+SELECT doc_a, doc_b, jaccard, 1::BIGINT AS batch_id
+FROM pairs1 WHERE jaccard >= {tau}
+ORDER BY doc_a, doc_b"""
+
+
 def curation_sql(min_tokens: int = 40, tau: float = 0.5) -> str:
     """Quality gate + minhash near-dedup removal + corpus rollup — composes
     the minhash pair stack (mirrors operators.curation)."""
@@ -3509,6 +3614,7 @@ FROM supplier JOIN w ON s_suppkey = suppkey
 ORDER BY numwait DESC, s_name, s_suppkey LIMIT 20""",
         "curation_stats": curation_sql(),
         "minhash_dedup": minhash_sql(),
+        "streaming_dedup_pairs": dedup_stream_sql(),
         "dedup_clusters": dedup_clusters_sql(),
         "simhash": simhash_sql(),
         "knn_bruteforce": knn_sql(),

@@ -118,13 +118,22 @@ class IncrementalDedupIndex:
         )
         all_inv = inv_new if inv_old is None else inv_old.unionByName(inv_new)
 
-        # candidates: new docs colliding with ANY doc in (old + new)
-        left = bands_new.select("band", "bh", F.col("doc_id").alias("doc_b"))
-        right = all_bands.select("band", "bh", F.col("doc_id").alias("doc_a"))
+        # candidates: new docs colliding with ANY doc in (old + new),
+        # canonicalized with least/greatest AFTER the join — the old
+        # shape pinned the new doc to the doc_b side of a doc_a < doc_b
+        # filter, so a new doc whose id was SMALLER than an indexed
+        # duplicate's never formed a candidate (measured: an identical
+        # text arriving as doc 5 against indexed doc 10 emitted nothing);
+        # ids carry no arrival-order guarantee
+        left = bands_new.select("band", "bh", F.col("doc_id").alias("doc_n"))
+        right = all_bands.select("band", "bh", F.col("doc_id").alias("doc_o"))
         candidates = (
             right.join(left, ["band", "bh"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
+            .filter(F.col("doc_o") != F.col("doc_n"))
+            .select(
+                F.least("doc_o", "doc_n").alias("doc_a"),
+                F.greatest("doc_o", "doc_n").alias("doc_b"),
+            )
             .distinct()
         )
         # exact verify on the combined shingle index — the SHARED batch
@@ -190,3 +199,106 @@ def start_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream_demo(documents: DataFrame, workdir: str | None = None) -> DataFrame:
+    """Registered batch-equivalence surface for the incremental dedup
+    stream (the ``silver_merge_demo`` pattern, VERDICT r9 #5): derive a
+    deterministic two-batch fixture from ``documents``, run it through
+    the REAL chain — file source -> ``start_dedup_stream`` foreachBatch
+    over the parquet-backed ``IncrementalDedupIndex`` — as TWO sequential
+    ``availableNow`` runs sharing one checkpoint (run 2 is a genuine
+    restart: a fresh ``start_dedup_stream`` call whose index state comes
+    entirely from disk), then return every emitted pair with the
+    micro-batch it surfaced in.
+
+    The fixture makes each incremental semantic load-bearing in the hash:
+
+    * batch 1 = even doc_ids -> within-batch pairs land in
+      ``batch_id=0``;
+    * batch 2 = odd doc_ids PLUS a redelivery of the ``doc_id % 14 == 0``
+      evens -> cross-batch and within-batch-2 pairs land in
+      ``batch_id=1``. The redelivered docs must be anti-joined away as
+      already-indexed: if they re-entered, their shingles would
+      double-count and shift every affected pair's exact Jaccard (and
+      re-emit their old pairs), breaking the hash.
+    * odd ids are interleaved BELOW even ids, so cross pairs where the
+      NEW doc has the smaller id are exercised — the candidate
+      canonicalization (least/greatest) is load-bearing, not decorative.
+
+    The DuckDB twin (``oracles.dedup_stream_sql``) re-derives both
+    batches from the parity split alone — per-batch df-capped inverted
+    index (the documented batch-local cap), per-batch band join, exact
+    filtered-set Jaccard per add_batch's index view (batch 1 verifies on
+    inv1; batch 2 on inv1 UNION inv2) — generated from the SAME
+    permutation/band constants the operators import.
+
+    Driver footprint: the returned pair panel is collected once
+    (bounded by the corpus' near-dup pair count — the same output scale
+    as ``minhash_dedup``) so the temp fixture/index/checkpoint dirs can
+    be removed before returning; a caller-provided ``workdir`` is
+    caller-owned and left in place. At 100 TB this demo IS the
+    production shape: the file source becomes Kafka, the two runs a
+    continuous trigger, and the parquet index a partitioned index table."""
+    import glob
+    import shutil
+    import tempfile
+
+    spark = documents.sparkSession
+    owns_workdir = workdir is None
+    if owns_workdir:
+        workdir = tempfile.mkdtemp(prefix="xboard_dedup_stream_")
+    src = os.path.join(workdir, "src")
+    index_path = os.path.join(workdir, "idx")
+    pairs_out = os.path.join(workdir, "pairs")
+    os.makedirs(src, exist_ok=True)
+
+    def _write_batch(df: DataFrame, fname: str) -> None:
+        stage = os.path.join(workdir, f"_stage_{fname}")
+        df.select(
+            F.to_json(F.struct("doc_id", "text", "lang", "source")).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(stage)
+        parts = glob.glob(os.path.join(stage, "part-*"))
+        if not parts:
+            raise ValueError(
+                f"dedup_stream_demo: fixture {fname!r} produced no part file "
+                "— a parity class of documents is empty"
+            )
+        os.rename(parts[0], os.path.join(src, fname))
+        shutil.rmtree(stage)
+
+    try:
+        _write_batch(documents.filter(F.col("doc_id") % 2 == 0), "batch1.json")
+        q = start_dedup_stream(spark, src, index_path, pairs_out)
+        q.awaitTermination()
+        _write_batch(
+            documents.filter(
+                (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 14 == 0)
+            ),
+            "batch2.json",
+        )
+        q = start_dedup_stream(spark, src, index_path, pairs_out)
+        q.awaitTermination()
+        panel = (
+            spark.read.parquet(pairs_out)
+            .select(
+                "doc_a",
+                "doc_b",
+                "jaccard",
+                F.col("batch_id").cast("long").alias("batch_id"),
+            )
+            .orderBy("doc_a", "doc_b")
+        )
+        rows = panel.collect()  # bounded by the corpus' near-dup pair count
+        batches = {r.batch_id for r in rows}
+        if not batches <= {0, 1}:
+            # one micro-batch per availableNow run is the fixture contract
+            # (one new file each run); fail loudly, never hash a wrong panel
+            raise RuntimeError(
+                f"expected pairs only in micro-batches 0/1, got {sorted(batches)}"
+            )
+        schema = panel.schema
+    finally:
+        if owns_workdir:
+            shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
