@@ -254,8 +254,8 @@ _ROUND8_FIRST = [
 ]
 
 
-# Round-9 rotation (ACTIVE since round 9; the staged list was
-# re-validated against the round-9 additions per its contract). Head:
+# Round-9 rotation (retired — kept for the round-9 correctness record).
+# Head:
 # the 3 queries NEW this round (first driver rows) + the 2 sketch
 # queries REWRITTEN to invariant-oracle form this round (values
 # changed -> must re-hash now); then the 18 r5-era rows the staged list
@@ -289,20 +289,24 @@ _ROUND9_FIRST = [
 ]
 
 
-# Round-10 rotation, STAGED AHEAD (swap at the start of round 10;
-# re-validate against whatever round 10 adds — new queries displace
-# tail entries here). Head: the 4 r6-window rows the round-9 head
-# insertions displaced (oldest evidence in the union), then the 19
-# queries that appear in NONE of the r7/r8/r9 windows (the 18
-# r6-window tail rows — events_daily, knn_pq, embedding_quantization,
-# the reference-surface basics — plus embedding_spectrum, displaced
-# from the r8 head by the round-7 addition); backfill: the oldest 27
-# r7-window rows in their r7 order (approx_cardinality left this list
-# for the round-9 head when its rewrite landed; tfidf_top_terms,
-# doc_chunks and doc_fingerprints spill to round 11). The remaining
-# r7-window rows (doc_chunks_overlapping .. repetition_stats) head
-# round 11.
+# Round-10 rotation (ACTIVE since round 10; the staged list was
+# re-validated against the round-10 changes per its contract). Head:
+# the 1 query NEW this round (streaming_dedup_pairs — first driver row)
+# + the 4 round-10 value/schema rewrites NOT already in the staged
+# window (traffic_anomalies, purchase_asof_view from round 11's staged
+# head, nation_customer_ranks likewise, volume_gaps — values changed
+# this round, so they must re-hash NOW); the other round-10 rewrites
+# (bpe_learn oracle conversion, user_rollup, hourly_windows,
+# cohort_retention doc-pin) were already inside this window. Then: the
+# 4 r6-window rows the round-9 head insertions displaced, the 19
+# queries in NONE of the r7/r8/r9 windows, and the oldest r7-window
+# rows. The 5 head insertions displace the 5 unchanged tail entries
+# (epochs_plan, events_json, top_supplier_revenue, quality_scores,
+# language_id) to the round-11 head.
 _ROUND10_FIRST = [
+    # -- new in round 10 (1) + value/schema-changed in round 10 (4) --
+    "streaming_dedup_pairs", "traffic_anomalies", "purchase_asof_view",
+    "nation_customer_ranks", "volume_gaps",
     # -- displaced from the round-9 window by its head insertions (4) --
     "term_cooccurrence", "overview", "orders_by_date", "funnel_conversion",
     # -- in none of the r7/r8/r9 windows (19) --
@@ -313,39 +317,46 @@ _ROUND10_FIRST = [
     "order_priority_counts", "nation_market_share", "orders_above_cust_avg",
     "part_type_breakdown", "brand_promo_revenue", "tenant_orders_overview",
     "events_daily",
-    # -- oldest r7-window rows (27) --
+    # -- oldest r7-window rows (22; epochs_plan/events_json spilled to
+    # round 11 by the head insertions) --
     "pii_redact_stats", "quality_dup_correlation", "sole_late_suppliers",
     "ridge_probe", "logistic_probe", "bootstrap_mean_ci",
     "hard_negative_mining", "incremental_nation_rollup", "volume_shipping",
     "returned_items_report", "customer_order_distribution",
     "small_qty_part_revenue", "large_volume_orders", "temperature_mixture",
     "training_order_audit", "delta_dedup_stats", "zipf_fit",
-    "bpe_merge_candidates", "bpe_learn", "epochs_plan", "events_json",
+    "bpe_merge_candidates", "bpe_learn",
     "user_rollup", "hourly_windows", "cohort_retention",
-    "top_supplier_revenue", "quality_scores",
-    "language_id",
 ]
 
 
 # Round-11 rotation, STAGED AHEAD (swap at the start of round 11;
-# re-validate against whatever rounds 10-11 add). Head: the 19
-# r7-window rows in none of the r8/r9/r10 windows, plus the 3 r7-window
-# rows the round-9 head insertions pushed out of the round-10 backfill
+# re-validate against whatever round 11 adds). Head: the 5 unchanged
+# entries the round-10 head insertions displaced (epochs_plan,
+# events_json, top_supplier_revenue, quality_scores, language_id),
+# then the r7-window rows in none of the r8/r9/r10 windows
+# (purchase_asof_view and nation_customer_ranks left this list for the
+# round-10 head when their rewrites landed), plus the 3 r7-window rows
+# the round-9 head insertions pushed out of the round-10 backfill
 # (tfidf_top_terms, doc_chunks, doc_fingerprints); backfill: the oldest
-# 28 r8-window rows in their r8 order. The remaining 22 r8-window rows
-# (embedding_stats, pq_quantization .. bounce_rate_by_dow) roll to
-# round 12.
+# r8-window rows in their r8 order. The remaining r8-window rows
+# (embedding_neardup, knn_ivf, ivf_cell_sizes — displaced here by the
+# round-10 spills — then embedding_stats, pq_quantization ..
+# bounce_rate_by_dow) roll to round 12 (head _ROUND12_FIRST below).
 _ROUND11_FIRST = [
-    # -- r7-window rows in none of the r8/r9/r10 windows (19 + the 3
+    # -- displaced from the round-10 window by its head insertions (5) --
+    "epochs_plan", "events_json", "top_supplier_revenue", "quality_scores",
+    "language_id",
+    # -- r7-window rows in none of the r8/r9/r10 windows (17 + the 3
     # round-10 spills) --
     "doc_chunks_overlapping", "train_test_split", "stratified_sample",
     "mixture_rebalance", "length_histogram", "sequence_packing",
     "dedup_exact", "dedup_prefix", "ngram_jaccard", "minhash_dedup",
-    "decontamination", "simhash", "curation_stats", "nation_customer_ranks",
-    "segment_setops", "events_dedup", "purchase_asof_view",
+    "decontamination", "simhash", "curation_stats",
+    "segment_setops", "events_dedup",
     "views_before_purchase", "repetition_stats",
     "tfidf_top_terms", "doc_chunks", "doc_fingerprints",
-    # -- oldest r8-window rows (28) --
+    # -- oldest r8-window rows (25) --
     "dedup_token_savings", "knn_label_vote", "boilerplate_ngrams",
     "dup_span_stats", "basket_pairs", "value_outliers", "scd2_history",
     "table_profile", "decayed_engagement", "salted_event_rollup",
@@ -353,21 +364,52 @@ _ROUND11_FIRST = [
     "orders_cdc_summary", "event_transitions", "value_equidepth",
     "part_pagerank", "keyword_pagerank", "source_contamination",
     "winsorized_stats", "doc_stats", "session_stats", "dedup_clusters",
-    "knn_bruteforce", "knn_lsh", "embedding_neardup", "knn_ivf",
-    "ivf_cell_sizes",
+    "knn_bruteforce", "knn_lsh",
+]
+
+
+# Round-12 rotation, STAGED AHEAD (swap at the start of round 12;
+# re-validate against whatever rounds 11-12 add). Head: the r8-window
+# remainder — the 3 entries the round-10 spills displaced from the
+# round-11 backfill (embedding_neardup, knn_ivf, ivf_cell_sizes) plus
+# the 22 r8-window rows in none of the r9/r10/r11 windows; backfill:
+# the oldest r9-window rows in their r9 order, skipping
+# traffic_anomalies and volume_gaps (refreshed by the round-10 head
+# when their rewrites landed).
+_ROUND12_FIRST = [
+    # -- r8-window remainder (3 + 22) --
+    "embedding_neardup", "knn_ivf", "ivf_cell_sizes",
+    "embedding_stats", "pq_quantization", "label_centroids",
+    "vocab_coverage", "char_lm_fluency", "truncation_recall", "knn_rrf",
+    "filter_funnel", "dataset_card", "similar_docs", "sql_status_panel",
+    "sql_orders_since", "daily_type_unpivot", "text_embedding_alignment",
+    "pii_scan", "top_orders_per_segment", "ann_recall_audit",
+    "prospect_customers", "segment_priority_chi2", "quality_weighted_sample",
+    "first_purchase_latency", "bounce_rate_by_dow",
+    # -- oldest r9-window rows (25; traffic_anomalies/volume_gaps were
+    # refreshed in the round-10 window) --
+    "streaming_silver_merge", "top_customers_faithful", "media_decode_audit",
+    "approx_cardinality", "quantile_sketch_error", "kmeans_inertia",
+    "canonical_docs", "ngram_novelty", "semantic_decontam",
+    "activity_heatmap", "key_skew_profile", "temporal_split_audit",
+    "session_paths", "shipping_lag_stats", "lsh_candidate_profile",
+    "fk_integrity_audit", "user_erasure_audit", "ivf_delta_assign",
+    "brand_supplier_diversity", "revenue_change_forecast",
+    "customer_entity_clusters", "orders_mom_growth", "seasonal_naive_error",
+    "effective_tokens", "customer_spend_percentiles",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dict ORDER is deliberate — see ``_ROUND9_FIRST``: the driver checks
+    """Dict ORDER is deliberate — see ``_ROUND10_FIRST``: the driver checks
     the first 50 entries per round, so entries rotate toward BOUNDED
     staleness: new queries and value-changed rewrites get a driver row the
     round they land (head of the active window), and every other
-    registered query re-enters a window on a ~3.4-round cycle (172
+    registered query re-enters a window on a ~3.5-round cycle (173
     queries / 50 slots). Spill-overs are documented on each staged list
-    (e.g. the round-9 head insertions displace term_cooccurrence /
-    overview / orders_by_date to round 10 and tfidf_top_terms /
-    doc_chunks to round 11).
+    (e.g. the round-10 head insertions displace epochs_plan / events_json
+    / top_supplier_revenue / quality_scores / language_id to round 11 and
+    embedding_neardup / knn_ivf / ivf_cell_sizes to round 12).
     """
     base = {
         # --- never driver-checked in r1: similarity search family ---
@@ -887,7 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
     }
-    ordered = {name: base[name] for name in _ROUND9_FIRST}
+    ordered = {name: base[name] for name in _ROUND10_FIRST}
     ordered.update(base)  # remaining entries keep their relative order
     return ordered
 

@@ -28,17 +28,18 @@ def test_no_orphan_oracles():
 def test_rows_only_queries_are_the_documented_set():
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
-    assert q - o == {
-        "bpe_learn",
-    }, "a query lost (or silently gained) rows-only status"
+    assert q - o == set(), (
+        "a query silently gained rows-only status"
+    )
     # ridge_probe and logistic_probe left this set in round 6: the
     # normal-equations / IRLS solves now have full DuckDB twins
     # (unrolled Gauss-Jordan CTE chains; micro-unit-exact aggregates).
     # approx_cardinality and quantile_sketch_error left in round 9: the
     # hashed surface is now the exact side + derived bounds + sketch
-    # within-bound booleans (invariant-oracle form, VERDICT r8 #2);
-    # bpe_learn stays — its merge loop has no tractable SQL twin (pinned
-    # against a pure-Python Sennrich reference trainer instead).
+    # within-bound booleans (invariant-oracle form, VERDICT r8 #2).
+    # bpe_learn — the last holdout — left in round 10: the merge loop
+    # unrolls to n_merges CTE stages DuckDB-side (oracles.bpe_learn_sql).
+    # The set is now EMPTY: every registered query is value-hash checked.
 
 
 def test_coverage_totals_line_is_current():
@@ -93,9 +94,9 @@ def test_rotation_lists_are_valid():
     from the active one (otherwise a slot is wasted re-checking a fresh
     row while a stale one ages another round)."""
     q = set(entrymod.queries())
-    active = entrymod._ROUND9_FIRST
-    staged = entrymod._ROUND10_FIRST
-    staged2 = entrymod._ROUND11_FIRST
+    active = entrymod._ROUND10_FIRST
+    staged = entrymod._ROUND11_FIRST
+    staged2 = entrymod._ROUND12_FIRST
     for name, lst in [
         ("active", active),
         ("staged", staged),
@@ -111,7 +112,7 @@ def test_rotation_lists_are_valid():
 
 def test_queries_dict_leads_with_active_window():
     names = list(entrymod.queries())
-    assert names[:50] == entrymod._ROUND9_FIRST, (
+    assert names[:50] == entrymod._ROUND10_FIRST, (
         "queries() must emit the active rotation window first — the "
         "driver only checks the first 50 entries"
     )
