@@ -170,6 +170,7 @@ EXTENDED = [
     "top_customers_faithful",
     "streaming_silver_merge",
     "media_decode_audit",
+    "streaming_dedup_pairs",
 ]
 
 

@@ -140,3 +140,18 @@ def test_dedup_stream_demo_batch_attribution(spark, tmp_path, texts):
     assert (0, 2, 0) in got          # within batch 1, emitted once
     assert got.count((0, 2, 0)) == 1 and (0, 2, 1) not in got
     assert (0, 1, 1) in got and (1, 2, 1) in got  # cross pairs, new id smaller
+
+
+def test_dedup_stream_demo_dup_free_corpus_returns_empty_panel(spark, tmp_path, texts):
+    """A corpus with no near-dups must yield an EMPTY panel (the sink
+    never creates pairs_out), not a scan error over a missing directory."""
+    from xboard_spark.streaming.dedup import dedup_stream_demo
+
+    base, _, other = texts
+    docs = spark.createDataFrame(
+        [(0, base, "en", "s"), (1, other, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = dedup_stream_demo(docs)
+    assert out.columns == ["doc_a", "doc_b", "jaccard", "batch_id"]
+    assert out.count() == 0
