@@ -40,9 +40,12 @@ def user_erasure_audit(
 
 def erase_users(df: DataFrame, key: str, erase_ids: DataFrame) -> DataFrame:
     """The erasure rewrite itself: drop every row whose ``key`` appears in
-    ``erase_ids`` (single column id frame). Left anti join — broadcast
-    when the erase list is small (the usual case), shuffle-hash otherwise;
-    at lake scale this runs per partition-file as a rewrite job."""
+    ``erase_ids`` (single column id frame). Left anti join, broadcast-
+    HINTED: an erasure request's id list is request-sized by contract,
+    so the hint is always correct here. A corpus-scale exclusion list is
+    a different operator — drop the hint and let AQE pick the shuffle
+    anti join (the hint as written would try to broadcast the big side).
+    At lake scale this runs per partition-file as a rewrite job."""
     ids = erase_ids.toDF("_erase_id")
     return df.join(
         F.broadcast(ids), F.col(key) == F.col("_erase_id"), "left_anti"
