@@ -26,7 +26,11 @@ def purchases_with_recent_views(
 ) -> DataFrame:
     """Inner interval join of two STREAMING frames (schema: user_id, ts,
     event_id): (purchase, view) pairs where the view is within
-    [purchase_ts - horizon, purchase_ts], per user.
+    [purchase_ts - horizon, purchase_ts], per user. Both interval ends
+    are INCLUSIVE — note the batch sibling
+    ``temporal.views_before_purchase`` deliberately EXCLUDES the
+    purchase instant from its count frame; each operator states its own
+    boundary where it is used.
 
     Returns (user_id, purchase_id, purchase_ts, view_id, view_ts)."""
     v = (
