@@ -73,3 +73,65 @@ def test_read_evolving_merges_added_columns(spark, tmp_path):
     assert rows == {1: (10.0, None), 2: (20.0, None), 3: (30.0, "USD")}
     # old-file rows are selectable by the new column's nullness
     assert df.filter(F.col("currency").isNull()).count() == 2
+
+
+def test_probes_raise_informatively_on_empty_embeddings(spark):
+    """The round-10 empty-table sweep (all 173 registered queries against
+    empty-but-schema'd tables) found exactly two bare crashes: both
+    probes died with NoneType AttributeError reading the feature
+    dimension. An empty design matrix must fail with the reason."""
+    import pytest as _pytest
+
+    from xboard_spark.operators.ml import logistic_probe, ridge_probe
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    with _pytest.raises(ValueError, match="embeddings table is empty"):
+        ridge_probe(empty)
+    with _pytest.raises(ValueError, match="embeddings table is empty"):
+        logistic_probe(empty)
+
+
+def test_null_embedding_rows_are_excluded_not_fatal(spark):
+    """The round-10 NULL-heavy sweep: a NULL embedding crashed the Arrow
+    bucket build with a ragged np.stack ValueError deep in the worker.
+    Vector-less rows carry no geometry — they are excluded at the shared
+    corpus root, and every index consumer still runs."""
+    from xboard_spark import clear_index_caches
+    from xboard_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+    rows = [
+        (i, [float((i * 7 + d) % 5) for d in range(64)], i % 3)
+        for i in range(30)
+    ] + [(99, None, 0)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    clear_index_caches()
+    try:
+        lsh = knn_lsh(emb).collect()
+        bf = knn_bruteforce(emb).collect()
+        assert all(r.q_id != 99 and r.vec_id != 99 for r in lsh)
+        assert all(r.q_id != 99 and r.vec_id != 99 for r in bf)
+    finally:
+        clear_index_caches()
+
+
+def test_mixture_rebalance_survives_out_of_mixture_lang(spark):
+    """A language OUTSIDE the target mixture (or a NULL lang group) has
+    target 0; under ANSI mode the old share/target division was a hard
+    DIVIDE_BY_ZERO that killed the whole rebalance. Zero-target groups
+    now take rate 0.0 (downsample-only: not in the mixture -> keep
+    nothing) and stay visible in the report."""
+    from xboard_spark.operators.sampling import mixture_rebalance
+
+    rows = (
+        [(i, "text", "en") for i in range(10)]
+        + [(100 + i, "text", "it") for i in range(5)]  # not in DEFAULT_MIX
+        + [(200, "text", None)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.lang: r for r in mixture_rebalance(docs).collect()}
+    assert out["it"].rate == 0.0 and out["it"].n_kept == 0
+    assert out["en"].rate == 1.0  # the only in-mixture lang keeps 100%

@@ -97,7 +97,16 @@ def _design_arr(embeddings: DataFrame, positive_label: int):
     product stay a per-row ``zip_with`` fold — no shuffle anywhere
     except the final (d+1)^2-key cell aggregate, whose map-side partials
     bound the exchange by d^2 * partitions regardless of corpus size."""
-    d = int(embeddings.select(F.size("embedding").alias("s")).first().s) + 1  # sanctioned-collect: 1 cell (feature dim)
+    head = embeddings.select(F.size("embedding").alias("s")).first()  # sanctioned-collect: 1 cell (feature dim)
+    if head is None:
+        # an empty design matrix has no feature dimension and no solvable
+        # normal equations — fail with the reason, not a bare
+        # NoneType AttributeError (found by the round-10 empty-table sweep)
+        raise ValueError(
+            "ridge/logistic probe: embeddings table is empty — "
+            "no rows to read the feature dimension from"
+        )
+    d = int(head.s) + 1
     y = (F.col("label") == positive_label).cast("double")
     arr = F.concat(
         F.array(F.lit(1.0)), F.col("embedding").cast("array<double>")

@@ -186,16 +186,26 @@ def mixture_rebalance(
         .withColumn("share", F.col("n") / F.col("total"))
         .withColumn("target", target_expr)
     )
-    scale = shares.agg(
+    # zero-target groups (a lang OUTSIDE the target mixture, or a NULL
+    # lang group) must not reach the share/target division: under ANSI
+    # mode it is a hard DIVIDE_BY_ZERO, so one unexpected language value
+    # in the corpus killed the whole rebalance (found by the round-10
+    # NULL-heavy sweep). They take rate 0.0 — excluded from the kept
+    # corpus (downsample-only semantics), visible in the report.
+    scale = shares.filter(F.col("target") > 0).agg(
         F.min(F.col("share") / F.col("target")).alias("scale")
     )
     rates = (
         shares.crossJoin(F.broadcast(scale))
         .withColumn(
             "rate",
-            F.least(
-                F.lit(1.0), F.col("target") * F.col("scale") / F.col("share")
-            ),
+            F.when(
+                F.col("target") > 0,
+                F.least(
+                    F.lit(1.0),
+                    F.col("target") * F.col("scale") / F.col("share"),
+                ),
+            ).otherwise(F.lit(0.0)),
         )
         .select("lang", "n", "share", "rate")
     )

@@ -98,13 +98,20 @@ _CORPUS_CACHE: dict[tuple[int, int, int, bool], DataFrame] = BoundedFrameCache()
 
 
 def _norm_corpus(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, v double[], v_norm), persisted + cached — all-JVM."""
+    """(vec_id, v double[], v_norm), persisted + cached — all-JVM.
+
+    Rows with a NULL embedding are EXCLUDED here, at the corpus root: a
+    vector-less row has no geometry, so it can appear in no index, no
+    candidate set, and no distance — and letting it through crashed the
+    Arrow bucket build with an opaque ragged-``np.stack`` ValueError
+    deep in the Python worker (found by the round-10 NULL-heavy sweep).
+    Excluding at the shared root keeps every consumer (LSH corpus, IVF,
+    PQ, brute force) consistent about which rows exist."""
     key = embeddings.semanticHash()
     if key not in _NORM_CACHE:
         _NORM_CACHE[key] = (
-            embeddings.select(
-                "vec_id", _as_double(F.col("embedding")).alias("v")
-            )
+            embeddings.filter(F.col("embedding").isNotNull())
+            .select("vec_id", _as_double(F.col("embedding")).alias("v"))
             .withColumn("v_norm", _norm(F.col("v")))
             .persist()
         )

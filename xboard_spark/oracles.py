@@ -1035,10 +1035,12 @@ shares AS (
          (CASE lang {tcase} ELSE 0.0 END) AS target
   FROM counts
 ),
-sc AS (SELECT min(share / target) AS scale FROM shares),
+sc AS (SELECT min(share / target) AS scale FROM shares WHERE target > 0),
 rates AS (
   SELECT lang, n, share,
-         least(1.0, target * (SELECT scale FROM sc) / share) AS rate
+         CASE WHEN target > 0
+              THEN least(1.0, target * (SELECT scale FROM sc) / share)
+              ELSE 0.0 END AS rate
   FROM shares
 ),
 kept AS (
