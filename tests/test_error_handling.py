@@ -135,3 +135,32 @@ def test_mixture_rebalance_survives_out_of_mixture_lang(spark):
     out = {r.lang: r for r in mixture_rebalance(docs).collect()}
     assert out["it"].rate == 0.0 and out["it"].n_kept == 0
     assert out["en"].rate == 1.0  # the only in-mixture lang keeps 100%
+
+
+def test_embedding_spectrum_of_constant_corpus_is_zero(spark):
+    """All-identical vectors -> zero covariance matrix. The power
+    iteration's normalization and the explained-variance ratio both
+    divided by zero under ANSI; the honest spectrum of a zero matrix is
+    (trace 0, eig 0, frac 0), not a crash."""
+    from xboard_spark.operators.similarity import embedding_spectrum
+
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 64, 0) for i in range(20)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = embedding_spectrum(emb).collect()[0]
+    assert (r.trace, r.top_eigenvalue, r.explained_frac) == (0.0, 0.0, 0.0)
+
+
+def test_bootstrap_survives_single_row_table(spark):
+    """With one row, ~37% of Poisson replicas draw weight 0 and have no
+    resample mean; they must yield NULL replica means (possibly a NULL
+    CI bound), never an ANSI DIVIDE_BY_ZERO that kills the panel."""
+    from xboard_spark.operators.sampling import bootstrap_mean_ci
+
+    one = spark.createDataFrame(
+        [(1, 100.0)], "o_orderkey long, o_totalprice double"
+    )
+    r = bootstrap_mean_ci(one).collect()[0]
+    assert r.n_rows == 1 and r.point_mean == 100.0
+    assert r.ci_hi in (None, 100.0) and r.ci_lo in (None, 100.0)

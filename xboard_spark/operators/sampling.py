@@ -361,11 +361,20 @@ def bootstrap_mean_ci(
     weighted = staged.select(
         "o_totalprice", F.col("r.b").alias("b"), w.cast("double").alias("w")
     )
+    # a replica whose Poisson weights are ALL zero has no resample mean
+    # — probability (1/e)^n, so only plausible for tiny groups, where it
+    # is near-certain (n=1: ~37% per replica). It yields a NULL replica
+    # mean (it ranks at the window's null position and can surface as a
+    # NULL CI bound) instead of the ANSI DIVIDE_BY_ZERO that killed the
+    # whole panel (round-10 degenerate-corpus sweep).
     reps = (
         weighted.groupBy("b")
         .agg(
-            F.round(
-                F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w"), 4
+            F.when(
+                F.sum("w") > 0,
+                F.round(
+                    F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w"), 4
+                ),
             ).alias("rep_mean")
         )
     )

@@ -1187,10 +1187,17 @@ def embedding_spectrum(embeddings: DataFrame, n_iters: int = 3) -> DataFrame:
             F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm")
         )
         # DIM-row frame: checkpoint per round so the matvec chain stays
-        # O(1) plan size instead of re-embedding every prior round
+        # O(1) plan size instead of re-embedding every prior round.
+        # nrm == 0 means the covariance is the zero matrix (a constant
+        # corpus — every vector identical): the iterate is pinned to the
+        # zero vector instead of tripping ANSI DIVIDE_BY_ZERO (found by
+        # the round-10 degenerate-corpus sweep); eig and explained_frac
+        # then report 0.0, the honest spectrum of a zero matrix.
         vec = mv.crossJoin(F.broadcast(nrm)).select(
             F.col("i").alias("dim"),
-            F.round(F.col("raw") / F.col("nrm"), 6).alias("bval"),
+            F.when(
+                F.col("nrm") > 0, F.round(F.col("raw") / F.col("nrm"), 6)
+            ).otherwise(F.lit(0.0)).alias("bval"),
         ).localCheckpoint(eager=True)
     mvf = (
         cov.join(vec, cov["j"] == vec["dim"])
@@ -1212,9 +1219,9 @@ def embedding_spectrum(embeddings: DataFrame, n_iters: int = 3) -> DataFrame:
             "n_vecs",
             "trace",
             F.col("eig").alias("top_eigenvalue"),
-            F.round(F.col("eig") / F.col("trace"), 6).alias(
-                "explained_frac"
-            ),
+            F.when(
+                F.col("trace") > 0, F.round(F.col("eig") / F.col("trace"), 6)
+            ).otherwise(F.lit(0.0)).alias("explained_frac"),
         )
     )
     return out

@@ -1805,8 +1805,10 @@ def embedding_spectrum_sql(n_iters: int = 3, dim: int = DIM) -> str:
         )
         ctes.append(
             f"""b{k} AS (
-  SELECT dim, round(raw / (SELECT sqrt(sum(raw * raw)) FROM mv{k}), 6)
-           AS bval
+  SELECT dim,
+         CASE WHEN (SELECT sqrt(sum(raw * raw)) FROM mv{k}) > 0
+              THEN round(raw / (SELECT sqrt(sum(raw * raw)) FROM mv{k}), 6)
+              ELSE 0.0 END AS bval
   FROM mv{k}
 )"""
         )
@@ -1825,10 +1827,11 @@ SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_vecs,
        (SELECT round(sum(v), 4) FROM cov WHERE i = j) AS trace,
        (SELECT round(sum({prev}.bval * mvf.raw), 4)
         FROM {prev} JOIN mvf USING (dim)) AS top_eigenvalue,
-       round((SELECT round(sum({prev}.bval * mvf.raw), 4)
-              FROM {prev} JOIN mvf USING (dim))
-             / (SELECT round(sum(v), 4) FROM cov WHERE i = j), 6)
-         AS explained_frac"""
+       CASE WHEN (SELECT round(sum(v), 4) FROM cov WHERE i = j) > 0
+            THEN round((SELECT round(sum({prev}.bval * mvf.raw), 4)
+                        FROM {prev} JOIN mvf USING (dim))
+                       / (SELECT round(sum(v), 4) FROM cov WHERE i = j), 6)
+            ELSE 0.0 END AS explained_frac"""
     )
 
 
@@ -2985,7 +2988,9 @@ weighted AS (
   FROM coined
 ),
 reps AS (
-  SELECT b, round(sum(w * o_totalprice) / sum(w), 4) AS rep_mean
+  SELECT b,
+         CASE WHEN sum(w) > 0
+              THEN round(sum(w * o_totalprice) / sum(w), 4) END AS rep_mean
   FROM weighted GROUP BY 1
 ),
 ranked AS (
