@@ -1395,3 +1395,50 @@ def test_nation_customer_ranks_running_share(spark):
     out = {r.rnk: r for r in nation_customer_ranks(cust, nat, k=3).collect()}
     assert [out[i].balance_share for i in (1, 2, 3)] == [0.5, 0.3, 0.15]
     assert [out[i].running_share for i in (1, 2, 3)] == [0.5, 0.8, 0.95]
+
+
+def test_segment_priority_chi2_empty_cell_counts_toward_statistic(spark):
+    """A (segment, priority) combination no order realized is still a
+    contingency cell: its (0-E)^2/E = E term must enter chi2 and it must
+    count in n_cells. Planted 2x2 with one empty cell:
+    S1 sees P1 x2 + P2 x2, S2 sees P1 x4 only -> observed cells 3, dense
+    cells 4. Marginals: rows (4, 4), cols (6, 2), total 8; expected =
+    (3, 1, 3, 1); chi2 = 1/3 + 1 + 1/3 + 1 = 8/3."""
+    import datetime as dt
+
+    from xboard_spark.operators import tpch
+
+    cust = spark.createDataFrame(
+        [(1, "a", 0, 1.0, "S1"), (2, "b", 0, 1.0, "S2")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    rows, ok = [], 0
+    for ck, pri, cnt in ((1, "P1", 2), (1, "P2", 2), (2, "P1", 4)):
+        for _ in range(cnt):
+            ok += 1
+            rows.append((ok, ck, "O", 1.0, dt.datetime(2001, 1, 1), pri))
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    r = tpch.segment_priority_chi2(cust, orders).collect()[0]
+    assert (r.n_cells, r.dof) == (4, 1)
+    assert abs(r.chi2 - 8.0 / 3.0) < 1e-6
+
+
+def test_quality_scores_mean_token_len(spark):
+    """mean_token_len is sum(token chars)/n_tokens over the [a-z0-9]+
+    tokens: 'Ab cdef!' -> tokens (ab, cdef), mean 3.0; a token-less doc
+    divides by the greatest(n_tokens, 1) guard -> 0.0."""
+    from xboard_spark.operators import text as text_ops
+
+    docs = _mkdocs(
+        spark, [(1, "Ab cdef!", "en", "s"), (2, "?!...", "en", "s")]
+    )
+    out = {r.doc_id: r for r in text_ops.quality_scores(docs).collect()}
+    assert out[1].n_tokens == 2
+    assert abs(out[1].mean_token_len - 3.0) < 1e-9
+    assert out[2].n_tokens == 0
+    assert out[2].mean_token_len == 0.0

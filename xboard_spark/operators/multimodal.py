@@ -359,9 +359,11 @@ def _real_features(kind: str, content: bytes) -> list[float]:
 
 def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode + featurize each media row (Arrow-batched, executor-side).
-    ``decoder="real"`` runs the dependency-free WAV/PPM decoders (video
-    rows raise — see ``_real_features``); ``"fake"`` is the codec-less
-    deterministic stand-in."""
+    ``decoder="real"`` runs the dependency-free WAV/PPM/y4m decoders for
+    audio/image/video payloads, falling back to an ffmpeg pipe transcode
+    for other containers and raising ``NotImplementedError`` only at the
+    documented no-ffmpeg boundary (see ``_real_features``); ``"fake"`` is
+    the codec-less deterministic stand-in."""
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
     featurize = _fake_features if decoder == "fake" else None
@@ -654,9 +656,11 @@ def resize_images(
     where the rows live, no shuffle; the output column is the new binary
     payload plus typed geometry metadata, so downstream stages
     (``image_ahash``, ``extract_features``) consume it unchanged. Only
-    image rows are transformed (non-image kinds pass through the filter
-    upstream); non-PPM payloads raise at the documented codec boundary
-    exactly like ``_ppm_decode``."""
+    image rows are processed — the upstream ``kind == 'image'`` filter
+    DROPS other kinds from the output (resize is meaningless for them;
+    union the non-image slice back if a full-table result is needed);
+    non-PPM payloads raise at the documented codec boundary exactly like
+    ``_ppm_decode``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

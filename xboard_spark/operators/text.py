@@ -64,9 +64,12 @@ def doc_stats(documents: DataFrame) -> DataFrame:
 
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Per-document quality features: length, token count, alpha ratio,
-    punctuation ratio, stopword ratio, mean token length — the standard
-    pre-training quality-filter signals (C4/Gopher-style rules), all as
-    single-pass JVM expressions."""
+    punctuation ratio, stopword ratio, spaces-per-token, mean token
+    length — the standard pre-training quality-filter signals
+    (C4/Gopher-style rules; Gopher thresholds mean word length directly),
+    all as single-pass JVM expressions. ``mean_token_len`` is the exact
+    integer division sum(token chars)/n_tokens, where the numerator is
+    one ``array_join`` length (single pass, no per-element HOF)."""
     text = F.col("text")
     lower = F.lower(text)
     n_chars = F.length(text)
@@ -89,14 +92,21 @@ def quality_scores(documents: DataFrame) -> DataFrame:
             / F.greatest(n_tokens, F.lit(1)),
             6,
         ).alias("spaces_per_token"),
+        F.round(
+            F.length(F.array_join(tokens, ""))
+            / F.greatest(n_tokens, F.lit(1)),
+            6,
+        ).alias("mean_token_len"),
     )
 
 
 def language_id(documents: DataFrame) -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword-token hits
-    (n-gram-heuristic family). Deterministic tie-break by language code.
-    Returns predicted language + agreement with the labeled ``lang`` column
-    aggregated per true lang.
+    (n-gram-heuristic family). Ties break by the FIXED priority
+    en > de > fr > es — the declaration order of ``LANG_STOPWORDS``,
+    applied via the reversed when-chain below (NOT alphabetical language
+    code: a de/en tie predicts en). Returns predicted language +
+    agreement with the labeled ``lang`` column aggregated per true lang.
     """
     lower = F.lower(F.col("text"))
     tokens = F.regexp_extract_all(lower, F.lit(TOKEN_RE), 0)
@@ -374,6 +384,10 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     (fraction of 3-gram OCCURRENCES whose gram appears more than once in
     the doc). High repetition = TEMPLATE/SPAM signal; a curation pipeline
     thresholds these next to ``quality_scores``.
+
+    Coverage: one row per document with >= 1 token; a token-less document
+    (text with no [a-z0-9] runs) has no repetition signal and emits NO
+    row — callers wanting every doc left-join this onto ``documents``.
 
     Scale shape: two exploded hash aggregates keyed on (doc_id, term) —
     partial aggregation absorbs the fan-out map-side; nothing is ever

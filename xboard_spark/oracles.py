@@ -1969,7 +1969,9 @@ SELECT doc_id, lang, n_chars_m,
        round(len(list_filter(tokens, t -> t IN ({stop})))
              / greatest(len(tokens), 1), 6) AS stopword_ratio,
        round((n_chars_m - n_nospace) / greatest(len(tokens), 1), 6)
-         AS spaces_per_token
+         AS spaces_per_token,
+       round(length(array_to_string(tokens, '')) / greatest(len(tokens), 1), 6)
+         AS mean_token_len
 FROM base ORDER BY doc_id"""
 
 
@@ -2727,10 +2729,19 @@ WHERE c_acctbal > thr
                         WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
 GROUP BY 1 ORDER BY 1""",
         "segment_priority_chi2": """
-WITH cells AS (
+WITH observed AS (
   SELECT c_mktsegment, o_orderpriority, count(*)::BIGINT AS n
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2
+),
+-- dense grid over observed category values (mirrors the Spark side):
+-- empty (segment, priority) cells enter with n = 0 so their
+-- (0-E)^2/E = E term counts toward the statistic
+cells AS (
+  SELECT s.c_mktsegment, p.o_orderpriority, coalesce(o.n, 0)::BIGINT AS n
+  FROM (SELECT DISTINCT c_mktsegment FROM observed) s
+  CROSS JOIN (SELECT DISTINCT o_orderpriority FROM observed) p
+  LEFT JOIN observed o USING (c_mktsegment, o_orderpriority)
 ),
 m AS (
   SELECT c_mktsegment, o_orderpriority, n,
