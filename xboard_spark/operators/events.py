@@ -664,7 +664,12 @@ def traffic_anomalies(events: DataFrame, z: float = 2.0) -> DataFrame:
     Scale shape: one scan -> (date, hour) hash agg (bounded by days x 24
     keys), the grid is calendar-bounded (days x 24 rows, built from a
     1-row min/max aggregate), a second tiny agg per hour-of-day (24
-    keys), broadcast joins back. No window over raw events."""
+    keys), broadcast joins back. No window over raw events. Grid cost is
+    proportional to the OBSERVED date span, so one corrupt outlier
+    timestamp (epoch-zero default, year 9999) stretches it by millennia
+    (~24 rows/day — functional but wasteful); feeds prone to timestamp
+    misparses should be range-validated upstream, the standard
+    calendar-spine caveat."""
     observed = (
         events.select(
             F.to_date("ts").alias("event_date"),

@@ -521,7 +521,10 @@ def segment_priority_chi2(customer: DataFrame, orders: DataFrame) -> DataFrame:
     pris = observed.select("o_orderpriority").distinct()
     cells = (
         segs.crossJoin(F.broadcast(pris))
-        .join(observed, ["c_mktsegment", "o_orderpriority"], "left")
+        # the checkpointed frame carries no size statistics, so without
+        # the hint this 25-ish-row join fell back to sort-merge (2 SMJ +
+        # 6 extra exchanges in the plan audit)
+        .join(F.broadcast(observed), ["c_mktsegment", "o_orderpriority"], "left")
         .select(
             "c_mktsegment",
             "o_orderpriority",
