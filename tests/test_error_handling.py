@@ -164,3 +164,56 @@ def test_bootstrap_survives_single_row_table(spark):
     r = bootstrap_mean_ci(one).collect()[0]
     assert r.n_rows == 1 and r.point_mean == 100.0
     assert r.ci_hi in (None, 100.0) and r.ci_lo in (None, 100.0)
+
+
+def test_probes_exclude_unidentified_or_unlabeled_rows(spark):
+    """The supervised probes train on rows with (vec_id, embedding, label)
+    all present: the null-key sweep caught NULL vec_ids collapsing into
+    one row in the twin's keyed design join and NULL labels reading as
+    y=0.0 there vs NULL here. n_vecs must count only the complete rows."""
+    from xboard_spark.operators.ml import ridge_probe
+
+    rows = [(i, [float(i % 3)] * 64, i % 2) for i in range(12)]
+    rows += [(None, [1.0] * 64, 0), (99, None, 0), (100, [1.0] * 64, None)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    assert ridge_probe(emb).collect()[0].n_vecs == 12
+
+
+def test_doc_chunks_excludes_null_doc_id(spark):
+    """Chunking requires a document identity: NULL doc_id rows would
+    otherwise merge into one pseudo-doc whose token tie-order is
+    engine-dependent (null-key sweep). No NULL group may appear."""
+    from xboard_spark.operators.text import doc_chunks, doc_chunks_overlapping
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "s"), (None, "x y z", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    for out in (doc_chunks(docs).collect(), doc_chunks_overlapping(docs).collect()):
+        assert {r.doc_id for r in out} == {1}
+
+
+def test_watermark_profile_excludes_unidentified_events(spark):
+    """Arrival order is event_id: rows missing user_id or event_id have
+    no position/stream key, and NULL sort keys order differently across
+    engines (Spark NULLS FIRST vs DuckDB NULLS LAST — the null-key sweep
+    measured divergent running-max trajectories)."""
+    import datetime as dt
+
+    from xboard_spark.operators.events import watermark_delay_profile
+
+    rows = [
+        (1, dt.datetime(2026, 1, 1, 10, 0), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2026, 1, 1, 9, 0), 1, "view", 1.0, "{}"),   # late
+        (None, dt.datetime(2026, 1, 1, 8, 0), 1, "view", 1.0, "{}"),
+        (3, dt.datetime(2026, 1, 1, 8, 0), None, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = watermark_delay_profile(ev).collect()[0]
+    assert r.n_events == 2 and r.n_late == 1

@@ -30,7 +30,13 @@ def curated_corpus_stats(
     dedup-removal is an anti join against the (small) removed-id set; the
     final rollup is one partial+final hash agg. At 100 TB the removed set
     is still tiny relative to the corpus — the anti join broadcasts.
+
+    NULL doc_id rows are excluded: a document with no identity cannot be
+    tracked through dedup removal (the anti join would pass it
+    unconditionally while the twin's NOT IN dropped it — round-10
+    null-key sweep).
     """
+    documents = documents.filter(F.col("doc_id").isNotNull())
     with_tokens = documents.withColumn(
         "n_tokens",
         F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)),

@@ -463,7 +463,13 @@ def dup_span_stats(documents: DataFrame, window: int = 10) -> DataFrame:
     tiny (lang, source) rollup. Both shuffles are keyed on the 60-bit span
     fingerprint — uniformly distributed by construction, no hot keys; cost
     is O(total tokens), never pairwise. The dup fraction is ONE exact-int
-    division (bit-identical across engines; see text.doc_stats)."""
+    division (bit-identical across engines; see text.doc_stats).
+
+    NULL doc_id rows are excluded: "occurs in at least one OTHER
+    document" needs a document identity to tell own-doc repeats from
+    cross-doc duplication (the doc_chunks treatment; round-10 null-key
+    sweep)."""
+    documents = documents.filter(F.col("doc_id").isNotNull())
     toks = documents.select(
         "doc_id",
         "lang",

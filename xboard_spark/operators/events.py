@@ -1063,7 +1063,17 @@ def watermark_delay_profile(events: DataFrame) -> DataFrame:
 
     Scale shape: one shuffle on user_id for the running-max window, then
     a 1-row aggregate; lateness stays exact integer micros until the
-    final division."""
+    final division.
+
+    Rows missing user_id or event_id are excluded: an event without an
+    arrival id has no position in arrival order, and one without a user
+    has no stream key — and NULL sort keys diverge across engines
+    anyway (Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST; the
+    round-10 null-key sweep measured wildly different running-max
+    trajectories from that alone)."""
+    events = events.filter(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
     us = F.unix_micros(F.col("ts"))
     w = (
         Window.partitionBy("user_id")

@@ -89,6 +89,15 @@ def _design_arr(embeddings: DataFrame, positive_label: int):
     ``arr[1..D]`` the embedding; y = 1.0 iff label == positive_label.
     Returns (frame, d) with d = D + 1 (one tiny job to read D).
 
+    Rows missing vec_id, embedding, or label are EXCLUDED up front (the
+    ``_norm_corpus`` treatment): a supervised probe trains on identified,
+    labeled, vector-bearing rows only. Found by the round-10 null-key
+    sweep — without the filter the engines diverge three ways on such
+    rows: Spark's count(*) kept them in n_vecs while their NULL terms
+    silently vanished from every sum, the twin's vec_id-keyed design
+    join collapsed all NULL-vec_id rows into ONE row, and the twin's
+    CASE read a NULL label as y = 0.0 where Spark read NULL.
+
     Array form, not long form: the round-5 shape exploded to one row
     per (vec, dim) and built X^T X by self-joining on vec_id — two
     exchanges of |rows|*d rows plus join machinery before the cell
@@ -97,6 +106,11 @@ def _design_arr(embeddings: DataFrame, positive_label: int):
     product stay a per-row ``zip_with`` fold — no shuffle anywhere
     except the final (d+1)^2-key cell aggregate, whose map-side partials
     bound the exchange by d^2 * partitions regardless of corpus size."""
+    embeddings = embeddings.filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & F.col("label").isNotNull()
+    )
     head = embeddings.select(F.size("embedding").alias("s")).first()  # sanctioned-collect: 1 cell (feature dim)
     if head is None:
         # an empty design matrix has no feature dimension and no solvable

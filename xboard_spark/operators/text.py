@@ -213,7 +213,14 @@ def doc_chunks(documents: DataFrame, chunk_size: int = 64) -> DataFrame:
     sort_array(collect_list(struct(pos, word))) re-assembles token order
     without a sort shuffle — order lives inside each group's array, so the
     shuffle is hash-partitioned and map-side-combined, the 100 TB-safe
-    shape (a global sort here would be the classic mistake)."""
+    shape (a global sort here would be the classic mistake).
+
+    Rows with a NULL doc_id are EXCLUDED: chunking requires a document
+    identity, and grouping NULL keys together would interleave every
+    identity-less document into one garbage pseudo-doc whose token
+    tie-order is engine-dependent (found by the round-10 null-key
+    sweep)."""
+    documents = documents.filter(F.col("doc_id").isNotNull())
     tok = documents.select(
         "doc_id",
         F.posexplode(
@@ -260,8 +267,9 @@ def doc_chunks_overlapping(
 
     Requires stride <= chunk_size (Spark's sequence() DESCENDS when
     start > stop — a stride gap would silently emit wrong chunks rather
-    than none)."""
+    than none). NULL doc_id rows are excluded, as in ``doc_chunks``."""
     assert 1 <= stride <= chunk_size, "stride must be in [1, chunk_size]"
+    documents = documents.filter(F.col("doc_id").isNotNull())
     tok = documents.select(
         "doc_id",
         F.posexplode(

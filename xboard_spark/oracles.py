@@ -310,7 +310,7 @@ toks AS (
   SELECT doc_id, lang, source,
          len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT
            AS n_tokens
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 )
 SELECT lang, source, count(*) AS n_docs,
        sum(n_tokens)::BIGINT AS total_tokens,
@@ -679,7 +679,7 @@ def dup_span_stats_sql(window: int = 10) -> str:
 WITH toks AS (
   SELECT doc_id, lang, source,
          regexp_extract_all({_NORM_TEXT}, '{TOKEN_RE_SQL}') AS words
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 spans AS (
   SELECT doc_id, lang, source,
@@ -791,7 +791,7 @@ WITH tok AS (
          unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS word,
          generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1)
            AS pos
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 chunks AS (
   SELECT doc_id, ((pos - 1) // {chunk_size})::BIGINT AS chunk_id,
@@ -812,7 +812,7 @@ WITH tok AS (
          unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS word,
          generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1)
            AS pos
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 chunks AS (
   SELECT doc_id, ((pos - 1) // {chunk_size})::BIGINT AS chunk_id,
@@ -838,7 +838,7 @@ WITH tok AS (
          unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS word,
          generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1)
            - 1 AS pos
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 fanned AS (
   SELECT doc_id, pos, word,
@@ -1158,13 +1158,18 @@ def _probe_rows_sql(positive_label: int, dim: int) -> str:
     """Shared bias-augmented row-form CTE for the linear/logistic probes
     (mirrors ml._design_arr): dim 0 = bias 1.0, dims 1..D = embedding."""
     return f"""rows_f AS MATERIALIZED (
+  -- identified, labeled, vector-bearing rows only (mirrors the
+  -- _design_arr filter; the null-key sweep caught NULL vec_ids
+  -- collapsing into one row through the vec_id-keyed joins here)
   SELECT vec_id, i AS dim, (embedding[i])::DOUBLE AS val,
          CASE WHEN label = {positive_label} THEN 1.0 ELSE 0.0 END AS y
   FROM embeddings, generate_series(1, {dim}) s(i)
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND label IS NOT NULL
   UNION ALL
   SELECT vec_id, 0 AS dim, 1.0 AS val,
          CASE WHEN label = {positive_label} THEN 1.0 ELSE 0.0 END AS y
   FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND label IS NOT NULL
 )"""
 
 
@@ -2725,8 +2730,14 @@ SELECT c_nationkey, count(*)::BIGINT AS n_prospects,
        round(sum(c_acctbal), 2) AS total_acctbal
 FROM customer, thr
 WHERE c_acctbal > thr
-  AND c_custkey NOT IN (SELECT o_custkey FROM orders
-                        WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+  -- NOT EXISTS, deliberately not NOT IN: the operator's left_anti join
+  -- has NOT EXISTS semantics. A NULL o_custkey in the subquery collapses
+  -- NOT IN to zero rows under three-valued logic (found by the round-10
+  -- null-key sweep: spark=21 / duck=0 on a 5%-null-key corpus), while
+  -- NOT EXISTS — like the anti join — simply never matches a NULL key.
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
 GROUP BY 1 ORDER BY 1""",
         "segment_priority_chi2": """
 WITH observed AS (
@@ -2832,7 +2843,9 @@ WITH st AS (
          max(epoch_us({EVENTS_TS})) OVER (PARTITION BY user_id
              ORDER BY event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_max
-  FROM events
+  -- identified rows only (mirrors the operator): NULL sort keys order
+  -- differently across engines (Spark NULLS FIRST, DuckDB NULLS LAST)
+  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
 ),
 lat AS (SELECT greatest(seen_max - us, 0) AS late_us FROM st)
 SELECT count(*)::BIGINT AS n_events,
@@ -2872,11 +2885,13 @@ WITH staged AS (
   FROM documents
 ),
 tok AS (
+  -- mirrors text.doc_chunks' doc-identity filter (chunk dedup needs a
+  -- document identity; see doc_chunks_sql)
   SELECT doc_id,
          unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS word,
          generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1)
            AS pos
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 chunks AS (
   SELECT doc_id, ((pos - 1) // 64)::BIGINT AS chunk_id,
@@ -3765,6 +3780,7 @@ WITH p AS (
   SELECT event_id, user_id % 5 + 1 AS tenant_id,
          CAST(round(value, 2) AS DECIMAL(18,2)) AS base_price
   FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    AND event_id IS NOT NULL AND user_id IS NOT NULL
 ),
 silver AS (
   SELECT tenant_id, event_id AS shopify_order_id,

@@ -324,7 +324,13 @@ def silver_merge_demo(events: DataFrame, workdir: str | None = None) -> DataFram
     os.makedirs(indir, exist_ok=True)
 
     base = events.filter(
-        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        # identified rows only: event_id is the demo's order/delivery
+        # key and user_id derives the tenant — a NULL in either has no
+        # webhook analog (round-10 null-key sweep)
+        & F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
     ).select(
         "event_id",
         (F.col("user_id") % 5 + 1).alias("tenant_id"),
