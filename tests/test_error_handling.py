@@ -195,6 +195,31 @@ def test_doc_chunks_excludes_null_doc_id(spark):
         assert {r.doc_id for r in out} == {1}
 
 
+def test_effective_tokens_population_is_identified_docs_only(spark):
+    """All three aggregates of the effective-size panel cover the SAME
+    corpus — identified documents (ADVICE r10): the chunk path
+    structurally excludes NULL doc_id (see doc_chunks), so total/doc
+    figures must too, or chunk_unique_frac's denominator counts token
+    mass its numerator structurally cannot. A NULL-doc_id row must not
+    move any column."""
+    from xboard_spark.operators.curation import effective_tokens
+
+    clean = spark.createDataFrame(
+        [(1, "a b c d", "en", "s"), (2, "a b c d", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    with_null = clean.unionByName(
+        spark.createDataFrame(
+            [(None, "x y z w", "en", "s")],
+            "doc_id long, text string, lang string, source string",
+        )
+    )
+    a = effective_tokens(clean, chunk_size=4).collect()[0]
+    b = effective_tokens(with_null, chunk_size=4).collect()[0]
+    assert a.asDict() == b.asDict()
+    assert a.total_tokens == 8 and a.doc_unique_tokens == 4
+
+
 def test_watermark_profile_excludes_unidentified_events(spark):
     """Arrival order is event_id: rows missing user_id or event_id have
     no position/stream key, and NULL sort keys order differently across

@@ -1428,6 +1428,43 @@ def test_segment_priority_chi2_empty_cell_counts_toward_statistic(spark):
     assert abs(r.chi2 - 8.0 / 3.0) < 1e-6
 
 
+def test_segment_priority_chi2_null_category_rows_excluded(spark):
+    """Rows with a NULL segment or priority are out of the test
+    population (ADVICE r10): the dense grid's equi-join can never match
+    a NULL key, so keeping them would zero-fill their real counts while
+    n_cells counted phantom NULL cells the DISTINCT-based dof excluded.
+    Planted: the 2x2 fixture above plus a NULL-segment customer with 2
+    orders and a NULL-priority order — the panel must equal the clean
+    fixture's exactly."""
+    import datetime as dt
+
+    from xboard_spark.operators import tpch
+
+    cust = spark.createDataFrame(
+        [(1, "a", 0, 1.0, "S1"), (2, "b", 0, 1.0, "S2"),
+         (3, "c", 0, 1.0, None)],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    rows, ok = [], 0
+    for ck, pri, cnt in (
+        (1, "P1", 2), (1, "P2", 2), (2, "P1", 4),  # the clean 2x2
+        (3, "P1", 2),                              # NULL-segment customer
+        (1, None, 1),                              # NULL-priority order
+    ):
+        for _ in range(cnt):
+            ok += 1
+            rows.append((ok, ck, "O", 1.0, dt.datetime(2001, 1, 1), pri))
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    r = tpch.segment_priority_chi2(cust, orders).collect()[0]
+    assert (r.n_cells, r.dof) == (4, 1)
+    assert abs(r.chi2 - 8.0 / 3.0) < 1e-6
+
+
 def test_quality_scores_mean_token_len(spark):
     """mean_token_len is sum(token chars)/n_tokens over the [a-z0-9]+
     tokens: 'Ab cdef!' -> tokens (ab, cdef), mean 3.0; a token-less doc

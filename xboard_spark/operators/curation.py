@@ -193,6 +193,15 @@ def effective_tokens(documents: DataFrame, chunk_size: int = 64) -> DataFrame:
     (total_tokens, doc_unique_tokens, chunk_unique_tokens,
     doc_unique_frac, chunk_unique_frac).
 
+    Population: IDENTIFIED documents only (doc_id IS NOT NULL), applied
+    to all three aggregates. The chunk path structurally requires a
+    document identity (``doc_chunks`` excludes identity-less rows —
+    round-10 null-key sweep), and before round 11 the doc-level figures
+    still included NULL-doc_id token mass — so ``chunk_unique_frac``'s
+    numerator could never count mass its denominator did (ADVICE r10).
+    One filter up front keeps numerators and denominators on the same
+    corpus.
+
     Scale shape: three parallel aggregates over content fingerprints
     (uniform 64-bit keys — no skew); identical text implies identical
     token count, so one member's count stands for its group (min for
@@ -201,6 +210,7 @@ def effective_tokens(documents: DataFrame, chunk_size: int = 64) -> DataFrame:
     from xboard_spark.operators.dedup import _norm_text
     from xboard_spark.operators.text import doc_chunks, token_count_col
 
+    documents = documents.filter(F.col("doc_id").isNotNull())
     staged = documents.select(
         token_count_col(F.col("text")).cast("long").alias("n_tokens"),
         fingerprint64(_norm_text(F.col("text"))).alias("fp"),

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
@@ -498,6 +499,15 @@ def segment_priority_chi2(customer: DataFrame, orders: DataFrame) -> DataFrame:
     space, never the raw rows, and the statistic is exact-integer counts
     through one identical double expression tree.
 
+    NULL category values are EXCLUDED from the table (both engines,
+    identically): the grid-to-observed equi-join can never match a NULL
+    key, so a NULL segment/priority row would zero-fill its real counts
+    while ``n_cells`` counted the phantom cell and the
+    ``count(DISTINCT)``-based dof excluded it — three mutually
+    inconsistent treatments. A chi-square test is over KNOWN categories;
+    rows with an unknown one are out of the population (the round-10
+    null-key-sweep exclusion pattern, here for category columns).
+
     Output rounds the statistic to 6dp: the per-cell terms are
     deterministic doubles, and rounding absorbs the last-ulp association
     difference of the final 25-term sum across engines."""
@@ -506,13 +516,22 @@ def segment_priority_chi2(customer: DataFrame, orders: DataFrame) -> DataFrame:
             F.broadcast(customer.select("c_custkey", "c_mktsegment")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
+        .filter(
+            F.col("c_mktsegment").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(F.count("*").alias("n"))
-        # lineage-truncate the bounded cell frame: three consumers below
-        # (grid left side, both distinct domains) would otherwise each
-        # re-run the full join+aggregate — measured 0.53s -> 1.11s at
-        # sf0.1 before the checkpoint; the frame is <= |segs|x|pris| rows
-        .localCheckpoint(eager=True)
+        # reuse the bounded cell frame: three consumers below (grid left
+        # side, both distinct domains) would otherwise each re-run the
+        # full join+aggregate — measured 0.53s -> 1.11s at sf0.1 before
+        # the cut. persist (lazy, evictable, lineage intact) rather than
+        # localCheckpoint: eager=True ran a Spark job at call time even
+        # if the result was never consumed, the checkpointed RDD blocks
+        # were pinned until session end (repeated calls accumulated
+        # executor storage), and the truncated lineage made the frame
+        # unrecoverable on executor loss instead of recomputable
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     # dense (segment x priority) grid over the observed category values:
     # both sides are bounded category domains (broadcast cross join), and

@@ -2743,6 +2743,11 @@ GROUP BY 1 ORDER BY 1""",
 WITH observed AS (
   SELECT c_mktsegment, o_orderpriority, count(*)::BIGINT AS n
   FROM orders JOIN customer ON o_custkey = c_custkey
+  -- NULL category values are out of the test population (mirrors the
+  -- Spark side): the grid equi-join can never match a NULL key, so a
+  -- NULL-category row would zero-fill its real counts while n_cells
+  -- counted the phantom cell and the DISTINCT-based dof excluded it
+  WHERE c_mktsegment IS NOT NULL AND o_orderpriority IS NOT NULL
   GROUP BY 1, 2
 ),
 -- dense grid over observed category values (mirrors the Spark side):
@@ -2879,10 +2884,13 @@ SELECT n_lines, count(*)::BIGINT AS n_orders
 FROM per_order GROUP BY 1 ORDER BY 1""",
         "effective_tokens": f"""
 WITH staged AS (
+  -- identified documents only, same population as the chunk path
+  -- below: the panel's numerators and denominators must cover the
+  -- same corpus (ADVICE r10; doc_chunks structurally needs doc_id)
   SELECT len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT
            AS n_tokens,
          {_fp(_NORM_TEXT)} AS fp
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 tok AS (
   -- mirrors text.doc_chunks' doc-identity filter (chunk dedup needs a
