@@ -161,8 +161,30 @@ def test_table_profile_planted(spark):
     assert (out["s"].n_nulls, out["s"].n_distinct) == (1, 2)
     # min/max aggregate on the VALUE, not the string form: 10 > 9 ordering
     assert (out["k"].min_repr, out["k"].max_repr) == ("1", "10")
-    assert (out["v"].min_repr, out["v"].max_repr) == ("1.5", "10.0")
+    # doubles render through DECIMAL(38,2): always two fraction digits
+    assert (out["v"].min_repr, out["v"].max_repr) == ("1.50", "10.00")
     assert out["v"].n_nulls == 1
+
+
+def test_table_profile_double_repr_is_plain_at_extreme_magnitude(spark):
+    """The one string-surface panel must not hash-split on corrupt
+    magnitudes (round-10 sweep 7): a double at 1e15 rendered 9.99E15 by
+    Spark's Double.toString but 9990000000000000.0 by DuckDB. Both
+    engines now route doubles through DECIMAL(38,2), whose string form is
+    plain notation at every magnitude; assert Spark's side matches the
+    exact form DuckDB produces for the same value."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, -9.99e15), (2, 9.99e15)], "k long, v double"
+    )
+    out = {r.col_name: r for r in profiling.table_profile(df).collect()}
+    expect_min, expect_max = duckdb.sql(
+        "SELECT round(-9.99e15::DOUBLE, 2)::DECIMAL(38,2)::VARCHAR,"
+        "       round(9.99e15::DOUBLE, 2)::DECIMAL(38,2)::VARCHAR"
+    ).fetchone()
+    assert out["v"].min_repr == expect_min == "-9990000000000000.00"
+    assert out["v"].max_repr == expect_max == "9990000000000000.00"
 
 
 def test_decayed_engagement_halflife(spark):

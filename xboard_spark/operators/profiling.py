@@ -14,8 +14,14 @@ count is the only piece that changes.
 
 Cross-engine value formatting: min/max are emitted as STRINGS via the
 narrowest portable representation per type (longs/strings/timestamps cast
-directly; doubles are 2dp-rounded before the cast so Java's
-``Double.toString`` and DuckDB's float formatting agree)."""
+directly; doubles round to 2dp then pass through DECIMAL(38,2) so BOTH
+engines render the identical plain-notation string at every magnitude —
+formatting a double directly diverges once |v| crosses the engines'
+scientific-notation thresholds: Spark's ``Double.toString`` gives
+``9.99E15`` where DuckDB gives ``9990000000000000.0`` (round-10 sweep 7).
+DECIMAL(38,2) leaves 36 integer digits of headroom; beyond ~1e36 the cast
+overflows to NULL min/max — corrupt-magnitude territory the
+``input_bounds_audit`` intake gate exists to catch upstream)."""
 
 from __future__ import annotations
 
@@ -29,7 +35,7 @@ def _as_repr(agg, dtype: T.DataType):
     the typed value — a lexicographic min over string forms would order
     '10' < '9' — then format)."""
     if isinstance(dtype, T.DoubleType):
-        return F.round(agg, 2).cast("string")
+        return F.round(agg, 2).cast("decimal(38,2)").cast("string")
     return agg.cast("string")
 
 

@@ -2637,8 +2637,8 @@ GROUP BY 1, 2, 3, 4 ORDER BY 1""",
 SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
        sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
        count(DISTINCT {c})::BIGINT AS n_distinct,
-       {f"round(min({c}), 2)::VARCHAR" if c == "o_totalprice" else f"min({c})::VARCHAR"} AS min_repr,
-       {f"round(max({c}), 2)::VARCHAR" if c == "o_totalprice" else f"max({c})::VARCHAR"} AS max_repr
+       {f"round(min({c}), 2)::DECIMAL(38,2)::VARCHAR" if c == "o_totalprice" else f"min({c})::VARCHAR"} AS min_repr,
+       {f"round(max({c}), 2)::DECIMAL(38,2)::VARCHAR" if c == "o_totalprice" else f"max({c})::VARCHAR"} AS max_repr
 FROM orders"""
             for c in sorted(
                 [
