@@ -1381,6 +1381,37 @@ def test_hourly_windows_emits_exclusive_end(spark):
     assert r.window_end == dt.datetime(2026, 3, 1, 10, 0)
 
 
+def test_events_value_sums_are_exact_at_extreme_magnitudes(spark):
+    """The cent-sum conversion's reason to exist (round-10 sweep 7): a
+    +-1e15 outlier dominating a double accumulator makes parallel and
+    sequential sums differ in the last ulp, and round-on-huge-doubles
+    splits engines at the cent. In exact integer cents the planted mix
+    (1e15 + 0.25 + 0.25 - 1e15) sums to exactly 0.50 regardless of
+    association order — and all three panels must agree with DuckDB's
+    sequential evaluation of the same cent formula bit-for-bit."""
+    import datetime as dt
+
+    import duckdb
+
+    t = dt.datetime(2026, 3, 1, 9, 30)
+    rows = [
+        (1, t, 1, "view", 1.0e15, "{}"),
+        (2, t, 1, "view", 0.25, "{}"),
+        (3, t, 1, "view", 0.25, "{}"),
+        (4, t, 1, "view", -1.0e15, "{}"),
+    ]
+    ev = _mkev(spark, rows)
+    daily = events.events_daily(ev).collect()[0]
+    hourly = events.hourly_windows(ev).collect()[0]
+    user = events.user_rollup(ev).collect()[0]
+    assert daily.total_value == hourly.total_value == user.total_value == 0.5
+    (oracle_val,) = duckdb.sql(
+        "SELECT sum(CAST(round(v * 100) AS BIGINT)) / 100.0 FROM (VALUES"
+        " (1.0e15), (0.25), (0.25), (-1.0e15)) t(v)"
+    ).fetchone()
+    assert daily.total_value == oracle_val
+
+
 def test_nation_customer_ranks_running_share(spark):
     """running_share is the cumulative top-k share (the docstring's
     'running share of the nation's total balance'); balance_share stays

@@ -55,10 +55,29 @@ def events_dedup_summary(events: DataFrame) -> DataFrame:
     )
 
 
+def _cent_value_sum() -> F.Column:
+    """Exact sum of the cent-quantized ``value`` column: per-row cents
+    (``round(value * 100)`` cast to long — exact for 2-decimal-clean
+    values at ANY magnitude: at normal scales the product is within a
+    hair of an integer, and past 2^46 the double product is itself
+    integral) summed as longs, divided ONCE by 100.0. The long sum is
+    associative, so Spark's parallel partial sums and DuckDB's sequential
+    sum agree bit-for-bit even when a +-1e15 outlier dominates the
+    accumulator — the round-10 sweep-7 float boundary that a
+    ``round(sum(double), 2)`` surface crosses. At normal magnitudes the
+    emitted double is identical to the old rounded-double-sum surface
+    (verified group-for-group at all three SFs), so the change is
+    value-preserving on clean data. Aggregate-buffer overflow would need
+    sum(|cents|) > 2^63 — ~9.2e16 dollars — which the input_bounds_audit
+    intake fence flags long before."""
+    return F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+
+
 def events_daily(events: DataFrame) -> DataFrame:
     """A2's streaming analog as a batch tumbling window: daily counts and
     value sums per event type (groupBy(window(...)) in the streaming twin,
-    ``streaming.windows.daily_counts``)."""
+    ``streaming.windows.daily_counts``). The value sum runs in exact
+    integer cents (``_cent_value_sum``), magnitude-robust cross-engine."""
     return (
         events.groupBy(
             F.to_date("ts").alias("event_date"),
@@ -66,7 +85,7 @@ def events_daily(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _cent_value_sum().alias("total_value"),
         )
         .orderBy(F.desc("event_date"), F.asc("event_type"))
     )
@@ -182,7 +201,8 @@ def user_rollup(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     stays out of the hash, but a sketch drifting outside its contract
     fails the driver hash. (The round-9 symmetric-defect review found
     the docstring promised the approximate path while no such column
-    existed.)"""
+    existed.) The value sum runs in exact integer cents
+    (``_cent_value_sum``), magnitude-robust cross-engine."""
     bound = F.expr("n_types DIV 5 + 2")
     return (
         events.groupBy("user_id")
@@ -190,7 +210,7 @@ def user_rollup(events: DataFrame, rsd: float = 0.02) -> DataFrame:
             F.count("*").alias("n_events"),
             F.count_distinct("event_type").alias("n_types"),
             F.approx_count_distinct("event_type", rsd).alias("approx_types"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _cent_value_sum().alias("total_value"),
             F.min("ts").alias("first_seen"),
             F.max("ts").alias("last_seen"),
         )
@@ -216,12 +236,14 @@ def hourly_windows(events: DataFrame) -> DataFrame:
     ``streaming.windows``). Emits window start AND end explicitly (the
     end is start + 1 hour, exclusive — the struct's own ``w.end``, so a
     consumer never re-derives the window width; the round-9
-    symmetric-defect review found only the start was selected)."""
+    symmetric-defect review found only the start was selected). The value
+    sum runs in exact integer cents (``_cent_value_sum``),
+    magnitude-robust cross-engine."""
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _cent_value_sum().alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -2532,7 +2532,10 @@ SELECT event_type, count(*) AS n_events,
 FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
         "events_daily": """
 SELECT CAST(ts AS DATE) AS event_date, event_type,
-       count(*) AS n_events, round(sum(value), 2) AS total_value
+       count(*) AS n_events,
+       -- exact integer-cent sum (mirrors events._cent_value_sum):
+       -- associative long arithmetic, magnitude-robust cross-engine
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM events GROUP BY 1, 2 ORDER BY event_date DESC, event_type""",
         "session_stats": f"""
 WITH base AS (
@@ -2578,7 +2581,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
 SELECT user_id, count(*) AS n_events,
        count(DISTINCT event_type) AS n_types,
        TRUE AS types_within_bound,
-       round(sum(value), 2) AS total_value,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
        min(ts::TIMESTAMP) AS first_seen,
        max(ts::TIMESTAMP) AS last_seen
 FROM events GROUP BY 1 ORDER BY user_id""",
@@ -3945,7 +3948,8 @@ FROM c WHERE event_type = 'purchase' ORDER BY purchase_id""",
 SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start,
        date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR AS window_end,
        event_type,
-       count(*) AS n_events, round(sum(value), 2) AS total_value
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
         "tfidf_top_terms": """
 WITH toks AS (
