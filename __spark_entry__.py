@@ -457,6 +457,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": lambda s, d: profiling.table_profile(
             _t(s, d, "orders")
         ),
+        # the corrupt-magnitude/timestamp intake gate (VERDICT r10 #1):
+        # the upstream validator the round-10 sweeps' "upstream
+        # validation concern" dispositions point at — exact-integer
+        # surface, hash-stable at any input magnitude by design
+        "input_bounds_audit": lambda s, d: profiling.input_bounds_audit(
+            _t(s, d, "events"), _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
         "decayed_engagement": lambda s, d: events.decayed_engagement(
             _t(s, d, "events")
         ),

@@ -541,3 +541,62 @@ def test_knn_rrf_fusion_properties(spark, sf_dir):
         # score exactly 2/61; anything fused scores more than one list's
         # minimum contribution
         assert scores[0] >= 1 / 65  # at least one top-pool contribution
+
+
+def test_input_bounds_audit_flags_corrupt_rows(spark):
+    """The intake gate the round-10 magnitude/timestamp sweeps call for:
+    +-1e15 values, NaN/Inf, pre-1990 and 2099 timestamps must each land
+    in their own counter, NULLs separately, and n_ok must account for
+    exactly the clean remainder."""
+    import datetime as dt
+    import math
+
+    ok_t = dt.datetime(2026, 3, 1, 12, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, ok_t, 1, "view", 1.0, "{}"),
+            (2, ok_t, 1, "view", 1.0e15, "{}"),          # magnitude
+            (3, ok_t, 1, "view", -9.99e15, "{}"),        # magnitude
+            (4, ok_t, 1, "view", math.nan, "{}"),        # non-finite
+            (5, ok_t, 1, "view", math.inf, "{}"),        # non-finite
+            (6, ok_t, 1, "view", None, "{}"),            # null
+            (7, dt.datetime(2099, 1, 1), 1, "view", 2.0, "{}"),   # ts high
+            (8, dt.datetime(1969, 12, 31), 1, "view", 2.0, "{}"), # ts low
+            (9, None, 1, "view", 2.0, "{}"),             # ts null
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 10.0, ok_t, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ok_t)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    out = {
+        (r.table_name, r.col_name): r
+        for r in profiling.input_bounds_audit(ev, orders, li).collect()
+    }
+    v = out[("events", "value")]
+    assert (v.n_rows, v.n_null, v.n_nonfinite, v.n_oob, v.n_ok) == (
+        9, 1, 2, 2, 4
+    )
+    t = out[("events", "ts")]
+    assert (t.n_rows, t.n_null, t.n_nonfinite, t.n_oob, t.n_ok) == (
+        9, 1, 0, 2, 6
+    )
+    for key in (
+        ("orders", "o_totalprice"),
+        ("orders", "o_orderdate"),
+        ("lineitem", "l_extendedprice"),
+        ("lineitem", "l_shipdate"),
+    ):
+        r = out[key]
+        assert (r.n_null, r.n_nonfinite, r.n_oob) == (0, 0, 0)
+        assert r.n_ok == r.n_rows == 1

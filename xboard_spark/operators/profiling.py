@@ -260,3 +260,120 @@ def volume_gaps(events: DataFrame) -> DataFrame:
         )
     ).cast("long")
     return scanned.withColumn("is_anomaly", anomaly).orderBy("event_date")
+
+
+def bounds_audit(
+    df: DataFrame,
+    table_name: str,
+    numeric_cols: list[str],
+    ts_cols: list[str],
+    value_fence: float = 1.0e12,
+    ts_lo: str = "1990-01-01",
+    ts_hi: str = "2035-01-01",
+) -> DataFrame:
+    """Typed intake-bounds panel for ONE table: per audited column, how
+    many rows are NULL, non-finite (NaN/±Inf — numeric only), out of the
+    declared fence, or clean. This is the upstream validator the round-10
+    magnitude/timestamp sweeps called for: ±1e15-scale values push 18
+    registered queries across the engines' float boundary and outlier
+    timestamps stretch the calendar-spine grids by millennia — data like
+    that must be caught at INGEST, where the reference's typing
+    discipline (``migrations/init.sql:54-56``: NUMERIC money,
+    TIMESTAMPTZ event time) would have rejected or kept exact what
+    doubles silently corrupt.
+
+    Fences: a numeric value is out of bounds when ``abs(v) > value_fence``
+    (1e12 default — two orders past any plausible money/metric value and
+    three short of where double ulp reaches cents); a timestamp when
+    ``ts < ts_lo`` or ``ts >= ts_hi``. NaN/Inf are counted separately
+    (``n_nonfinite``) and never double-counted as out-of-bounds;
+    ``n_ok = n_rows - n_null - n_nonfinite - n_oob`` by construction.
+
+    The surface is exact integers + constant strings only — hash-stable
+    at any input magnitude by design (an audit that itself diverged on
+    the corrupt data it exists to flag would be useless).
+
+    Scale shape: ONE scan per table computes every per-column counter in
+    a single partial/final hash aggregate (the ``table_profile``
+    treatment); the unpivot to row-per-column happens on the 1-row
+    result. At 100 TB this is the cheapest full-scan shape there is —
+    and the audit is the scan you run BEFORE trusting a drop anyway."""
+    inf = float("inf")
+    aggs = [F.count("*").alias("_n_rows")]
+    for c in numeric_cols:
+        v = F.col(c)
+        nonfinite = F.isnan(v) | (F.abs(v) == F.lit(inf))
+        aggs += [
+            F.sum(v.isNull().cast("long")).alias(f"_null_{c}"),
+            F.sum(F.when(v.isNotNull() & nonfinite, 1).otherwise(0)).alias(
+                f"_nonfin_{c}"
+            ),
+            F.sum(
+                F.when(
+                    v.isNotNull()
+                    & ~nonfinite
+                    & (F.abs(v) > F.lit(float(value_fence))),
+                    1,
+                ).otherwise(0)
+            ).alias(f"_oob_{c}"),
+        ]
+    lo = F.lit(ts_lo).cast("timestamp")
+    hi = F.lit(ts_hi).cast("timestamp")
+    for c in ts_cols:
+        v = F.col(c)
+        aggs += [
+            F.sum(v.isNull().cast("long")).alias(f"_null_{c}"),
+            F.lit(0).alias(f"_nonfin_{c}"),
+            F.sum(
+                F.when(v.isNotNull() & ((v < lo) | (v >= hi)), 1).otherwise(0)
+            ).alias(f"_oob_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(table_name).alias("table_name"),
+                F.lit(c).alias("col_name"),
+                F.lit(kind).alias("kind"),
+                F.col("_n_rows").cast("long").alias("n_rows"),
+                F.col(f"_null_{c}").cast("long").alias("n_null"),
+                F.col(f"_nonfin_{c}").cast("long").alias("n_nonfinite"),
+                F.col(f"_oob_{c}").cast("long").alias("n_oob"),
+                (
+                    F.col("_n_rows")
+                    - F.col(f"_null_{c}")
+                    - F.col(f"_nonfin_{c}")
+                    - F.col(f"_oob_{c}")
+                )
+                .cast("long")
+                .alias("n_ok"),
+            )
+            for c, kind in [(c, "numeric") for c in numeric_cols]
+            + [(c, "timestamp") for c in ts_cols]
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def input_bounds_audit(
+    events: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """The engine's standard pre-analytics intake gate: ``bounds_audit``
+    over the three ingested fact tables' money/metric and event-time
+    columns, one panel. Run this BEFORE the analytics surface — the
+    float-discipline contracts of the rounded-double queries (sums agree
+    cross-engine "for this magnitude") and the calendar-spine grids
+    (``traffic_anomalies``) assume exactly the bounds this audit
+    enforces. Default fences: |value| <= 1e12, ts in [1990-01-01,
+    2035-01-01)."""
+    parts = [
+        bounds_audit(events, "events", ["value"], ["ts"]),
+        bounds_audit(orders, "orders", ["o_totalprice"], ["o_orderdate"]),
+        bounds_audit(
+            lineitem, "lineitem", ["l_extendedprice"], ["l_shipdate"]
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name", "col_name")

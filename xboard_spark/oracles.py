@@ -2307,6 +2307,61 @@ SELECT q_id, vec_id AS train_id, round(cosine, 6) AS max_cosine,
 FROM ranked WHERE rn = 1 ORDER BY q_id"""
 
 
+def _bounds_audit_col_sql(
+    table: str,
+    col: str,
+    kind: str,
+    col_expr: str | None = None,
+    value_fence: float = 1.0e12,
+    ts_lo: str = "1990-01-01",
+    ts_hi: str = "2035-01-01",
+) -> str:
+    """One (table, column) row of the intake bounds audit — mirrors
+    operators.profiling.bounds_audit: NULL / non-finite / out-of-fence /
+    clean counts, exact integers only."""
+    v = col_expr or col
+    if kind == "numeric":
+        nonfin = f"(isnan({v}) OR isinf({v}))"
+        nonfin_cnt = (
+            f"sum(CASE WHEN {v} IS NOT NULL AND {nonfin} THEN 1 ELSE 0 END)"
+        )
+        oob_cnt = (
+            f"sum(CASE WHEN {v} IS NOT NULL AND NOT {nonfin}"
+            f" AND abs({v}) > {value_fence!r} THEN 1 ELSE 0 END)"
+        )
+    else:
+        nonfin_cnt = "0"
+        oob_cnt = (
+            f"sum(CASE WHEN {v} IS NOT NULL AND ({v} < TIMESTAMP '{ts_lo}'"
+            f" OR {v} >= TIMESTAMP '{ts_hi}') THEN 1 ELSE 0 END)"
+        )
+    null_cnt = f"sum(CASE WHEN {v} IS NULL THEN 1 ELSE 0 END)"
+    return f"""
+SELECT '{table}' AS table_name, '{col}' AS col_name, '{kind}' AS kind,
+       count(*)::BIGINT AS n_rows,
+       {null_cnt}::BIGINT AS n_null,
+       ({nonfin_cnt})::BIGINT AS n_nonfinite,
+       ({oob_cnt})::BIGINT AS n_oob,
+       (count(*) - {null_cnt} - ({nonfin_cnt}) - ({oob_cnt}))::BIGINT AS n_ok
+FROM {table}"""
+
+
+def input_bounds_audit_sql() -> str:
+    parts = [
+        _bounds_audit_col_sql("events", "value", "numeric"),
+        _bounds_audit_col_sql("events", "ts", "timestamp", EVENTS_TS),
+        _bounds_audit_col_sql("orders", "o_totalprice", "numeric"),
+        _bounds_audit_col_sql("orders", "o_orderdate", "timestamp"),
+        _bounds_audit_col_sql("lineitem", "l_extendedprice", "numeric"),
+        _bounds_audit_col_sql("lineitem", "l_shipdate", "timestamp"),
+    ]
+    return (
+        "SELECT * FROM ("
+        + "\nUNION ALL\n".join(parts)
+        + ") ORDER BY table_name, col_name"
+    )
+
+
 # ------------------------------------------------------- static oracle SQL
 
 EVENTS_TS = "ts::TIMESTAMP"
@@ -2654,6 +2709,7 @@ FROM orders"""
                 ]
             )
         ),
+        "input_bounds_audit": input_bounds_audit_sql(),
         "decayed_engagement": f"""
 WITH anchor AS (SELECT max({EVENTS_TS}) AS t_max FROM events)
 SELECT user_id, count(*)::BIGINT AS n_events,
