@@ -17,7 +17,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from xboard_spark.io import read_table
-from xboard_spark.ingest import orders_upsert_demo, scd2_history
+from xboard_spark.ingest import (
+    capture_merge_demo,
+    orders_upsert_demo,
+    scd2_history,
+)
 from xboard_spark.streaming.dedup import dedup_stream_demo
 from xboard_spark.streaming.webhook import silver_merge_demo
 from xboard_spark.operators import (
@@ -463,6 +467,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # surface, hash-stable at any input magnitude by design
         "input_bounds_audit": lambda s, d: profiling.input_bounds_audit(
             _t(s, d, "events"), _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        # the multi-page REST-capture ingest's driver-hashed face
+        # (VERDICT r10 #6): two-page fixture with cursor-overlap and
+        # in-page duplicate through the REAL ingest_entity_pages scan
+        "capture_merge_audit": lambda s, d: capture_merge_demo(
+            _t(s, d, "customer")
         ),
         "decayed_engagement": lambda s, d: events.decayed_engagement(
             _t(s, d, "events")

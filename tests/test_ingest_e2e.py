@@ -240,3 +240,21 @@ def test_pretty_printed_capture_body_parses(spark, tmp_path):
         spark, str(single), ingest.CUSTOMER_PAYLOAD, "customers"
     ).count()
     assert got_pages == 2 and got_single == 2
+
+
+def test_capture_merge_demo_resolves_overlap_and_in_page_dup(spark):
+    """The driver-hashed S5 face: evens must resolve to page 1 (cursor
+    re-serve overlap), the %10==0 ids to the LATER in-page v3 listing,
+    and odd ids with id % 3 == 2 appear on neither page. custkeys 1..10:
+    v1 = {1, 3, 7, 9} (odd, not 2 mod 3 — 5 is 2 mod 3), v2 = {2, 4, 6,
+    8}, v3 = {10}."""
+    cust = spark.createDataFrame(
+        [(k, f"cust#{k}") for k in range(1, 11)],
+        "c_custkey long, c_name string",
+    )
+    out = {r.version_tag: r for r in ingest.capture_merge_demo(cust).collect()}
+    assert set(out) == {"v1", "v2", "v3"}
+    assert (out["v1"].n_customers, out["v1"].id_sum) == (4, 1 + 3 + 7 + 9)
+    assert (out["v2"].n_customers, out["v2"].id_sum) == (4, 2 + 4 + 6 + 8)
+    assert (out["v3"].n_customers, out["v3"].id_sum) == (1, 10)
+    assert all(r.n_ids == r.n_customers for r in out.values())

@@ -204,6 +204,119 @@ def ingest_entity_pages(
     return deduped.unionByName(unkeyed)
 
 
+def capture_merge_demo(
+    customer: DataFrame, workdir: str | None = None
+) -> DataFrame:
+    """Registered driver-hashed face for the multi-page REST-capture
+    ingest (S5, ``services/shopifyApi.js:17-45`` + the §2.10.3
+    pagination correction) — the ``silver_merge_demo`` pattern applied
+    to the capture scan: derive a deterministic two-page capture fixture
+    from the ``customer`` table, run it through the REAL
+    ``ingest_entity_pages`` path (multiLine page envelopes,
+    ``_metadata.file_path`` page authority, posexplode in-page
+    authority, merge-by-window), and return an exact-integer audit
+    panel. Before round 11 this surface was pytest-only — the one §2.1
+    row with no oracle row.
+
+    The fixture makes every overlap semantic load-bearing in the hash:
+
+    * page 0 = customers with ``c_custkey % 3 != 2``, version tag v1;
+    * page 1 = customers with ``c_custkey % 2 == 0``, tag v2 — cursor
+      re-serve overlap: every even id on page 0 must lose to page 1
+      (later-page authority), or v1 counts inflate;
+    * page 1 additionally RE-LISTS the ``c_custkey % 10 == 0`` ids at
+      LATER array positions with tag v3 — the in-page duplicate: the
+      posexplode secondary authority must pick the later listing, or
+      those ids count under v2.
+
+    The version tag rides the ``first_name`` field, so the merged frame
+    itself proves which listing won. The DuckDB twin
+    (``oracles.capture_merge_audit_sql``) re-derives the winner per id
+    from the modulo splits alone. Surface: tag + exact-long counts/id
+    sums — hash-stable by construction.
+
+    Scale shape: the capture read is one distributed multiLine JSON scan
+    (page files are input splits), the merge is ``merge_upsert``'s
+    single hash partitioning on id; the fixture build is two 1-row
+    collect_list aggregates (bounded by fixture size — this demo's
+    corpus is the dimension table, the production shape reads pages
+    straight from the capture dir)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    spark = customer.sparkSession
+    owns_workdir = workdir is None
+    if owns_workdir:
+        workdir = tempfile.mkdtemp(prefix="xboard_capture_demo_")
+    indir = os.path.join(workdir, "pages")
+    os.makedirs(indir, exist_ok=True)
+
+    def _entity(tag: str) -> F.Column:
+        return F.struct(
+            F.col("c_custkey").alias("id"),
+            F.concat(
+                F.lit("c"), F.col("c_custkey").cast("string"),
+                F.lit("@example.test"),
+            ).alias("email"),
+            F.lit(tag).alias("first_name"),
+            F.col("c_name").alias("last_name"),
+            F.lit("2026-01-01T00:00:00Z").alias("created_at"),
+        )
+
+    ck = F.col("c_custkey")
+    # sort_array orders the collected structs by leading field (id), so
+    # the envelope arrays are deterministic — collect_list alone is not
+    page0 = customer.filter(ck % 3 != 2).agg(
+        F.sort_array(F.collect_list(_entity("v1"))).alias("customers")
+    )
+    page1 = customer.filter(ck % 2 == 0).agg(
+        F.concat(
+            F.sort_array(F.collect_list(_entity("v2"))),
+            F.sort_array(
+                F.collect_list(
+                    F.when(ck % 10 == 0, _entity("v3"))
+                )
+            ),
+        ).alias("customers")
+    )
+
+    def _write_page(df: DataFrame, fname: str) -> None:
+        stage = os.path.join(workdir, f"_stage_{fname}")
+        df.select(
+            F.to_json(F.struct(F.col("customers"))).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(stage)
+        parts = glob.glob(os.path.join(stage, "part-*"))
+        if not parts:
+            raise ValueError(
+                f"capture_merge_demo: page {fname!r} produced no part file"
+            )
+        os.rename(parts[0], os.path.join(indir, fname))
+        shutil.rmtree(stage)
+
+    try:
+        _write_page(page0, "page-0.json")
+        _write_page(page1, "page-1.json")
+        merged = ingest_entity_pages(
+            spark, indir, CUSTOMER_PAYLOAD, "customers"
+        )
+        panel = (
+            merged.groupBy(F.col("first_name").alias("version_tag"))
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.count_distinct("id").alias("n_ids"),
+                F.sum("id").cast("long").alias("id_sum"),
+            )
+            .orderBy("version_tag")
+        )
+        rows = panel.collect()  # materialize before deleting the fixture
+    finally:
+        if owns_workdir:
+            shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, panel.schema)
+
+
 def ingest_tenant_data(
     spark: SparkSession,
     tenant_id: int,

@@ -2346,6 +2346,28 @@ SELECT '{table}' AS table_name, '{col}' AS col_name, '{kind}' AS kind,
 FROM {table}"""
 
 
+def capture_merge_audit_sql() -> str:
+    """Twin of ingest.capture_merge_demo: re-derive the per-id winning
+    version from the fixture's modulo splits alone — page 1 (evens)
+    beats page 0, and within page 1 the later-listed v3 re-serve
+    (id % 10 == 0) beats the v2 listing. Ids on neither page
+    (odd AND id % 3 == 2) are absent."""
+    return """
+WITH tagged AS (
+  SELECT c_custkey AS id,
+         CASE WHEN c_custkey % 10 = 0 THEN 'v3'
+              WHEN c_custkey % 2 = 0 THEN 'v2'
+              WHEN c_custkey % 3 != 2 THEN 'v1'
+         END AS version_tag
+  FROM customer
+)
+SELECT version_tag, count(*)::BIGINT AS n_customers,
+       count(DISTINCT id)::BIGINT AS n_ids,
+       sum(id)::BIGINT AS id_sum
+FROM tagged WHERE version_tag IS NOT NULL
+GROUP BY 1 ORDER BY 1"""
+
+
 def input_bounds_audit_sql() -> str:
     parts = [
         _bounds_audit_col_sql("events", "value", "numeric"),
@@ -2710,6 +2732,7 @@ FROM orders"""
             )
         ),
         "input_bounds_audit": input_bounds_audit_sql(),
+        "capture_merge_audit": capture_merge_audit_sql(),
         "decayed_engagement": f"""
 WITH anchor AS (SELECT max({EVENTS_TS}) AS t_max FROM events)
 SELECT user_id, count(*)::BIGINT AS n_events,
