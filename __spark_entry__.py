@@ -293,8 +293,8 @@ _ROUND9_FIRST = [
 ]
 
 
-# Round-10 rotation (ACTIVE since round 10; the staged list was
-# re-validated against the round-10 changes per its contract). Head:
+# Round-10 rotation (retired — kept for the round-10 correctness
+# record). Head:
 # the 1 query NEW this round (streaming_dedup_pairs — first driver row)
 # + the 4 round-10 value/schema rewrites NOT already in the staged
 # window (traffic_anomalies, purchase_asof_view from round 11's staged
@@ -334,20 +334,28 @@ _ROUND10_FIRST = [
 ]
 
 
-# Round-11 rotation, STAGED AHEAD (swap at the start of round 11;
-# re-validate against whatever round 11 adds). Head: the 5 unchanged
-# entries the round-10 head insertions displaced (epochs_plan,
-# events_json, top_supplier_revenue, quality_scores, language_id),
-# then the r7-window rows in none of the r8/r9/r10 windows
-# (purchase_asof_view and nation_customer_ranks left this list for the
-# round-10 head when their rewrites landed), plus the 3 r7-window rows
-# the round-9 head insertions pushed out of the round-10 backfill
-# (tfidf_top_terms, doc_chunks, doc_fingerprints); backfill: the oldest
-# r8-window rows in their r8 order. The remaining r8-window rows
-# (embedding_neardup, knn_ivf, ivf_cell_sizes — displaced here by the
-# round-10 spills — then embedding_stats, pq_quantization ..
-# bounce_rate_by_dow) roll to round 12 (head _ROUND12_FIRST below).
+# Round-11 rotation (ACTIVE since round 11; re-validated against the
+# round-11 changes per its contract). Head: the 2 queries NEW this
+# round (input_bounds_audit — the corrupt-magnitude intake gate — and
+# capture_merge_audit — the S5 capture scan's driver-hashed face), then
+# the 5 unchanged entries the round-10 head insertions displaced
+# (epochs_plan, events_json, top_supplier_revenue, quality_scores —
+# whose round-10 post-seal mean_token_len schema change re-hashes here
+# per protocol — and language_id), then the r7-window rows in none of
+# the r8/r9/r10 windows (purchase_asof_view and nation_customer_ranks
+# left this list for the round-10 head when their rewrites landed),
+# plus the 3 r7-window rows the round-9 head insertions pushed out of
+# the round-10 backfill (tfidf_top_terms, doc_chunks, doc_fingerprints);
+# backfill: the oldest r8-window rows in their r8 order —
+# table_profile's round-11 DECIMAL-repr rewrite re-hashes inside this
+# window. The round-11 cent-sum rewrites (events_daily, hourly_windows,
+# user_rollup) and the chi2/effective_tokens null fixes are verified
+# value-preserving on the testdata, so they need no slot. The 2 head
+# insertions displace the 2 tail entries (knn_bruteforce, knn_lsh) to
+# round 12 (head of its r8-remainder section).
 _ROUND11_FIRST = [
+    # -- new in round 11 (2) --
+    "input_bounds_audit", "capture_merge_audit",
     # -- displaced from the round-10 window by its head insertions (5) --
     "epochs_plan", "events_json", "top_supplier_revenue", "quality_scores",
     "language_id",
@@ -368,20 +376,22 @@ _ROUND11_FIRST = [
     "orders_cdc_summary", "event_transitions", "value_equidepth",
     "part_pagerank", "keyword_pagerank", "source_contamination",
     "winsorized_stats", "doc_stats", "session_stats", "dedup_clusters",
-    "knn_bruteforce", "knn_lsh",
 ]
 
 
 # Round-12 rotation, STAGED AHEAD (swap at the start of round 12;
-# re-validate against whatever rounds 11-12 add). Head: the r8-window
+# re-validate against whatever round 12 adds). Head: the r8-window
 # remainder — the 3 entries the round-10 spills displaced from the
-# round-11 backfill (embedding_neardup, knn_ivf, ivf_cell_sizes) plus
-# the 22 r8-window rows in none of the r9/r10/r11 windows; backfill:
-# the oldest r9-window rows in their r9 order, skipping
-# traffic_anomalies and volume_gaps (refreshed by the round-10 head
-# when their rewrites landed).
+# round-11 backfill (embedding_neardup, knn_ivf, ivf_cell_sizes), the
+# 22 r8-window rows in none of the r9/r10/r11 windows, plus the 2
+# entries the round-11 head insertions displaced (knn_bruteforce,
+# knn_lsh — also r8-window rows); backfill: the oldest r9-window rows
+# in their r9 order, skipping traffic_anomalies and volume_gaps
+# (refreshed by the round-10 head when their rewrites landed). The 2
+# round-11 insertions displace the 2 tail entries (effective_tokens,
+# customer_spend_percentiles) to the round-13 head.
 _ROUND12_FIRST = [
-    # -- r8-window remainder (3 + 22) --
+    # -- r8-window remainder (3 + 22 + the 2 round-11 spills) --
     "embedding_neardup", "knn_ivf", "ivf_cell_sizes",
     "embedding_stats", "pq_quantization", "label_centroids",
     "vocab_coverage", "char_lm_fluency", "truncation_recall", "knn_rrf",
@@ -390,7 +400,8 @@ _ROUND12_FIRST = [
     "pii_scan", "top_orders_per_segment", "ann_recall_audit",
     "prospect_customers", "segment_priority_chi2", "quality_weighted_sample",
     "first_purchase_latency", "bounce_rate_by_dow",
-    # -- oldest r9-window rows (25; traffic_anomalies/volume_gaps were
+    "knn_bruteforce", "knn_lsh",
+    # -- oldest r9-window rows (23; traffic_anomalies/volume_gaps were
     # refreshed in the round-10 window) --
     "streaming_silver_merge", "top_customers_faithful", "media_decode_audit",
     "approx_cardinality", "quantile_sketch_error", "kmeans_inertia",
@@ -400,20 +411,50 @@ _ROUND12_FIRST = [
     "fk_integrity_audit", "user_erasure_audit", "ivf_delta_assign",
     "brand_supplier_diversity", "revenue_change_forecast",
     "customer_entity_clusters", "orders_mom_growth", "seasonal_naive_error",
+]
+
+
+# Round-13 rotation, STAGED AHEAD (swap at the start of round 13;
+# re-validate against whatever rounds 12-13 add). Head: the 2 entries
+# the round-11 insertions displaced from the round-12 backfill
+# (effective_tokens, customer_spend_percentiles) plus the remaining 23
+# r9-window rows in none of the r10/r11/r12 windows, in their r9 order;
+# backfill: the oldest 25 r10-window rows in their r10 order. The other
+# 25 r10-window rows plus the round-11 head roll to round 14.
+_ROUND13_FIRST = [
+    # -- r9-window remainder (2 + 23) --
     "effective_tokens", "customer_spend_percentiles",
+    "order_fanout_profile", "watermark_delay_profile", "supplier_panel",
+    "revenue_concentration", "cluster_size_profile", "props_key_coverage",
+    "reading_level", "simhash_neardup", "part_degree_profile",
+    "copurchase_triangles", "chunk_dedup_stats", "conversion_attribution",
+    "lsh_recall_audit", "events_json_variant", "status_distinct_aggs",
+    "revenue_rollup", "value_percentiles", "daily_type_pivot",
+    "customers_without_orders", "rolling_revenue", "customer_order_gaps",
+    "orders_cube", "rfm_segments",
+    # -- oldest r10-window rows (25) --
+    "streaming_dedup_pairs", "traffic_anomalies", "purchase_asof_view",
+    "nation_customer_ranks", "volume_gaps",
+    "term_cooccurrence", "overview", "orders_by_date", "funnel_conversion",
+    "knn_pq", "embedding_quantization", "embedding_spectrum",
+    "orders_by_date_range", "top_customers", "recent_orders",
+    "customer_lookup", "upsert_merge", "pricing_summary",
+    "revenue_by_nation", "top_parts_by_revenue", "segment_top_orders",
+    "order_priority_counts", "nation_market_share", "orders_above_cust_avg",
+    "part_type_breakdown",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dict ORDER is deliberate — see ``_ROUND10_FIRST``: the driver checks
+    """Dict ORDER is deliberate — see ``_ROUND11_FIRST``: the driver checks
     the first 50 entries per round, so entries rotate toward BOUNDED
     staleness: new queries and value-changed rewrites get a driver row the
     round they land (head of the active window), and every other
-    registered query re-enters a window on a ~3.5-round cycle (173
+    registered query re-enters a window on a ~3.5-round cycle (175
     queries / 50 slots). Spill-overs are documented on each staged list
-    (e.g. the round-10 head insertions displace epochs_plan / events_json
-    / top_supplier_revenue / quality_scores / language_id to round 11 and
-    embedding_neardup / knn_ivf / ivf_cell_sizes to round 12).
+    (e.g. the round-11 head insertions displace knn_bruteforce / knn_lsh
+    to round 12 and effective_tokens / customer_spend_percentiles to
+    round 13).
     """
     base = {
         # --- never driver-checked in r1: similarity search family ---
@@ -946,7 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
     }
-    ordered = {name: base[name] for name in _ROUND10_FIRST}
+    ordered = {name: base[name] for name in _ROUND11_FIRST}
     ordered.update(base)  # remaining entries keep their relative order
     return ordered
 
