@@ -69,8 +69,22 @@ def _cent_value_sum() -> F.Column:
     (verified group-for-group at all three SFs), so the change is
     value-preserving on clean data. Aggregate-buffer overflow would need
     sum(|cents|) > 2^63 — ~9.2e16 dollars — which the input_bounds_audit
-    intake fence flags long before."""
-    return F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+    intake fence flags long before.
+
+    The conversion back to dollars is EXPLICIT cast-then-divide (long
+    sum → double, then / 100.0), and the twins write
+    ``sum(...)::BIGINT::DOUBLE / 100.0`` to match — the inner ::BIGINT
+    is load-bearing: DuckDB's BIGINT sum is HUGEINT, and its
+    HUGEINT→DOUBLE (and decimal-division) conversions TRUNCATE toward
+    zero where the JVM's long→double and DuckDB's own BIGINT→DOUBLE
+    round to nearest (measured on the sweep-7 fixture: a sum past 2^53
+    landing on an exact half-ulp tie came back ...962 from the hugeint
+    path vs ...964 from the bigint path and Spark). Narrowing to BIGINT
+    first puts both engines on the correctly-rounded CPU conversion —
+    bit-identical at any magnitude inside the long fence."""
+    return F.sum(F.round(F.col("value") * 100).cast("long")).cast(
+        "double"
+    ) / F.lit(100.0)
 
 
 def events_daily(events: DataFrame) -> DataFrame:

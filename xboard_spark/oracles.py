@@ -2612,7 +2612,8 @@ SELECT CAST(ts AS DATE) AS event_date, event_type,
        count(*) AS n_events,
        -- exact integer-cent sum (mirrors events._cent_value_sum):
        -- associative long arithmetic, magnitude-robust cross-engine
-       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0
+         AS total_value
 FROM events GROUP BY 1, 2 ORDER BY event_date DESC, event_type""",
         "session_stats": f"""
 WITH base AS (
@@ -2658,7 +2659,8 @@ FROM events GROUP BY 1 ORDER BY 1""",
 SELECT user_id, count(*) AS n_events,
        count(DISTINCT event_type) AS n_types,
        TRUE AS types_within_bound,
-       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0
+         AS total_value,
        min(ts::TIMESTAMP) AS first_seen,
        max(ts::TIMESTAMP) AS last_seen
 FROM events GROUP BY 1 ORDER BY user_id""",
@@ -4028,7 +4030,8 @@ SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start,
        date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR AS window_end,
        event_type,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0
+         AS total_value
 FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
         "tfidf_top_terms": """
 WITH toks AS (
