@@ -171,6 +171,8 @@ EXTENDED = [
     "streaming_silver_merge",
     "media_decode_audit",
     "streaming_dedup_pairs",
+    "input_bounds_audit",
+    "capture_merge_audit",
 ]
 
 
