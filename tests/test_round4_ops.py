@@ -600,3 +600,31 @@ def test_input_bounds_audit_flags_corrupt_rows(spark):
         r = out[key]
         assert (r.n_null, r.n_nonfinite, r.n_oob) == (0, 0, 0)
         assert r.n_ok == r.n_rows == 1
+
+
+def test_input_bounds_audit_empty_table_reports_zeros(spark):
+    """An intake gate must report '0 corrupt rows' on an empty drop, not
+    NULL counters (sum over zero rows is NULL in both engines)."""
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orders = spark.createDataFrame(
+        [],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    rows = profiling.input_bounds_audit(ev, orders, li).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert (r.n_rows, r.n_null, r.n_nonfinite, r.n_oob, r.n_ok) == (
+            0, 0, 0, 0, 0
+        )

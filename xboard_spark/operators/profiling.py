@@ -299,16 +299,20 @@ def bounds_audit(
     result. At 100 TB this is the cheapest full-scan shape there is —
     and the audit is the scan you run BEFORE trusting a drop anyway."""
     inf = float("inf")
+    # coalesce(sum, 0): an EMPTY table audits as all-zero counters, not
+    # NULLs (sum over zero rows is NULL in both engines; an intake gate
+    # must report "0 corrupt rows", not "unknown")
+    csum = lambda c: F.coalesce(F.sum(c), F.lit(0))  # noqa: E731
     aggs = [F.count("*").alias("_n_rows")]
     for c in numeric_cols:
         v = F.col(c)
         nonfinite = F.isnan(v) | (F.abs(v) == F.lit(inf))
         aggs += [
-            F.sum(v.isNull().cast("long")).alias(f"_null_{c}"),
-            F.sum(F.when(v.isNotNull() & nonfinite, 1).otherwise(0)).alias(
+            csum(v.isNull().cast("long")).alias(f"_null_{c}"),
+            csum(F.when(v.isNotNull() & nonfinite, 1).otherwise(0)).alias(
                 f"_nonfin_{c}"
             ),
-            F.sum(
+            csum(
                 F.when(
                     v.isNotNull()
                     & ~nonfinite
@@ -322,9 +326,9 @@ def bounds_audit(
     for c in ts_cols:
         v = F.col(c)
         aggs += [
-            F.sum(v.isNull().cast("long")).alias(f"_null_{c}"),
+            csum(v.isNull().cast("long")).alias(f"_null_{c}"),
             F.lit(0).alias(f"_nonfin_{c}"),
-            F.sum(
+            csum(
                 F.when(v.isNotNull() & ((v < lo) | (v >= hi)), 1).otherwise(0)
             ).alias(f"_oob_{c}"),
         ]

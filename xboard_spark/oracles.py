@@ -2323,19 +2323,23 @@ def _bounds_audit_col_sql(
     if kind == "numeric":
         nonfin = f"(isnan({v}) OR isinf({v}))"
         nonfin_cnt = (
-            f"sum(CASE WHEN {v} IS NOT NULL AND {nonfin} THEN 1 ELSE 0 END)"
+            f"coalesce(sum(CASE WHEN {v} IS NOT NULL AND {nonfin}"
+            f" THEN 1 ELSE 0 END), 0)"
         )
         oob_cnt = (
-            f"sum(CASE WHEN {v} IS NOT NULL AND NOT {nonfin}"
-            f" AND abs({v}) > {value_fence!r} THEN 1 ELSE 0 END)"
+            f"coalesce(sum(CASE WHEN {v} IS NOT NULL AND NOT {nonfin}"
+            f" AND abs({v}) > {value_fence!r} THEN 1 ELSE 0 END), 0)"
         )
     else:
         nonfin_cnt = "0"
         oob_cnt = (
-            f"sum(CASE WHEN {v} IS NOT NULL AND ({v} < TIMESTAMP '{ts_lo}'"
-            f" OR {v} >= TIMESTAMP '{ts_hi}') THEN 1 ELSE 0 END)"
+            f"coalesce(sum(CASE WHEN {v} IS NOT NULL AND"
+            f" ({v} < TIMESTAMP '{ts_lo}'"
+            f" OR {v} >= TIMESTAMP '{ts_hi}') THEN 1 ELSE 0 END), 0)"
         )
-    null_cnt = f"sum(CASE WHEN {v} IS NULL THEN 1 ELSE 0 END)"
+    # coalesce: an empty table audits as all-zero counters (mirrors the
+    # Spark side's coalesce(sum, 0))
+    null_cnt = f"coalesce(sum(CASE WHEN {v} IS NULL THEN 1 ELSE 0 END), 0)"
     return f"""
 SELECT '{table}' AS table_name, '{col}' AS col_name, '{kind}' AS kind,
        count(*)::BIGINT AS n_rows,
