@@ -1510,3 +1510,29 @@ def test_quality_scores_mean_token_len(spark):
     assert abs(out[1].mean_token_len - 3.0) < 1e-9
     assert out[2].n_tokens == 0
     assert out[2].mean_token_len == 0.0
+
+
+def test_json_props_ops_tolerate_malformed_payloads(spark):
+    """A real feed carries malformed props (round-11 sweep 9): the
+    classic and variant JSON paths must degrade a bad payload to a
+    missing key, never fail the query. Planted: 2 valid rows (k=1, k=3),
+    plus empty-string, truncated, non-JSON, bare-null, and NULL props —
+    all five count as key-less."""
+    rows = [
+        (1, "view", '{"k": 1}'),
+        (2, "view", '{"k": 3}'),
+        (3, "view", ""),
+        (4, "view", '{"k": '),
+        (5, "view", "not json"),
+        (6, "view", "null"),
+        (7, "view", None),
+    ]
+    ev = spark.createDataFrame(
+        [(i, __import__("datetime").datetime(2026, 3, 1), 1, t, 1.0, p)
+         for i, t, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    for fn in (events.events_json_props, events.events_json_variant):
+        r = fn(ev).collect()[0]
+        assert (r.avg_k, r.min_k, r.max_k, r.distinct_k) == (2.0, 1, 3, 2), fn

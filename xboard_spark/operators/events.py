@@ -979,8 +979,15 @@ def events_json_variant(events: DataFrame) -> DataFrame:
 
     At 100 TB the difference compounds: a props column probed for k
     fields costs one parse + k O(log n) probes instead of k full parses;
-    columnar formats can also shred variants at write time."""
-    v = F.parse_json(F.col("props"))
+    columnar formats can also shred variants at write time.
+
+    ``try_parse_json``, not ``parse_json``: a real feed carries
+    malformed payloads (truncated objects, empty strings — round-11
+    sweep 9), and the strict parse fails the whole query on the first
+    bad row where the lenient path degrades it to a NULL variant —
+    matching ``get_json_object``'s malformed→NULL behavior so the two
+    paths stay mutually checkable on dirty data."""
+    v = F.try_parse_json(F.col("props"))
     return (
         events.withColumn(
             "k", F.try_variant_get(v, "$.k", "long")

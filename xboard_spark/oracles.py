@@ -2646,19 +2646,37 @@ SELECT user_id, count(*) AS n_sessions, sum(n_events)::BIGINT AS n_events,
        (sum(duration_us)::DOUBLE / count(*)) / 1e6 AS avg_session_sec
 FROM per GROUP BY 1 ORDER BY user_id""",
         "events_json_variant": """
+-- json_valid guard: DuckDB's json_extract_string ERRORS on malformed
+-- JSON where Spark's get_json_object / try_parse_json degrade to NULL
+-- (round-11 sweep 9) — guarded, malformed rows extract NULL identically
+WITH j AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_extract_string(props, '$.k') END::BIGINT AS k
+  FROM events
+)
 SELECT event_type,
-       round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k,
-       min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
-       max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
-       count(DISTINCT json_extract_string(props, '$.k')::BIGINT) AS distinct_k
-FROM events GROUP BY 1 ORDER BY 1""",
+       round(avg(k), 6) AS avg_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       count(DISTINCT k) AS distinct_k
+FROM j GROUP BY 1 ORDER BY 1""",
         "events_json": """
+-- json_valid guard: DuckDB's json_extract_string ERRORS on malformed
+-- JSON where Spark's get_json_object / try_parse_json degrade to NULL
+-- (round-11 sweep 9) — guarded, malformed rows extract NULL identically
+WITH j AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_extract_string(props, '$.k') END::BIGINT AS k
+  FROM events
+)
 SELECT event_type,
-       round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k,
-       min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
-       max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
-       count(DISTINCT json_extract_string(props, '$.k')::BIGINT) AS distinct_k
-FROM events GROUP BY 1 ORDER BY 1""",
+       round(avg(k), 6) AS avg_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       count(DISTINCT k) AS distinct_k
+FROM j GROUP BY 1 ORDER BY 1""",
         "user_rollup": """
 SELECT user_id, count(*) AS n_events,
        count(DISTINCT event_type) AS n_types,
@@ -2895,12 +2913,17 @@ csz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
 SELECT cluster_size, count(*)::BIGINT AS n_clusters
 FROM csz GROUP BY 1 ORDER BY 1""",
         "props_key_coverage": """
+WITH j AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS k
+  FROM events
+)
 SELECT event_type, count(*)::BIGINT AS n_events,
-       sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
-                THEN 1 ELSE 0 END)::BIGINT AS n_with_key,
-       sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
-                THEN 1 ELSE 0 END)::DOUBLE / count(*) AS coverage
-FROM events GROUP BY 1 ORDER BY 1""",
+       sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_with_key,
+       sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)
+         AS coverage
+FROM j GROUP BY 1 ORDER BY 1""",
         "revenue_concentration": """
 WITH spend AS (
   SELECT o_custkey,
