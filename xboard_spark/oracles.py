@@ -1975,7 +1975,11 @@ SELECT doc_id, lang, n_chars_m,
              / greatest(len(tokens), 1), 6) AS stopword_ratio,
        round((n_chars_m - n_nospace) / greatest(len(tokens), 1), 6)
          AS spaces_per_token,
-       round(length(array_to_string(tokens, '')) / greatest(len(tokens), 1), 6)
+       -- coalesce: DuckDB's array_to_string([], '') is NULL where
+       -- Spark's array_join gives '' — a token-less doc must score 0.0
+       -- (round-11 sweep 10)
+       round(coalesce(length(array_to_string(tokens, '')), 0)
+             / greatest(len(tokens), 1), 6)
          AS mean_token_len
 FROM base ORDER BY doc_id"""
 
