@@ -628,3 +628,39 @@ def test_input_bounds_audit_empty_table_reports_zeros(spark):
         assert (r.n_rows, r.n_null, r.n_nonfinite, r.n_oob, r.n_ok) == (
             0, 0, 0, 0, 0
         )
+
+
+def test_quarantine_out_of_bounds_splits_on_audit_fences(spark):
+    """clean ∪ quarantined == input exactly; NaN/Inf/magnitude/timestamp
+    violations quarantine, NULLs pass (they are the downstream
+    operators' documented modeling concern, not ingest corruption), and
+    the per-column quarantine count equals the audit's
+    n_oob + n_nonfinite."""
+    import datetime as dt
+    import math
+
+    ok_t = dt.datetime(2026, 3, 1, 12, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, ok_t, 1, "view", 1.0, "{}"),
+            (2, ok_t, 1, "view", 1.0e15, "{}"),
+            (3, ok_t, 1, "view", math.nan, "{}"),
+            (4, ok_t, 1, "view", math.inf, "{}"),
+            (5, ok_t, 1, "view", None, "{}"),
+            (6, dt.datetime(2099, 1, 1), 1, "view", 2.0, "{}"),
+            (7, None, 1, "view", 2.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    clean, quarantined = profiling.quarantine_out_of_bounds(
+        ev, ["value"], ["ts"]
+    )
+    assert {r.event_id for r in clean.collect()} == {1, 5, 7}
+    assert {r.event_id for r in quarantined.collect()} == {2, 3, 4, 6}
+    audit = {
+        r.col_name: r
+        for r in profiling.bounds_audit(ev, "events", ["value"], ["ts"]).collect()
+    }
+    assert audit["value"].n_oob + audit["value"].n_nonfinite == 3
+    assert audit["ts"].n_oob == 1

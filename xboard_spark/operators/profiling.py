@@ -359,6 +359,49 @@ def bounds_audit(
     return one.select(F.explode(rows).alias("p")).select("p.*")
 
 
+def quarantine_out_of_bounds(
+    df: DataFrame,
+    numeric_cols: list[str],
+    ts_cols: list[str],
+    value_fence: float = 1.0e12,
+    ts_lo: str = "1990-01-01",
+    ts_hi: str = "2035-01-01",
+) -> tuple[DataFrame, DataFrame]:
+    """The enforcement companion to ``bounds_audit``: split ``df`` into
+    (clean, quarantined) on the SAME fences the audit counts against — a
+    row quarantines when ANY audited numeric column is NaN/±Inf or past
+    the magnitude fence, or ANY audited timestamp column is outside
+    [ts_lo, ts_hi). NULLs pass: a missing value is a modeling question
+    for the downstream operator (most exclude or COALESCE per their
+    documented contract), not ingest corruption — so
+    ``audit.n_oob + audit.n_nonfinite`` equals the quarantine count per
+    column while ``n_null`` does not quarantine.
+
+    Returns both frames from one predicate, so clean ∪ quarantined ==
+    input exactly and a pipeline can land the quarantine as its own
+    table for triage. One scan each when materialized (the predicate is
+    a plain JVM expression that pushes into the parquet scan where the
+    format supports it)."""
+    inf = float("inf")
+    bad = F.lit(False)
+    for c in numeric_cols:
+        v = F.col(c)
+        bad = bad | (
+            v.isNotNull()
+            & (
+                F.isnan(v)
+                | (F.abs(v) == F.lit(inf))
+                | (F.abs(v) > F.lit(float(value_fence)))
+            )
+        )
+    lo = F.lit(ts_lo).cast("timestamp")
+    hi = F.lit(ts_hi).cast("timestamp")
+    for c in ts_cols:
+        v = F.col(c)
+        bad = bad | (v.isNotNull() & ((v < lo) | (v >= hi)))
+    return df.filter(~bad), df.filter(bad)
+
+
 def input_bounds_audit(
     events: DataFrame, orders: DataFrame, lineitem: DataFrame
 ) -> DataFrame:
