@@ -77,10 +77,14 @@ def _sql_status_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xboard_spark.io import load_tables
 
     load_tables(spark, sf_dir, ("orders",))
+    # money in exact integer cents (functions.exact): the sum is
+    # associative long arithmetic, and avg is ONE division of exact ints
     return spark.sql(
         "SELECT o_orderstatus, count(*) AS n_orders, "
-        "round(sum(o_totalprice), 2) AS revenue, "
-        "round(avg(o_totalprice), 2) AS avg_price "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)"
+        " / 100.0 AS revenue, "
+        "round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)"
+        " / (100.0 * count(*)), 2) AS avg_price "
         "FROM orders GROUP BY 1 ORDER BY 1"
     )
 

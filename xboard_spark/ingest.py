@@ -370,11 +370,13 @@ def orders_upsert_demo(orders: DataFrame) -> DataFrame:
         "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
     ).withColumn("o_orderstatus", F.lit("U"))
     merged = merge_upsert(orders, updates, keys=["o_orderkey"])
+    from xboard_spark.functions.exact import cent_sum_dollars
+
     return (
         merged.groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            cent_sum_dollars(F.col("o_totalprice")).alias("total_price"),
         )
         .orderBy("o_orderstatus")
     )

@@ -48,7 +48,7 @@ def events_dedup_summary(events: DataFrame) -> DataFrame:
         deduped.groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _cent_value_sum().alias("total_value"),
             F.count_distinct("user_id").alias("n_users"),
         )
         .orderBy("event_type")
@@ -56,35 +56,16 @@ def events_dedup_summary(events: DataFrame) -> DataFrame:
 
 
 def _cent_value_sum() -> F.Column:
-    """Exact sum of the cent-quantized ``value`` column: per-row cents
-    (``round(value * 100)`` cast to long — exact for 2-decimal-clean
-    values at ANY magnitude: at normal scales the product is within a
-    hair of an integer, and past 2^46 the double product is itself
-    integral) summed as longs, divided ONCE by 100.0. The long sum is
-    associative, so Spark's parallel partial sums and DuckDB's sequential
-    sum agree bit-for-bit even when a +-1e15 outlier dominates the
-    accumulator — the round-10 sweep-7 float boundary that a
-    ``round(sum(double), 2)`` surface crosses. At normal magnitudes the
-    emitted double is identical to the old rounded-double-sum surface
-    (verified group-for-group at all three SFs), so the change is
-    value-preserving on clean data. Aggregate-buffer overflow would need
-    sum(|cents|) > 2^63 — ~9.2e16 dollars — which the input_bounds_audit
-    intake fence flags long before.
+    """Exact cent-sum of the 2-decimal-clean ``value`` column, emitted
+    as dollars — see ``functions.exact`` for the full rationale (the
+    associativity argument, the DuckDB HUGEINT truncation boundary, and
+    the magnitude fences). At normal magnitudes the emitted double is
+    identical to the pre-round-11 rounded-double-sum surface (verified
+    group-for-group at all three SFs), so the conversion was
+    value-preserving on clean data."""
+    from xboard_spark.functions.exact import cent_sum_dollars
 
-    The conversion back to dollars is EXPLICIT cast-then-divide (long
-    sum → double, then / 100.0), and the twins write
-    ``sum(...)::BIGINT::DOUBLE / 100.0`` to match — the inner ::BIGINT
-    is load-bearing: DuckDB's BIGINT sum is HUGEINT, and its
-    HUGEINT→DOUBLE (and decimal-division) conversions TRUNCATE toward
-    zero where the JVM's long→double and DuckDB's own BIGINT→DOUBLE
-    round to nearest (measured on the sweep-7 fixture: a sum past 2^53
-    landing on an exact half-ulp tie came back ...962 from the hugeint
-    path vs ...964 from the bigint path and Spark). Narrowing to BIGINT
-    first puts both engines on the correctly-rounded CPU conversion —
-    bit-identical at any magnitude inside the long fence."""
-    return F.sum(F.round(F.col("value") * 100).cast("long")).cast(
-        "double"
-    ) / F.lit(100.0)
+    return cent_sum_dollars(F.col("value"))
 
 
 def events_daily(events: DataFrame) -> DataFrame:
@@ -553,18 +534,23 @@ def salted_event_rollup(events: DataFrame) -> DataFrame:
     to the plain ``GROUP BY`` the oracle runs: the salt splits only the
     partial phase and never leaks into the result.
 
-    Float discipline: the re-combined double sum associates differently
-    than a single-phase sum (16 partials vs one stream), so the value sum
-    is 6dp-rounded on both sides — same tolerance every aggregated double
-    in this repo carries."""
+    Float discipline: the value sum runs in exact integer CENTS through
+    the salt (``functions.exact``) — the salted re-combination is then
+    plain long addition, exactly associative, so the salt provably
+    cannot move the result by even an ulp at any magnitude (the
+    pre-round-11 double sum needed a 6dp round to absorb the 16-partials
+    re-association; cents make the identity exact instead of
+    tolerance-based)."""
     from xboard_spark.operators.skew import salted_agg
 
     out = salted_agg(
-        events,
+        events.withColumn(
+            "value_cents", F.round(F.col("value") * 100).cast("long")
+        ),
         keys=["event_type"],
         aggs={
             "n_events": ("event_id", "count"),
-            "sum_value": ("value", "sum"),
+            "sum_cents": ("value_cents", "sum"),
             "min_value": ("value", "min"),
             "max_value": ("value", "max"),
         },
@@ -572,7 +558,7 @@ def salted_event_rollup(events: DataFrame) -> DataFrame:
     return out.select(
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
-        F.round("sum_value", 6).alias("sum_value"),
+        (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("sum_value"),
         "min_value",
         "max_value",
     ).orderBy("event_type")

@@ -149,9 +149,12 @@ def incremental_nation_rollup(
     it — at 100 TB of orders the customer dim is still the small side) +
     one partial aggregate on ~25 keys. The oracle recomputes the view
     from scratch over ALL orders — the gate proves incremental ==
-    recompute, the defining contract. The revenue merge re-associates
-    double addition, hence the repo-standard 2dp round both sides
-    emit."""
+    recompute, the defining contract. Revenue partials are exact integer
+    CENTS (``functions.exact``), so merging stored partials with delta
+    partials is plain long addition — incremental == recompute is an
+    exact identity at any magnitude, not a 2dp-tolerance one (the
+    pre-round-11 double partials re-associated on merge and leaned on
+    the round)."""
     cust_nation = customer.select("c_custkey", "c_nationkey").join(
         F.broadcast(nation.select("n_nationkey", "n_name")),
         F.col("c_nationkey") == F.col("n_nationkey"),
@@ -164,7 +167,9 @@ def incremental_nation_rollup(
             .groupBy("nation")
             .agg(
                 F.count("*").alias("order_count"),
-                F.sum("o_totalprice").alias("revenue"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("revenue_cents"),
             )
         )
 
@@ -175,7 +180,9 @@ def incremental_nation_rollup(
         .groupBy("nation")
         .agg(
             F.sum("order_count").cast("long").alias("order_count"),
-            F.round(F.sum("revenue"), 2).alias("revenue"),
+            (
+                F.sum("revenue_cents").cast("double") / F.lit(100.0)
+            ).alias("revenue"),
         )
         .orderBy("nation")
     )

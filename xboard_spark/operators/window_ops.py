@@ -223,11 +223,13 @@ def orders_cube(orders: DataFrame) -> DataFrame:
     """CUBE (status, priority): all 4 grouping combinations in one Expand +
     hash aggregate — the full grouping-sets surface next to
     ``revenue_rollup``'s ROLLUP."""
+    from xboard_spark.functions.exact import cent_sum_dollars
+
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            cent_sum_dollars(F.col("o_totalprice")).alias("total_price"),
             F.grouping_id().cast("long").alias("gid"),
         )
         .orderBy(

@@ -2459,7 +2459,8 @@ merged AS (
   FROM unioned
 )
 SELECT o_orderstatus, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0
+         AS total_price
 FROM merged WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
         "pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
@@ -2612,7 +2613,7 @@ WITH h AS (SELECT *, {_DELIVERY_HASH} AS delivery_hash FROM events),
 d AS (SELECT *, row_number() OVER (PARTITION BY delivery_hash
                                    ORDER BY event_id) AS rn FROM h)
 SELECT event_type, count(*) AS n_events,
-       round(sum(value), 2) AS total_value,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS total_value,
        count(DISTINCT user_id) AS n_users
 FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
         "events_daily": """
@@ -3194,8 +3195,9 @@ FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY 1 ORDER BY 1""",
         "sql_status_panel": """
 SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue,
-       round(avg(o_totalprice), 2) AS avg_price
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS revenue,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE
+             / (100.0 * count(*)), 2) AS avg_price
 FROM orders GROUP BY 1 ORDER BY 1""",
         "dataset_card": f"""
 WITH staged AS (
@@ -3657,7 +3659,7 @@ FROM counts ORDER BY from_type, to_type""",
         # verifies incremental-merge == recompute, the maintenance contract
         "incremental_nation_rollup": """
 SELECT n_name AS nation, count(*)::BIGINT AS order_count,
-       round(sum(o_totalprice), 2) AS revenue
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -3729,7 +3731,7 @@ FROM counts, totals
 WHERE n_early > 0 AND n_late > 0 ORDER BY bucket""",
         "salted_event_rollup": """
 SELECT event_type, count(event_id)::BIGINT AS n_events,
-       round(sum(value), 6) AS sum_value,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS sum_value,
        min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY 1 ORDER BY 1""",
         "scd2_history": """
@@ -4116,7 +4118,7 @@ FROM g JOIN customer ON o_custkey = c_custkey
 GROUP BY 1 ORDER BY 1""",
         "orders_cube": """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS total_price,
        (2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority))::BIGINT AS gid
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
