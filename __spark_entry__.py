@@ -449,14 +449,44 @@ _ROUND13_FIRST = [
 ]
 
 
+# Round-14 rotation, STAGED AHEAD (swap at the start of round 14;
+# re-validate against whatever rounds 12-14 add). Head: the remaining 25
+# r10-window rows in none of the r11/r12/r13 windows (in their r10
+# order) plus the round-11 head (input_bounds_audit, capture_merge_audit
+# — their only driver rows are r11, so they age with the r11 cohort);
+# backfill: the oldest 23 r11-window rows in their r11 order.
+_ROUND14_FIRST = [
+    # -- r10-window remainder (25) --
+    "brand_promo_revenue", "tenant_orders_overview", "events_daily",
+    "pii_redact_stats", "quality_dup_correlation", "sole_late_suppliers",
+    "ridge_probe", "logistic_probe", "bootstrap_mean_ci",
+    "hard_negative_mining", "incremental_nation_rollup", "volume_shipping",
+    "returned_items_report", "customer_order_distribution",
+    "small_qty_part_revenue", "large_volume_orders", "temperature_mixture",
+    "training_order_audit", "delta_dedup_stats", "zipf_fit",
+    "bpe_merge_candidates", "bpe_learn", "user_rollup", "hourly_windows",
+    "cohort_retention",
+    # -- round-11 head (2) --
+    "input_bounds_audit", "capture_merge_audit",
+    # -- oldest r11-window rows (23) --
+    "epochs_plan", "events_json", "top_supplier_revenue", "quality_scores",
+    "language_id", "doc_chunks_overlapping", "train_test_split",
+    "stratified_sample", "mixture_rebalance", "length_histogram",
+    "sequence_packing", "dedup_exact", "dedup_prefix", "ngram_jaccard",
+    "minhash_dedup", "decontamination", "simhash", "curation_stats",
+    "segment_setops", "events_dedup",
+    "views_before_purchase", "repetition_stats", "tfidf_top_terms",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dict ORDER is deliberate — see ``_ROUND11_FIRST``: the driver checks
+    """Dict ORDER is deliberate — see ``_ROUND12_FIRST``: the driver checks
     the first 50 entries per round, so entries rotate toward BOUNDED
     staleness: new queries and value-changed rewrites get a driver row the
     round they land (head of the active window), and every other
     registered query re-enters a window on a ~3.5-round cycle (175
     queries / 50 slots). Spill-overs are documented on each staged list
-    (e.g. the round-11 head insertions displace knn_bruteforce / knn_lsh
+    (e.g. the round-11 head insertions displaced knn_bruteforce / knn_lsh
     to round 12 and effective_tokens / customer_spend_percentiles to
     round 13).
     """
@@ -991,7 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
     }
-    ordered = {name: base[name] for name in _ROUND11_FIRST}
+    ordered = {name: base[name] for name in _ROUND12_FIRST}
     ordered.update(base)  # remaining entries keep their relative order
     return ordered
 
