@@ -1536,3 +1536,32 @@ def test_json_props_ops_tolerate_malformed_payloads(spark):
     for fn in (events.events_json_props, events.events_json_variant):
         r = fn(ev).collect()[0]
         assert (r.avg_k, r.min_k, r.max_k, r.distinct_k) == (2.0, 1, 3, 2), fn
+
+
+def test_json_props_wrong_type_k_degrades_to_null(spark):
+    """ADVICE r11: VALID json with a wrong-TYPE k must degrade to NULL
+    on every surface. Before the string-probe convention the typed
+    variant probe coerced true->1 and 1.5->1 (and DuckDB's bare TRY_CAST
+    rounded '1.5'->2) — three-way split on one dirty row. Planted: two
+    integer ks (one as a JSON string, which every path accepts) plus
+    every wrong-type shape; only the integers may count."""
+    rows = [
+        (1, "view", '{"k": 2}'),
+        (2, "view", '{"k": "6"}'),  # numeric string: integer-literal, counts
+        (3, "view", '{"k": "abc"}'),
+        (4, "view", '{"k": true}'),
+        (5, "view", '{"k": 1.5}'),
+        (6, "view", '{"k": [1,2]}'),
+        (7, "view", '{"k": {"x": 1}}'),
+        (8, "view", '{"k": null}'),
+        (9, "view", "{}"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, __import__("datetime").datetime(2026, 3, 1), 1, t, 1.0, p)
+         for i, t, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    for fn in (events.events_json_props, events.events_json_variant):
+        r = fn(ev).collect()[0]
+        assert (r.avg_k, r.min_k, r.max_k, r.distinct_k) == (4.0, 2, 6, 2), fn

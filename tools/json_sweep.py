@@ -19,7 +19,16 @@ import sys
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SHAPES = ["", '{"k": ', "not json", "null", None]
+SHAPES = [
+    # malformed (the original sweep-9 shapes)
+    "", '{"k": ', "not json", "null", None,
+    # VALID json, wrong-TYPE k (ADVICE r11): every engine/path must
+    # degrade these to NULL — the typed variant probe coerced true->1
+    # and 1.5->1, and DuckDB's bare TRY_CAST rounded "1.5"->2, before
+    # the string-probe + integer-literal-guard convention
+    '{"k": "abc"}', '{"k": true}', '{"k": 1.5}', '{"k": [1,2]}',
+    '{"k": {"x": 1}}', '{"k": null}', "{}",
+]
 
 
 def corrupt_props(path: str) -> int:

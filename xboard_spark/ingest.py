@@ -241,7 +241,6 @@ def capture_merge_demo(
     collect_list aggregates (bounded by fixture size — this demo's
     corpus is the dimension table, the production shape reads pages
     straight from the capture dir)."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -283,17 +282,21 @@ def capture_merge_demo(
     )
 
     def _write_page(df: DataFrame, fname: str) -> None:
-        stage = os.path.join(workdir, f"_stage_{fname}")
-        df.select(
+        # The page body is rendered by Spark (to_json keeps the envelope
+        # byte-identical to the engine's own JSON dialect) but WRITTEN
+        # driver-side: the fixture is one bounded row per page, and a
+        # coalesce(1).write + rename of the part file would only work
+        # where executors share the driver filesystem (ADVICE r11) —
+        # this registered query must not assume local execution.
+        rows = df.select(
             F.to_json(F.struct(F.col("customers"))).alias("value")
-        ).coalesce(1).write.mode("overwrite").text(stage)
-        parts = glob.glob(os.path.join(stage, "part-*"))
-        if not parts:
+        ).collect()  # exactly one envelope row per page by construction
+        if len(rows) != 1 or rows[0]["value"] is None:
             raise ValueError(
-                f"capture_merge_demo: page {fname!r} produced no part file"
+                f"capture_merge_demo: page {fname!r} produced no envelope"
             )
-        os.rename(parts[0], os.path.join(indir, fname))
-        shutil.rmtree(stage)
+        with open(os.path.join(indir, fname), "w", encoding="utf-8") as f:
+            f.write(rows[0]["value"])
 
     try:
         _write_page(page0, "page-0.json")

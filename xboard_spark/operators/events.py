@@ -166,10 +166,15 @@ def events_json_props(events: DataFrame) -> DataFrame:
     """JSONB-analog extraction (the reference keeps full raw JSON per row,
     ``init.sql:26,41`` — F8/S6 surface): pull a typed field out of the
     ``props`` JSON column and aggregate on it. ``get_json_object`` is a
-    JVM-side expression — no Python in the loop."""
+    JVM-side expression — no Python in the loop.
+
+    ``try_cast``, not ``cast`` (ADVICE r11): a VALID JSON payload with a
+    wrong-TYPE k ({"k":"abc"}) must degrade to NULL — matching both the
+    variant twin's ``try_variant_get`` and the oracle's TRY_CAST — where
+    the ANSI strict cast would fail the whole query on one dirty row."""
     return (
         events.withColumn(
-            "k", F.get_json_object(F.col("props"), "$.k").cast("long")
+            "k", F.get_json_object(F.col("props"), "$.k").try_cast("long")
         )
         .groupBy("event_type")
         .agg(
@@ -972,11 +977,21 @@ def events_json_variant(events: DataFrame) -> DataFrame:
     sweep 9), and the strict parse fails the whole query on the first
     bad row where the lenient path degrades it to a NULL variant —
     matching ``get_json_object``'s malformed→NULL behavior so the two
-    paths stay mutually checkable on dirty data."""
+    paths stay mutually checkable on dirty data.
+
+    The probe goes variant→STRING→try_cast(long), NOT
+    ``try_variant_get(v, '$.k', 'long')`` (ADVICE r11 follow-through):
+    the typed-long probe COERCES wrong-type values (true→1, 1.5→1)
+    where the classic path's string-extract + try_cast yields NULL —
+    measured three-way split on valid-JSON wrong-type k. The string
+    probe stringifies exactly like ``get_json_object`` (unquoted
+    scalars, JSON text for nested), so all three surfaces — classic,
+    variant, oracle TRY_CAST — degrade identically."""
     v = F.try_parse_json(F.col("props"))
     return (
         events.withColumn(
-            "k", F.try_variant_get(v, "$.k", "long")
+            "k",
+            F.try_variant_get(v, "$.k", "string").try_cast("long"),
         )
         .groupBy("event_type")
         .agg(

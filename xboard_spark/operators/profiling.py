@@ -19,8 +19,12 @@ engines render the identical plain-notation string at every magnitude —
 formatting a double directly diverges once |v| crosses the engines'
 scientific-notation thresholds: Spark's ``Double.toString`` gives
 ``9.99E15`` where DuckDB gives ``9990000000000000.0`` (round-10 sweep 7).
-DECIMAL(38,2) leaves 36 integer digits of headroom; beyond ~1e36 the cast
-overflows to NULL min/max — corrupt-magnitude territory the
+DECIMAL(38,2) leaves 36 integer digits of headroom; beyond ~1e36 — and on
+NaN/Inf extremes — min/max degrade to NULL on BOTH engines: Spark via
+``try_cast`` (the plain ANSI cast raised on overflow), the twin via an
+``isfinite``-guarded TRY_CAST (DuckDB's TRY_CAST itself RAISES on
+non-finite doubles — ADVICE r11 measured the NULL-vs-error splits this
+convention closes). Either way it is corrupt-magnitude territory the
 ``input_bounds_audit`` intake gate exists to catch upstream)."""
 
 from __future__ import annotations
@@ -35,7 +39,10 @@ def _as_repr(agg, dtype: T.DataType):
     the typed value — a lexicographic min over string forms would order
     '10' < '9' — then format)."""
     if isinstance(dtype, T.DoubleType):
-        return F.round(agg, 2).cast("decimal(38,2)").cast("string")
+        # try_cast: NaN and >1e36 degrade to NULL instead of the ANSI
+        # overflow error (the twin's isfinite-guarded TRY_CAST matches —
+        # DuckDB's TRY_CAST itself RAISES on non-finite doubles)
+        return F.round(agg, 2).try_cast("decimal(38,2)").cast("string")
     return agg.cast("string")
 
 

@@ -483,6 +483,11 @@ def prospect_customers(
     )
 
 
+# one-slot cache registry for segment_priority_chi2's persisted cell
+# frame — see the unpersist note inside the function (ADVICE r11)
+_CHI2_CELL_CACHE: list = []
+
+
 def segment_priority_chi2(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Chi-square independence panel: is order priority independent of
     customer market segment? The contingency table is DENSE over the
@@ -533,6 +538,15 @@ def segment_priority_chi2(customer: DataFrame, orders: DataFrame) -> DataFrame:
         # unrecoverable on executor loss instead of recomputable
         .persist(StorageLevel.MEMORY_ONLY)
     )
+    # the returned frame is lazy, so this function can't unpersist after
+    # its consumers run — instead each call releases the PREVIOUS call's
+    # cell cache (ADVICE r11): steady state holds exactly one ~25-row
+    # cached frame, never an unbounded accumulation; MEMORY_ONLY keeps
+    # even that one LRU-evictable
+    prev = _CHI2_CELL_CACHE.pop() if _CHI2_CELL_CACHE else None
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    _CHI2_CELL_CACHE.append(observed)
     # dense (segment x priority) grid over the observed category values:
     # both sides are bounded category domains (broadcast cross join), and
     # every marginal stays > 0 because each value occurs in >= 1 row

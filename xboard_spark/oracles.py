@@ -2653,12 +2653,23 @@ FROM per GROUP BY 1 ORDER BY user_id""",
         "events_json_variant": """
 -- json_valid guard: DuckDB's json_extract_string ERRORS on malformed
 -- JSON where Spark's get_json_object / try_parse_json degrade to NULL
--- (round-11 sweep 9) — guarded, malformed rows extract NULL identically
-WITH j AS (
+-- (round-11 sweep 9) — guarded, malformed rows extract NULL identically.
+-- TRY_CAST behind an integer-literal regex, not ::BIGINT (ADVICE r11):
+-- VALID json with a wrong-TYPE k must degrade to NULL exactly like
+-- Spark's string-probe + try_cast — a bare TRY_CAST would still ROUND
+-- {"k":1.5} to 2 where Spark yields NULL, and a strict ::BIGINT raised
+-- ConversionException on {"k":"abc"}
+WITH jx AS (
   SELECT event_type,
          CASE WHEN props IS NOT NULL AND json_valid(props)
-              THEN json_extract_string(props, '$.k') END::BIGINT AS k
+              THEN json_extract_string(props, '$.k') END AS ks
   FROM events
+),
+j AS (
+  SELECT event_type,
+         TRY_CAST(CASE WHEN regexp_matches(ks, '^\s*[+-]?[0-9]+\s*$')
+                       THEN ks END AS BIGINT) AS k
+  FROM jx
 )
 SELECT event_type,
        round(avg(k), 6) AS avg_k,
@@ -2669,12 +2680,23 @@ FROM j GROUP BY 1 ORDER BY 1""",
         "events_json": """
 -- json_valid guard: DuckDB's json_extract_string ERRORS on malformed
 -- JSON where Spark's get_json_object / try_parse_json degrade to NULL
--- (round-11 sweep 9) — guarded, malformed rows extract NULL identically
-WITH j AS (
+-- (round-11 sweep 9) — guarded, malformed rows extract NULL identically.
+-- TRY_CAST behind an integer-literal regex, not ::BIGINT (ADVICE r11):
+-- VALID json with a wrong-TYPE k must degrade to NULL exactly like
+-- Spark's string-probe + try_cast — a bare TRY_CAST would still ROUND
+-- {"k":1.5} to 2 where Spark yields NULL, and a strict ::BIGINT raised
+-- ConversionException on {"k":"abc"}
+WITH jx AS (
   SELECT event_type,
          CASE WHEN props IS NOT NULL AND json_valid(props)
-              THEN json_extract_string(props, '$.k') END::BIGINT AS k
+              THEN json_extract_string(props, '$.k') END AS ks
   FROM events
+),
+j AS (
+  SELECT event_type,
+         TRY_CAST(CASE WHEN regexp_matches(ks, '^\s*[+-]?[0-9]+\s*$')
+                       THEN ks END AS BIGINT) AS k
+  FROM jx
 )
 SELECT event_type,
        round(avg(k), 6) AS avg_k,
@@ -2746,8 +2768,8 @@ GROUP BY 1, 2, 3, 4 ORDER BY 1""",
 SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
        sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
        count(DISTINCT {c})::BIGINT AS n_distinct,
-       {f"round(min({c}), 2)::DECIMAL(38,2)::VARCHAR" if c == "o_totalprice" else f"min({c})::VARCHAR"} AS min_repr,
-       {f"round(max({c}), 2)::DECIMAL(38,2)::VARCHAR" if c == "o_totalprice" else f"max({c})::VARCHAR"} AS max_repr
+       {f"CASE WHEN isfinite(min({c})) THEN TRY_CAST(round(min({c}), 2) AS DECIMAL(38,2)) END::VARCHAR" if c == "o_totalprice" else f"min({c})::VARCHAR"} AS min_repr,
+       {f"CASE WHEN isfinite(max({c})) THEN TRY_CAST(round(max({c}), 2) AS DECIMAL(38,2)) END::VARCHAR" if c == "o_totalprice" else f"max({c})::VARCHAR"} AS max_repr
 FROM orders"""
             for c in sorted(
                 [
