@@ -78,14 +78,24 @@ def _sql_status_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, ("orders",))
     # money in exact integer cents (functions.exact): the sum is
-    # associative long arithmetic, and avg is ONE division of exact ints
+    # associative long arithmetic, and avg_price rounds IN INTEGER SPACE
+    # — round(cents/n) via (2|cents|+n) div (2n) with the sign reapplied
+    # (half-away-from-zero, both engines' round() convention). round() on
+    # the double quotient was the round-11 sweep's avg-round divergence
+    # class: a bit-identical huge double still rounds differently across
+    # engines (BigDecimal vs binary). `div` on LONGs is safe here — the
+    # silent-wrap hazard is decimal div only.
     return spark.sql(
-        "SELECT o_orderstatus, count(*) AS n_orders, "
-        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)"
-        " / 100.0 AS revenue, "
-        "round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)"
-        " / (100.0 * count(*)), 2) AS avg_price "
-        "FROM orders GROUP BY 1 ORDER BY 1"
+        "WITH a AS (SELECT o_orderstatus, count(*) AS n_orders, "
+        "  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+        "  FROM orders GROUP BY 1), "
+        "q AS (SELECT *, (2 * abs(cents) + n_orders) div (2 * n_orders) "
+        "  AS qc FROM a) "
+        "SELECT o_orderstatus, n_orders, "
+        "CAST(cents AS DOUBLE) / 100.0 AS revenue, "
+        "CAST(CASE WHEN cents < 0 THEN -qc ELSE qc END AS DOUBLE) / 100.0 "
+        "  AS avg_price "
+        "FROM q ORDER BY 1"
     )
 
 

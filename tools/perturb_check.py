@@ -1,0 +1,379 @@
+"""Planted-perturbation harness (VERDICT r11 task 4): Spark-side-only
+closed-form delta checks.
+
+The oracle gate's one structural blind spot is the TWIN-MIRRORED bug:
+the DuckDB SQL ships from this repo, so a semantic error reproduced in
+both the Spark operator and its twin hash-matches forever (the r10 chi2
+NULL-category episode was exactly this shape — caught by review, not by
+the gate). This harness closes that gap for a rotating subset of
+queries WITHOUT any twin: it perturbs the input fixture in a way whose
+effect on the query output is known in closed form (append one exact
+duplicate -> that dedup group grows by exactly 1; append one
+out-of-bounds row -> the audit's oob count moves by exactly 1), runs
+the REGISTERED Spark query on the baseline and the perturbed copy, and
+asserts the delta. A bug mirrored into the twin cannot hide here,
+because the expectation comes from the perturbation's construction, not
+from any SQL restatement of the operator.
+
+Coverage (first 10, chosen for crisp closed forms across families):
+  overview, orders_by_date, input_bounds_audit, table_profile,
+  dedup_exact, minhash_dedup, events_dedup, user_rollup, doc_stats,
+  decontamination.
+
+Usage: python tools/perturb_check.py [src_sf_dir] [name ...]
+Exit 0 iff every check passes. Wired into tools/seal_round.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# --------------------------------------------------------------------------
+# fixture mutation helpers (driver-side pyarrow, physical types preserved)
+# --------------------------------------------------------------------------
+
+
+def _copy_fixture(src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src, f), os.path.join(dst, f))
+
+
+def _append_rows(sf_dir: str, table: str, rows: list[dict]) -> None:
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    t = pq.read_table(path)
+    add = pa.Table.from_pylist(rows, schema=t.schema)
+    # version 2.6 keeps TIMESTAMP(NANOS) columns nanos where present
+    pq.write_table(pa.concat_tables([t, add]), path, version="2.6")
+
+
+def _read_rows(sf_dir: str, table: str) -> list[dict]:
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet")).to_pylist()
+
+
+def _rows_set(rows) -> set:
+    return {tuple(r) for r in rows}
+
+
+def _assert(cond: bool, msg: str) -> None:
+    if not cond:
+        raise AssertionError(msg)
+
+
+# --------------------------------------------------------------------------
+# checks: each = (mutate(base_dir, pert_dir, spark) -> ctx,
+#                 check(base_rows, pert_rows, ctx))
+# rows are the registered query's collected Rows.
+# --------------------------------------------------------------------------
+
+_TS = __import__("datetime").datetime
+
+NEW_ID = 10**9  # larger than any testdata id at any shipped SF
+
+
+def _mut_overview(base, pert, spark):
+    _append_rows(pert, "orders", [{
+        "o_orderkey": NEW_ID, "o_custkey": 1, "o_orderstatus": "F",
+        "o_totalprice": 123.45, "o_orderdate": _TS(1996, 5, 5),
+        "o_orderpriority": "3-MEDIUM",
+    }])
+    return {}
+
+
+def _chk_overview(base, pert, ctx):
+    b, p = base[0], pert[0]
+    _assert(p.total_orders == b.total_orders + 1, "total_orders must move +1")
+    _assert(p.total_customers == b.total_customers, "customers must not move")
+    # total_revenue is the rounded double sum: delta within a cent
+    _assert(abs((p.total_revenue - b.total_revenue) - 123.45) < 0.011,
+            f"revenue delta {p.total_revenue - b.total_revenue} != +123.45")
+    _assert(p.sample_status == b.sample_status, "sample_status must not move")
+
+
+def _mut_orders_by_date(base, pert, spark):
+    _append_rows(pert, "orders", [{
+        "o_orderkey": NEW_ID, "o_custkey": 1, "o_orderstatus": "F",
+        "o_totalprice": 200.0, "o_orderdate": _TS(1993, 12, 25),
+        "o_orderpriority": "3-MEDIUM",
+    }])
+    return {}
+
+
+def _chk_orders_by_date(base, pert, ctx):
+    import datetime
+
+    planted = datetime.date(1993, 12, 25)
+    _assert(not any(r.order_date == planted for r in base),
+            "planted date must be new")
+    new = [r for r in pert if r.order_date == planted]
+    _assert(len(new) == 1 and new[0].order_count == 1
+            and new[0].revenue == 200.0,
+            f"planted day row wrong: {new}")
+    _assert(_rows_set(r for r in pert if r.order_date != planted)
+            == _rows_set(base), "rows for untouched days must be unchanged")
+
+
+def _mut_bounds(base, pert, spark):
+    _append_rows(pert, "events", [{
+        "event_id": NEW_ID, "ts": _TS(2024, 1, 5, 12, 0, 0),
+        "user_id": 1, "event_type": "view", "value": 9.9e13,  # > 1e12 fence
+        "props": "{}",
+    }])
+    return {}
+
+
+def _chk_bounds(base, pert, ctx):
+    b = {(r.table_name, r.col_name): r for r in base}
+    p = {(r.table_name, r.col_name): r for r in pert}
+    bv, pv = b[("events", "value")], p[("events", "value")]
+    _assert(pv.n_rows == bv.n_rows + 1 and pv.n_oob == bv.n_oob + 1
+            and pv.n_ok == bv.n_ok,
+            f"events.value: {tuple(bv)} -> {tuple(pv)} (want oob +1)")
+    bt, pt = b[("events", "ts")], p[("events", "ts")]
+    _assert(pt.n_rows == bt.n_rows + 1 and pt.n_ok == bt.n_ok + 1
+            and pt.n_oob == bt.n_oob,
+            f"events.ts: {tuple(bt)} -> {tuple(pt)} (want ok +1)")
+    for k in b:
+        if k[0] != "events":
+            _assert(tuple(b[k]) == tuple(p[k]), f"{k} must be unchanged")
+
+
+def _mut_table_profile(base, pert, spark):
+    _append_rows(pert, "orders", [{
+        "o_orderkey": NEW_ID, "o_custkey": 1, "o_orderstatus": "F",
+        "o_totalprice": 99999999.99,  # new max, cent-clean
+        "o_orderdate": _TS(1997, 1, 1), "o_orderpriority": "3-MEDIUM",
+    }])
+    return {}
+
+
+def _chk_table_profile(base, pert, ctx):
+    b = {r.col_name: r for r in base}
+    p = {r.col_name: r for r in pert}
+    for c in b:
+        _assert(p[c].n_rows == b[c].n_rows + 1, f"{c}: n_rows must move +1")
+    _assert(p["o_totalprice"].max_repr == "99999999.99",
+            f"max_repr {p['o_totalprice'].max_repr} != planted max")
+    _assert(p["o_totalprice"].min_repr == b["o_totalprice"].min_repr,
+            "min_repr must not move")
+    _assert(p["o_orderkey"].max_repr == str(NEW_ID),
+            "o_orderkey max must be the planted key")
+    _assert(p["o_orderkey"].n_distinct == b["o_orderkey"].n_distinct + 1,
+            "o_orderkey distinct must move +1")
+    _assert(p["o_orderstatus"].n_distinct == b["o_orderstatus"].n_distinct,
+            "o_orderstatus distinct must not move ('F' exists)")
+
+
+def _dup_of_canonical(base_dir: str, canonical_id: int) -> list[dict]:
+    docs = _read_rows(base_dir, "documents")
+    src = next(d for d in docs if d["doc_id"] == canonical_id)
+    return [{
+        "doc_id": NEW_ID, "text": src["text"], "lang": src["lang"],
+        "source": src["source"], "n_chars": src["n_chars"],
+    }]
+
+
+def _mut_dedup_exact(base, pert, spark):
+    # duplicate an existing duplicate group's canonical doc (group grows
+    # by exactly 1) — or, when the baseline corpus has no exact dups,
+    # duplicate doc 0 (exactly one NEW group of 2 must appear)
+    import __spark_entry__ as E
+
+    base_rows = E.queries()["dedup_exact"](spark, base).collect()
+    target = (min(r.canonical_doc_id for r in base_rows)
+              if base_rows else 0)
+    _append_rows(pert, "documents", _dup_of_canonical(base, target))
+    return {"target": target, "fresh_group": not base_rows
+            or target not in {r.canonical_doc_id for r in base_rows}}
+
+
+def _chk_dedup_exact(base, pert, ctx):
+    t = ctx["target"]
+    b = {r.canonical_doc_id: r for r in base}
+    p = {r.canonical_doc_id: r for r in pert}
+    if ctx["fresh_group"]:
+        _assert(t not in b and t in p and p[t].n_docs == 2,
+                f"copying unique doc {t} must create one group of 2: "
+                f"{p.get(t)}")
+    else:
+        _assert(p[t].n_docs == b[t].n_docs + 1,
+                f"group {t}: n_docs {b[t].n_docs} -> {p[t].n_docs}, want +1")
+        _assert(p[t].fingerprint == b[t].fingerprint,
+                "canonical fp must hold")
+    _assert({k: (v.n_docs, v.fingerprint) for k, v in b.items() if k != t}
+            == {k: (v.n_docs, v.fingerprint) for k, v in p.items() if k != t},
+            "untouched groups must be unchanged")
+
+
+def _mut_minhash(base, pert, spark):
+    _append_rows(pert, "documents", _dup_of_canonical(base, 0))
+    return {}
+
+
+def _chk_minhash(base, pert, ctx):
+    # identical text -> identical shingles -> identical minhash signature:
+    # the copy MUST band-collide with doc 0 and pair at jaccard 1.0
+    new = [r for r in pert if r.doc_a == 0 and r.doc_b == NEW_ID]
+    _assert(len(new) == 1 and new[0].jaccard == 1.0,
+            f"exact copy must pair with its source at 1.0: {new}")
+    _assert(_rows_set(r for r in base)
+            <= _rows_set(r for r in pert),
+            "baseline pairs must survive the append")
+    extra = [r for r in pert
+             if _rows_set([tuple(r)]) - _rows_set(base)
+             and NEW_ID not in (r.doc_a, r.doc_b)]
+    _assert(extra == [], f"pairs not involving the copy appeared: {extra}")
+
+
+def _mut_events_dedup(base, pert, spark):
+    ev = _read_rows(base, "events")
+    first = ev[0]
+    redelivery = dict(first)
+    redelivery["event_id"] = NEW_ID  # same (user_id, ts, type) = same hash
+    _append_rows(pert, "events", [redelivery])
+    return {}
+
+
+def _chk_events_dedup(base, pert, ctx):
+    _assert([tuple(r) for r in base] == [tuple(r) for r in pert],
+            "a redelivery (same delivery hash, new event_id) must be "
+            "invisible to the deduped summary")
+
+
+def _mut_user_rollup(base, pert, spark):
+    ts = _TS(2024, 1, 15, 12, 0, 0)
+    _append_rows(pert, "events", [{
+        "event_id": NEW_ID, "ts": ts, "user_id": NEW_ID,
+        "event_type": "view", "value": 12.34, "props": "{}",
+    }])
+    return {"ts": ts}
+
+
+def _chk_user_rollup(base, pert, ctx):
+    new = [r for r in pert if r.user_id == NEW_ID]
+    _assert(len(new) == 1, "planted user must get exactly one row")
+    r = new[0]
+    _assert((r.n_events, r.n_types, r.total_value) == (1, 1, 12.34)
+            and r.first_seen == r.last_seen == ctx["ts"],
+            f"planted user row wrong: {tuple(r)}")
+    _assert(_rows_set(r for r in pert if r.user_id != NEW_ID)
+            == _rows_set(base), "other users must be unchanged")
+
+
+def _mut_doc_stats(base, pert, spark):
+    text = "alpha beta gamma"
+    _append_rows(pert, "documents", [{
+        "doc_id": NEW_ID, "text": text, "lang": "zz", "source": "planted",
+        "n_chars": len(text),
+    }])
+    return {}
+
+
+def _chk_doc_stats(base, pert, ctx):
+    new = [r for r in pert if r.lang == "zz"]
+    _assert(len(new) == 1, "planted (lang, source) must get exactly one row")
+    r = new[0]
+    _assert((r.source, r.n_docs, r.total_chars, r.avg_chars, r.total_tokens,
+             r.avg_tokens) == ("planted", 1, 16, 16.0, 3, 3.0),
+            f"planted doc stats wrong: {tuple(r)}")
+    _assert(_rows_set(r for r in pert if r.lang != "zz") == _rows_set(base),
+            "other (lang, source) rows must be unchanged")
+
+
+def _mut_decontamination(base, pert, spark):
+    # plant a CONTAMINATED test doc: copy the longest train doc's text
+    # into a new doc whose id hashes into the test split (found with the
+    # engine's own leakage-stable split, so the check exercises the real
+    # split + index + probe path end to end)
+    from pyspark.sql import functions as F
+
+    from xboard_spark.operators.sampling import with_split
+
+    cand = spark.range(NEW_ID, NEW_ID + 1000).select(
+        F.col("id").alias("doc_id")
+    )
+    test_ids = [r.doc_id for r in with_split(cand, 10)
+                .filter(F.col("split") == "test").limit(1).collect()]
+    _assert(len(test_ids) == 1, "no candidate id hashed into test")
+    docs = _read_rows(base, "documents")
+    train_ids = {r.doc_id for r in with_split(
+        spark.createDataFrame([(d["doc_id"],) for d in docs], "doc_id long"),
+        10).filter(F.col("split") == "train").collect()}
+    donor = max((d for d in docs if d["doc_id"] in train_ids),
+                key=lambda d: len(d["text"]))
+    _append_rows(pert, "documents", [{
+        "doc_id": test_ids[0], "text": donor["text"], "lang": donor["lang"],
+        "source": donor["source"], "n_chars": donor["n_chars"],
+    }])
+    return {"test_id": test_ids[0], "donor": donor["doc_id"]}
+
+
+def _chk_decontamination(base, pert, ctx):
+    t, d = ctx["test_id"], ctx["donor"]
+    hit = [r for r in pert if r.test_doc == t and r.train_doc == d]
+    _assert(len(hit) == 1 and hit[0].overlap == 1.0
+            and hit[0].shared == hit[0].n_test_sh,
+            f"planted contamination must surface at overlap 1.0: {hit}")
+    _assert(_rows_set(r for r in base)
+            == _rows_set(r for r in pert if r.test_doc != t),
+            "pairs for other test docs must be unchanged")
+
+
+CHECKS: dict[str, tuple] = {
+    "overview": (_mut_overview, _chk_overview),
+    "orders_by_date": (_mut_orders_by_date, _chk_orders_by_date),
+    "input_bounds_audit": (_mut_bounds, _chk_bounds),
+    "table_profile": (_mut_table_profile, _chk_table_profile),
+    "dedup_exact": (_mut_dedup_exact, _chk_dedup_exact),
+    "minhash_dedup": (_mut_minhash, _chk_minhash),
+    "events_dedup": (_mut_events_dedup, _chk_events_dedup),
+    "user_rollup": (_mut_user_rollup, _chk_user_rollup),
+    "doc_stats": (_mut_doc_stats, _chk_doc_stats),
+    "decontamination": (_mut_decontamination, _chk_decontamination),
+}
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or list(CHECKS)
+
+    import __spark_entry__ as E
+    from xboard_spark.session import get_spark
+
+    spark = get_spark(app_name="perturb-check", shuffle_partitions=8)
+    queries = E.queries()
+    failures = []
+    workroot = tempfile.mkdtemp(prefix="xboard_perturb_")
+    try:
+        for name in names:
+            mutate, check = CHECKS[name]
+            pert_dir = os.path.join(workroot, name)
+            _copy_fixture(src, pert_dir)
+            try:
+                ctx = mutate(src, pert_dir, spark)
+                base_rows = queries[name](spark, src).collect()
+                pert_rows = queries[name](spark, pert_dir).collect()
+                check(base_rows, pert_rows, ctx)
+                print(f"PASS {name}")
+            except Exception as e:  # noqa: BLE001 - report and continue
+                print(f"FAIL {name}: {e}")
+                failures.append(name)
+    finally:
+        shutil.rmtree(workroot, ignore_errors=True)
+    print(f"{len(failures)} failures: {failures}" if failures
+          else f"0 failures ({len(names)} perturbation checks)")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

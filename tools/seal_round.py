@@ -8,8 +8,10 @@ Chain (sequential; bench last so it runs isolated):
   2. full oracle gate at sf0.01   (the driver's correctness scale)
   3. full oracle sweep at sf0.1   (10x gate scale; catches
      convergence/iteration bugs invisible at sf0.01 — see round 5)
-  4. full pytest
-  5. isolated bench.py            (headline + extended regression gates)
+  4. planted-perturbation checks  (tools/perturb_check.py — twin-free
+     closed-form deltas; the gate a twin-mirrored bug cannot pass)
+  5. full pytest
+  6. isolated bench.py            (headline + extended regression gates)
 
 Results are written between SEAL:BEGIN/SEAL:END markers in
 ``NOTES_r{N}.md`` (section created if absent) after EVERY step — a
@@ -40,6 +42,9 @@ STEPS = [
     ("oracle_sf0.001", [PY, "tools/check_oracle.py", "/root/testdata/sf0.001"]),
     ("oracle_sf0.01", [PY, "tools/check_oracle.py", "/root/testdata/sf0.01"]),
     ("oracle_sf0.1", [PY, "tools/check_oracle.py", "/root/testdata/sf0.1"]),
+    # twin-free closed-form delta checks (round 12; VERDICT r11 task 4):
+    # the one gate a twin-mirrored bug cannot pass
+    ("perturb", [PY, "tools/perturb_check.py", "/root/testdata/sf0.001"]),
     ("pytest", [PY, "-m", "pytest", "tests/", "-q"]),
     ("bench", [PY, "bench.py"]),
 ]
@@ -88,6 +93,10 @@ def _summarize(name: str, out: str, rc: int) -> str:
                     f" calibration={j.get('calibration_sec')}"
                 )
         return f"no JSON line from bench.py (rc {rc})"
+    if name == "perturb":
+        m = re.search(r"^\d+ failures.*$", out, re.M)
+        passes = len(re.findall(r"^PASS ", out, re.M))
+        return f"{passes} PASS / {m.group(0) if m else 'NO SUMMARY LINE'}"
     return f"rc {rc}"
 
 
@@ -98,6 +107,8 @@ def _step_ok(name: str, out: str, rc: int) -> bool:
         return bool(re.search(r"^0 failures", out, re.M))
     if name == "pytest":
         return " failed" not in out
+    if name == "perturb":
+        return bool(re.search(r"^0 failures", out, re.M))
     if name == "bench":
         return (
             bool(re.search(r'"errors": \{\}', out))

@@ -941,9 +941,15 @@ def conversion_attribution(events: DataFrame, gap_minutes: int = 30) -> DataFram
         .filter(F.col("event_type") == "purchase")
         .select(F.coalesce("touch", F.lit("direct")).alias("touch"), "value")
     )
+    from xboard_spark.functions.exact import cent_sum_dollars
+
     rolled = purchases.groupBy("touch").agg(
         F.count("*").alias("n_purchases"),
-        F.round(F.sum("value"), 2).alias("attributed_value"),
+        # exact integer-cent sum (functions.exact): value is
+        # cent-quantized, so this is the engine-wide plain-money-sum
+        # convention — the last rounded-double money sum left in the
+        # events family (round-12 magnitude sweep)
+        cent_sum_dollars(F.col("value")).alias("attributed_value"),
     )
     w_all = Window.partitionBy()
     return (

@@ -25,20 +25,45 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> Dat
     The whole query is one parquet scan + one partial/final hash aggregate on
     a 6-ish-group key — the canonical 100 TB scan benchmark. The date filter
     reaches the scan (row-group min/max skipping).
-    """
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+
+    Every money/metric column runs in EXACT integer arithmetic
+    (``functions.exact``): the factors are quantized (cents / integer
+    percents — the reference's NUMERIC columns, ``migrations/init.sql:54``,
+    are exact the same way), so ``price*(1-disc)`` and
+    ``price*(1-disc)*(1+tax)`` are exact integer "units" per row, the sums
+    are associative DECIMAL(38,0) integer sums (bit-identical at any
+    partitioning/magnitude), and rounding happens in integer space — never
+    on a double (round-11/12 magnitude sweeps: double product sums and
+    round-on-huge-double were the two remaining silent cross-engine
+    divergence classes)."""
+    from xboard_spark.functions import exact as X
+
+    qty_cents = X.cent_units(F.col("l_quantity"))
+    price_cents = X.cent_units(F.col("l_extendedprice"))
+    disc_pct = X.pct_units(F.col("l_discount"))
+    disc_units = X.disc_price_units(
+        F.col("l_extendedprice"), F.col("l_discount")
+    )
+    charge_units = X.charge_units(
+        F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    )
+    n_dec = F.count("*").cast("decimal(38,0)")
+    # round(avg, 6) in integer space: avg = cents/(100*n) dollars, so the
+    # 6dp-scaled integer is round(cents*1e4 / n)
+    avg6 = lambda cents_sum: X.round_div_units(  # noqa: E731
+        cents_sum * F.lit(10000), n_dec, 1e6
+    )
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            X.units_sum_dollars(qty_cents, 1).alias("sum_qty"),
+            X.units_sum_dollars(price_cents, 1).alias("sum_base_price"),
+            X.units_sum_dollars(disc_units, 100).alias("sum_disc_price"),
+            X.units_sum_dollars(charge_units, 10000).alias("sum_charge"),
+            avg6(F.sum(qty_cents)).alias("avg_qty"),
+            avg6(F.sum(price_cents)).alias("avg_price"),
+            avg6(F.sum(disc_pct)).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -95,12 +120,22 @@ def top_parts_by_revenue(lineitem: DataFrame, part: DataFrame, k: int = 10) -> D
     |lineitem| rows to |distinct partkey| rows, and the part dimension joins
     broadcast-side. Never join-then-aggregate when aggregate-then-join is
     semantics-preserving.
+
+    Revenue runs in exact integer units (``functions.exact`` — see
+    ``pricing_summary``): the top-k ORDER itself depends on the sums, so
+    a last-ulp double divergence here could flip the returned ROWS, not
+    just a printed cent.
     """
+    from xboard_spark.functions import exact as X
+
     per_part = lineitem.groupBy("l_partkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
+        X.units_sum_dollars(
+            X.disc_price_units(F.col("l_extendedprice"), F.col("l_discount")),
+            100,
+        ).alias("revenue"),
+        X.units_sum_dollars(X.cent_units(F.col("l_quantity")), 1).alias(
+            "total_qty"
         ),
-        F.sum("l_quantity").alias("total_qty"),
     )
     return (
         per_part.join(part, F.col("l_partkey") == F.col("p_partkey"))
@@ -109,7 +144,7 @@ def top_parts_by_revenue(lineitem: DataFrame, part: DataFrame, k: int = 10) -> D
             "p_name",
             "p_brand",
             "revenue",
-            F.round("total_qty", 2).alias("total_qty"),
+            "total_qty",
         )
         .orderBy(F.desc("revenue"), F.asc("p_partkey"))
         .limit(k)
@@ -175,22 +210,43 @@ def nation_market_share(
 ) -> DataFrame:
     """TPC-H Q8 shape: the target nation's revenue share per order year —
     CASE-inside-aggregate + date-part extraction. One fact-fact shuffle,
-    dimensions broadcast, then a single hash agg keyed by year."""
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dimensions broadcast, then a single hash agg keyed by year.
+
+    Both the share and the revenue run in exact integer units
+    (``functions.exact`` — see ``pricing_summary``): the share is
+    round(num/den, 6) computed as an exact integer ratio — numerator and
+    denominator are bit-identical integer sums on both engines, and the
+    rounding never touches a double."""
+    from xboard_spark.functions import exact as X
+
+    rev_units = X.disc_price_units(
+        F.col("l_extendedprice"), F.col("l_discount")
+    )
     joined = (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
+    zero = F.lit(0).cast("decimal(38,0)")
     return (
         joined.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("n_name") == target_nation, rev).otherwise(0.0))
-                / F.sum(rev),
-                6,
+            F.sum(
+                F.when(F.col("n_name") == target_nation, rev_units).otherwise(
+                    zero
+                )
+            ).alias("_num"),
+            F.sum(rev_units).alias("_den"),
+        )
+        .select(
+            "order_year",
+            # round(share, 6) == round(num * 1e6 / den) / 1e6, exactly
+            X.round_div_units(
+                F.col("_num") * F.lit(1000000), F.col("_den"), 1e6
             ).alias("mkt_share"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            X.round_div_units(
+                F.col("_den"), F.lit(100).cast("decimal(38,0)"), 100.0
+            ).alias("total_revenue"),
         )
         .orderBy("order_year")
     )
@@ -200,17 +256,31 @@ def orders_above_customer_avg(orders: DataFrame) -> DataFrame:
     """Correlated-scalar-subquery shape ("orders larger than their
     customer's average"), expressed in the decorrelated form Catalyst
     itself would produce: per-customer aggregate + equi-join back. Counted
-    per status so the output is small and stable."""
-    cust_avg = orders.groupBy("o_custkey").agg(
-        F.avg("o_totalprice").alias("cust_avg")
+    per status so the output is small and stable.
+
+    The threshold comparison runs in EXACT integer cent space
+    (``functions.exact``): ``price > sum/ n`` is evaluated as
+    ``cents * n > sum_cents`` — a double-avg threshold put rows within an
+    ulp of their customer's mean on different sides per engine (round-11
+    magnitude sweep's avg-round class), and here that flips row MEMBERSHIP,
+    not just a printed value. The revenue sum is the plain exact cent sum."""
+    from xboard_spark.functions import exact as X
+    from xboard_spark.functions.exact import cent_sum_dollars
+
+    cents = X.cent_units(F.col("o_totalprice"))
+    cust_stats = orders.groupBy("o_custkey").agg(
+        F.sum(cents).alias("_cust_cents"),
+        F.count("*").cast("decimal(38,0)").alias("_cust_n"),
     )
     return (
-        orders.join(cust_avg, "o_custkey")
-        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        orders.join(cust_stats, "o_custkey")
+        .filter(cents * F.col("_cust_n") > F.col("_cust_cents"))
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_above_avg"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue_above_avg"),
+            cent_sum_dollars(F.col("o_totalprice")).alias(
+                "revenue_above_avg"
+            ),
         )
         .orderBy("o_orderstatus")
     )

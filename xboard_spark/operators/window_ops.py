@@ -98,13 +98,23 @@ def status_distinct_aggs(orders: DataFrame) -> DataFrame:
 
 def revenue_rollup(lineitem: DataFrame) -> DataFrame:
     """ROLLUP (returnflag, linestatus): subtotals + grand total with
-    grouping_id — one Expand + hash aggregate, no extra scans."""
+    grouping_id — one Expand + hash aggregate, no extra scans.
+
+    Revenue runs in exact integer units (``functions.exact`` — see
+    ``tpch.pricing_summary``): the GRAND-total row sums the entire table,
+    the first place a double product sum's association-order divergence
+    shows up as the data grows."""
+    from xboard_spark.functions import exact as X
+
     return (
         lineitem.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            X.units_sum_dollars(
+                X.disc_price_units(
+                    F.col("l_extendedprice"), F.col("l_discount")
+                ),
+                100,
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
             F.grouping_id().cast("long").alias("gid"),
         )

@@ -13,6 +13,11 @@ hyperplane weights) so the two sides can never drift.
 
 from __future__ import annotations
 
+from xboard_spark.functions.exact import (
+    duck_charge_units,
+    duck_disc_price_units,
+    duck_round_div_units,
+)
 from xboard_spark.functions.portable_hash import MINHASH_P, _X_MASK, minhash_params
 from xboard_spark.operators.dedup import N_BANDS, N_PERMS
 from xboard_spark.operators.ml import MICRO, RIDGE_LAM, RIDGE_POS_LABEL
@@ -2402,6 +2407,10 @@ _DELIVERY_HASH = _fp(
 
 def all_oracles() -> dict[str, str]:
     rev = "l_extendedprice * (1 - l_discount)"
+
+    def _hc(c: str) -> str:
+        """exact integer cents (or percent) of a 2-decimal-clean column"""
+        return f"CAST(round({c} * 100) AS BIGINT)::HUGEINT"
     return {
         "overview": """
 SELECT
@@ -2462,18 +2471,36 @@ SELECT o_orderstatus, count(*) AS n_orders,
        sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0
          AS total_price
 FROM merged WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
+        # exact integer-unit arithmetic end-to-end (functions.exact,
+        # round 12): HUGEINT mirrors the engine's DECIMAL(38,0) — sums
+        # are bit-identical by construction and every rounding happens
+        # in integer space, never on a double
         "pricing_summary": f"""
+WITH u AS (
+  SELECT l_returnflag, l_linestatus,
+         {_hc("l_quantity")} AS qty_c,
+         {_hc("l_extendedprice")} AS price_c,
+         {_hc("l_discount")} AS d_pct,
+         {duck_disc_price_units("l_extendedprice", "l_discount")} AS disc_u,
+         {duck_charge_units("l_extendedprice", "l_discount", "l_tax")} AS chg_u
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+),
+a AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(qty_c) AS sq, sum(price_c) AS sp, sum(disc_u) AS sd,
+         sum(chg_u) AS sc, sum(d_pct) AS spct, count(*) AS n
+  FROM u GROUP BY 1, 2
+)
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum({rev}), 2) AS sum_disc_price,
-       round(sum({rev} * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
-       count(*) AS count_order
-FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY 1, 2 ORDER BY 1, 2""",
+       {duck_round_div_units("sq", "1::HUGEINT", "100.0")} AS sum_qty,
+       {duck_round_div_units("sp", "1::HUGEINT", "100.0")} AS sum_base_price,
+       {duck_round_div_units("sd", "100::HUGEINT", "100.0")} AS sum_disc_price,
+       {duck_round_div_units("sc", "10000::HUGEINT", "100.0")} AS sum_charge,
+       {duck_round_div_units("(sq * 10000)", "n", "1000000.0")} AS avg_qty,
+       {duck_round_div_units("(sp * 10000)", "n", "1000000.0")} AS avg_price,
+       {duck_round_div_units("(spct * 10000)", "n", "1000000.0")} AS avg_disc,
+       n::BIGINT AS count_order
+FROM a ORDER BY 1, 2""",
         "revenue_by_nation": f"""
 SELECT n_name AS nation_name,
        round(sum({rev}), 2) AS revenue,
@@ -2491,11 +2518,15 @@ WHERE r_name = 'ASIA'
 GROUP BY 1 ORDER BY revenue DESC, nation_name""",
         "top_parts_by_revenue": f"""
 WITH per_part AS (
-  SELECT l_partkey, round(sum({rev}), 2) AS revenue,
-         sum(l_quantity) AS total_qty
+  SELECT l_partkey,
+         {duck_round_div_units(
+             "sum(" + duck_disc_price_units("l_extendedprice", "l_discount") + ")",
+             "100::HUGEINT", "100.0")} AS revenue,
+         {duck_round_div_units("sum(" + _hc("l_quantity") + ")",
+                               "1::HUGEINT", "100.0")} AS total_qty
   FROM lineitem GROUP BY 1
 )
-SELECT p_partkey, p_name, p_brand, revenue, round(total_qty, 2) AS total_qty
+SELECT p_partkey, p_name, p_brand, revenue, total_qty
 FROM per_part JOIN part ON l_partkey = p_partkey
 ORDER BY revenue DESC, p_partkey LIMIT 10""",
         "segment_top_orders": f"""
@@ -2575,23 +2606,36 @@ JOIN big ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
         "nation_market_share": f"""
-SELECT year(o_orderdate)::BIGINT AS order_year,
-       round(sum(CASE WHEN n_name = 'NATION_7' THEN {rev} ELSE 0 END)
-             / sum({rev}), 6) AS mkt_share,
-       round(sum({rev}), 2) AS total_revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-GROUP BY 1 ORDER BY 1""",
-        "orders_above_cust_avg": """
+WITH a AS (
+  SELECT year(o_orderdate)::BIGINT AS order_year,
+         sum(CASE WHEN n_name = 'NATION_7'
+                  THEN {duck_disc_price_units("l_extendedprice", "l_discount")}
+                  ELSE 0::HUGEINT END) AS num,
+         sum({duck_disc_price_units("l_extendedprice", "l_discount")}) AS den
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+)
+SELECT order_year,
+       {duck_round_div_units("(num * 1000000)", "den", "1000000.0")} AS mkt_share,
+       {duck_round_div_units("den", "100::HUGEINT", "100.0")} AS total_revenue
+FROM a ORDER BY 1""",
+        # threshold in exact integer cents: price > avg as cents*n >
+        # sum_cents (functions.exact, round 12) — the double-avg threshold
+        # flipped row MEMBERSHIP on boundary rows across engines
+        "orders_above_cust_avg": f"""
 WITH ca AS (
-  SELECT o_custkey, avg(o_totalprice) AS cust_avg FROM orders GROUP BY 1
+  SELECT o_custkey, sum({_hc("o_totalprice")}) AS cust_cents,
+         count(*) AS cust_n
+  FROM orders GROUP BY 1
 )
 SELECT o_orderstatus, count(*) AS n_above_avg,
-       round(sum(o_totalprice), 2) AS revenue_above_avg
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0
+         AS revenue_above_avg
 FROM orders JOIN ca USING (o_custkey)
-WHERE o_totalprice > cust_avg
+WHERE {_hc("o_totalprice")} * cust_n > cust_cents
 GROUP BY 1 ORDER BY 1""",
         "part_type_breakdown": """
 SELECT regexp_extract(p_name, '([a-z]+)$', 1) AS noun,
@@ -3215,12 +3259,21 @@ SELECT CAST(o_orderdate AS DATE) AS order_date,
        round(sum(o_totalprice), 2) AS revenue
 FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY 1 ORDER BY 1""",
+        # avg_price rounds in INTEGER space (round 12): round() on the
+        # bit-identical double quotient was the avg-round divergence class
         "sql_status_panel": """
-SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS revenue,
-       round(sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE
-             / (100.0 * count(*)), 2) AS avg_price
-FROM orders GROUP BY 1 ORDER BY 1""",
+WITH a AS (
+  SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1
+),
+q AS (
+  SELECT *, (2 * abs(cents) + n_orders) // (2 * n_orders) AS qc FROM a
+)
+SELECT o_orderstatus, n_orders,
+       cents::DOUBLE / 100.0 AS revenue,
+       (CASE WHEN cents < 0 THEN -qc ELSE qc END)::DOUBLE / 100.0 AS avg_price
+FROM q ORDER BY 1""",
         "dataset_card": f"""
 WITH staged AS (
   SELECT lang, source, length(text)::BIGINT AS n_chars,
@@ -3291,7 +3344,8 @@ p AS (
 ),
 rolled AS (
   SELECT touch, count(*)::BIGINT AS n_purchases,
-         round(sum(value), 2) AS attributed_value
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0
+           AS attributed_value
   FROM p GROUP BY 1
 )
 SELECT touch, n_purchases, attributed_value,
@@ -3874,9 +3928,11 @@ SELECT o_orderstatus,
        count(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
        count(*) AS n_orders
 FROM orders GROUP BY 1 ORDER BY 1""",
-        "revenue_rollup": """
+        "revenue_rollup": f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {duck_round_div_units(
+           "sum(" + duck_disc_price_units("l_extendedprice", "l_discount") + ")",
+           "100::HUGEINT", "100.0")} AS revenue,
        count(*) AS n_items,
        (2 * GROUPING(l_returnflag) + GROUPING(l_linestatus))::BIGINT AS gid
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
