@@ -352,6 +352,12 @@ def main() -> None:
     # pass 2 measures steady state, and the recorded value is the min —
     # same discipline as the gated section.
     extended: dict[str, float] = {}
+    # streaming_dedup_pairs wall time is dominated by two fixed stream
+    # start/stops (VERDICT r11 #5 watch item): record the wall/steady
+    # split from the demo's own progress events and key this query's
+    # regression gate on the STEADY (micro-batch execution) part, where
+    # a dedup-path regression actually shows up.
+    stream_split: dict[str, float] = {}
     for _pass in range(2):
         _reclaim()
         for name in EXTENDED:
@@ -365,6 +371,21 @@ def main() -> None:
                 continue
             dt = round(time.time() - t0, 3)
             extended[name] = min(extended.get(name, dt), dt)
+            if name == "streaming_dedup_pairs":
+                try:
+                    from xboard_spark.streaming.dedup import (
+                        LAST_DEMO_TIMINGS,
+                    )
+
+                    if LAST_DEMO_TIMINGS.get("steady_sec") is not None:
+                        better = not stream_split or (
+                            LAST_DEMO_TIMINGS["steady_sec"]
+                            < stream_split.get("steady_sec", float("inf"))
+                        )
+                        if better:
+                            stream_split = dict(LAST_DEMO_TIMINGS)
+                except Exception:  # timing is evidence, never a failure
+                    pass
 
     # extended regression gate (round 6): same >2x-and->1s rule as
     # HEADLINE, against the recorded min-of-2 extended baseline; suspects
@@ -376,7 +397,23 @@ def main() -> None:
     if baseline is not None and baseline.get("sf") == sf:
         ext_base = baseline.get("extended", {})
         ext_rebase = baseline.get("extended_rebaselined", {})
+        ext_steady = baseline.get("extended_steady", {})
         for name, dt in list(extended.items()):
+            # gate streaming_dedup_pairs on its steady-state number when
+            # both sides of the comparison exist (see stream_split above)
+            if (
+                name == "streaming_dedup_pairs"
+                and name in ext_steady
+                and stream_split.get("steady_sec") is not None
+            ):
+                b, dt = ext_steady[name], stream_split["steady_sec"]
+                ext_ratios[name] = round(dt / b, 2)
+                if dt > 2.0 * b and dt - b > 1.0:
+                    extended_regressions.append(
+                        f"{name}: steady {dt}s vs baseline {b}s "
+                        f"({dt / b:.1f}x)"
+                    )
+                continue
             b = ext_rebase.get(name, {}).get("value") or ext_base.get(name)
             if not b:
                 continue
@@ -427,6 +464,7 @@ def main() -> None:
                 "extended_total": round(sum(extended.values()), 3),
                 "extended_vs_baseline": ext_ratios,
                 "extended_regressions": extended_regressions,
+                "streaming_dedup_split": stream_split,
                 "regressions": regressions,
                 "errors": errors,
                 "calibration_sec": {"pre": cal_pre, "post": cal_post},

@@ -884,6 +884,11 @@ def bpe_merge_candidates(documents: DataFrame, top_k: int = 20) -> DataFrame:
     )
 
 
+# bpe_learn is an audit of the first merges, not a production trainer —
+# each merge round is one sequential Spark job (see its docstring)
+MAX_BPE_MERGES = 64
+
+
 def bpe_learn(documents: DataFrame, n_merges: int = 5) -> DataFrame:
     """Byte-pair-encoding vocabulary TRAINING, distributed: learn the
     first ``n_merges`` merges over the corpus (Sennrich et al. 2016) and
@@ -907,7 +912,27 @@ def bpe_learn(documents: DataFrame, n_merges: int = 5) -> DataFrame:
     output of the algorithm, k = n_merges). Ties break (count desc,
     left asc, right asc) so the merge sequence is deterministic.
     Symbols stay [a-z0-9]+ (TOKEN_RE), so embedding them in expression
-    literals is injection-safe."""
+    literals is injection-safe.
+
+    SAMPLE-THEN-TRAIN contract (the ``lsh_recall_audit`` pattern —
+    VERDICT r11 #6): the merge loop is DRIVER-PACED — one Spark job per
+    merge round — which is the right shape for auditing the first few
+    merges of a corpus but NOT for a production vocabulary: 50k merges
+    would schedule 50k sequential job barriers. Real BPE trainers
+    (including the published ones this follows) learn the vocabulary on
+    a bounded word-frequency SAMPLE and apply it corpus-wide; at 100 TB,
+    sample documents first (``sampling.with_split`` or a freq cutoff on
+    the word table) and keep ``n_merges`` audit-sized. The guard below
+    makes the contract loud instead of letting a caller silently
+    schedule thousands of barriers."""
+    if n_merges > MAX_BPE_MERGES:
+        raise ValueError(
+            f"bpe_learn is a driver-paced audit of the FIRST merges "
+            f"(one Spark job per round): n_merges={n_merges} exceeds the "
+            f"documented cap {MAX_BPE_MERGES}. Train a production "
+            f"vocabulary sample-then-train (see docstring) instead of "
+            f"scheduling {n_merges} sequential job barriers."
+        )
     word_freq = (
         documents.select(
             F.explode(
