@@ -68,6 +68,17 @@ def test_bench_step_verdicts():
     assert not seal._step_ok("bench", decoy_only, 0)
 
 
+def test_perturb_step_verdicts():
+    green = "PASS overview\nPASS doc_stats\n0 failures (10 perturbation checks)\n"
+    red = "PASS overview\nFAIL doc_stats: delta wrong\n1 failures: ['doc_stats']\n"
+    assert seal._step_ok("perturb", green, 0)
+    assert not seal._step_ok("perturb", red, 1)
+    assert not seal._step_ok("perturb", red, 0)
+    assert not seal._step_ok("perturb", "PASS overview\n", 0)
+    s = seal._summarize("perturb", green, 0)
+    assert "2 PASS" in s and "0 failures" in s
+
+
 def test_summarize_extracts_evidence():
     s = seal._summarize("oracle_sf0.01", ORACLE_GREEN, 0)
     assert "1 PASS" in s and "0 failures" in s
