@@ -407,6 +407,32 @@ def main() -> None:
                 and stream_split.get("steady_sec") is not None
             ):
                 b, dt = ext_steady[name], stream_split["steady_sec"]
+                # same isolated re-measure protocol as the wall gates
+                # (up to two retries, stopping when one clears): the
+                # first red seal of round 12 tripped this gate at 2.6x
+                # during a host-noise window that a solo min-of-3
+                # immediately read at 1.04x
+                attempts = 0
+                while dt > 2.0 * b and dt - b > 1.0 and attempts < 2:
+                    attempts += 1
+                    _reclaim()
+                    try:
+                        qs[name](spark, sf_dir).collect()
+                        from xboard_spark.streaming.dedup import (
+                            LAST_DEMO_TIMINGS,
+                        )
+
+                        retry = LAST_DEMO_TIMINGS.get("steady_sec")
+                        if retry is not None and retry < dt:
+                            dt = retry
+                            stream_split = dict(LAST_DEMO_TIMINGS)
+                    except Exception as exc:
+                        errors[name] = (
+                            f"{type(exc).__name__}: {exc}".splitlines()[0][:200]
+                        )
+                        break
+                if name in errors:
+                    continue
                 ext_ratios[name] = round(dt / b, 2)
                 if dt > 2.0 * b and dt - b > 1.0:
                     extended_regressions.append(
