@@ -343,9 +343,208 @@ CHECKS: dict[str, tuple] = {
 }
 
 
+# --------------------------------------------------------------------------
+# staged round-13 cohort (the rotation pattern applied to this gate):
+# tested green in round 12, promoted into CHECKS at the start of round 13
+# so each round's sealed evidence matches the coverage it claims. Run now
+# with: python tools/perturb_check.py <sf_dir> --staged
+# --------------------------------------------------------------------------
+
+
+def _mut_pii_scan(base, pert, spark):
+    text = ("reach me at john.doe@example.com"
+            " or call 555-123-4567 before friday")
+    _append_rows(pert, "documents", [{
+        "doc_id": NEW_ID, "text": text, "lang": "en", "source": "planted",
+        "n_chars": len(text),
+    }])
+    return {}
+
+
+def _chk_pii_scan(base, pert, ctx):
+    new = [r for r in pert if r.source == "planted"]
+    _assert(len(new) == 1, "planted source must get exactly one row")
+    r = new[0]
+    _assert((r.n_docs, r.docs_with_email, r.docs_with_phone,
+             r.total_emails, r.total_phones) == (1, 1, 1, 1, 1),
+            f"planted 1-email/1-phone doc miscounted: {tuple(r)}")
+    _assert(_rows_set(r for r in pert if r.source != "planted")
+            == _rows_set(base), "other sources must be unchanged")
+
+
+def _mut_simhash(base, pert, spark):
+    _append_rows(pert, "documents", _dup_of_canonical(base, 0))
+    return {}
+
+
+def _chk_simhash(base, pert, ctx):
+    b = {r.doc_id: r.simhash for r in base}
+    p = {r.doc_id: r.simhash for r in pert}
+    _assert(p[NEW_ID] == p[0] == b[0],
+            "an exact copy must hash to ITS SOURCE's simhash "
+            f"(src {b[0]}, copy {p.get(NEW_ID)})")
+    _assert({k: v for k, v in p.items() if k != NEW_ID} == b,
+            "existing docs' simhashes must be unchanged")
+
+
+def _mut_train_test_split(base, pert, spark):
+    # find a fresh id for each split with the engine's own hash split,
+    # then plant one doc per split under a NEW lang: both (split, 'zz')
+    # rows must appear with exactly the planted token counts
+    from pyspark.sql import functions as F
+
+    from xboard_spark.operators.sampling import with_split
+
+    cand = spark.range(NEW_ID, NEW_ID + 1000).select(
+        F.col("id").alias("doc_id")
+    )
+    splits = {r.split: r.doc_id for r in with_split(cand, 10)
+              .groupBy("split").agg(F.min("doc_id").alias("doc_id"))
+              .select("split", "doc_id").collect()}
+    _assert(set(splits) == {"train", "test"}, f"need both splits: {splits}")
+    rows = []
+    for split, n_tok in (("train", 7), ("test", 3)):
+        text = " ".join(f"tok{i}" for i in range(n_tok))
+        rows.append({
+            "doc_id": splits[split], "text": text, "lang": "zz",
+            "source": "planted", "n_chars": len(text),
+        })
+    _append_rows(pert, "documents", rows)
+    return {}
+
+
+def _chk_train_test_split(base, pert, ctx):
+    new = {r.split: r for r in pert if r.lang == "zz"}
+    _assert(set(new) == {"train", "test"},
+            f"planted lang must appear in both splits: {set(new)}")
+    _assert((new["train"].n_docs, new["train"].total_tokens) == (1, 7)
+            and (new["test"].n_docs, new["test"].total_tokens) == (1, 3),
+            f"planted token counts wrong: {[tuple(r) for r in new.values()]}")
+    _assert(_rows_set(r for r in pert if r.lang != "zz") == _rows_set(base),
+            "other (split, lang) rows must be unchanged")
+
+
+def _mut_length_histogram(base, pert, spark):
+    n_tok = 5000  # far beyond any testdata doc -> a NEW bucket
+    text = "tok " * n_tok
+    _append_rows(pert, "documents", [{
+        "doc_id": NEW_ID, "text": text, "lang": "en", "source": "planted",
+        "n_chars": len(text),
+    }])
+    return {"bucket": (n_tok // 50) * 50, "n_chars": float(len(text))}
+
+
+def _chk_length_histogram(base, pert, ctx):
+    _assert(not any(r.bucket_lo == ctx["bucket"] for r in base),
+            "planted bucket must be new")
+    new = [r for r in pert if r.bucket_lo == ctx["bucket"]]
+    _assert(len(new) == 1 and new[0].n_docs == 1
+            and new[0].avg_chars == ctx["n_chars"],
+            f"planted bucket row wrong: {new}")
+    _assert(_rows_set(r for r in pert if r.bucket_lo != ctx["bucket"])
+            == _rows_set(base), "other buckets must be unchanged")
+
+
+def _mut_customer_lookup(base, pert, spark):
+    # isolation invariant: a point lookup for key 42 must be blind to any
+    # OTHER customer appearing
+    _append_rows(pert, "customer", [{
+        "c_custkey": NEW_ID, "c_name": "Customer#planted",
+        "c_nationkey": 0, "c_acctbal": 1.0, "c_mktsegment": "BUILDING",
+    }])
+    return {}
+
+
+def _chk_customer_lookup(base, pert, ctx):
+    _assert([tuple(r) for r in base] == [tuple(r) for r in pert],
+            "the key-42 lookup must not see an unrelated appended customer")
+
+
+def _mut_quality_scores(base, pert, spark):
+    _append_rows(pert, "documents", [{
+        "doc_id": NEW_ID, "text": "Ab cdef!", "lang": "zz",
+        "source": "planted", "n_chars": 8,
+    }])
+    return {}
+
+
+def _chk_quality_scores(base, pert, ctx):
+    new = [r for r in pert if r.doc_id == NEW_ID]
+    _assert(len(new) == 1, "planted doc must get exactly one row")
+    r = new[0]
+    # "Ab cdef!": 8 chars, tokens [ab, cdef], 6 alpha, 1 punct, 1 space
+    _assert((r.n_chars_m, r.n_tokens, r.alpha_ratio, r.punct_ratio,
+             r.stopword_ratio, r.spaces_per_token, r.mean_token_len)
+            == (8, 2, 0.75, 0.125, 0.0, 0.5, 3.0),
+            f"planted quality features wrong: {tuple(r)}")
+    _assert(_rows_set(r for r in pert if r.doc_id != NEW_ID)
+            == _rows_set(base), "other docs must be unchanged")
+
+
+def _mut_events_json(base, pert, spark):
+    _append_rows(pert, "events", [{
+        "event_id": NEW_ID, "ts": _TS(2024, 1, 20, 8, 0, 0),
+        "user_id": 1, "event_type": "planted", "value": 1.0,
+        "props": '{"k": 123456}',
+    }])
+    return {}
+
+
+def _chk_events_json(base, pert, ctx):
+    new = [r for r in pert if r.event_type == "planted"]
+    _assert(len(new) == 1, "planted event_type must get exactly one row")
+    r = new[0]
+    _assert((r.avg_k, r.min_k, r.max_k, r.distinct_k)
+            == (123456.0, 123456, 123456, 1),
+            f"planted k row wrong: {tuple(r)}")
+    _assert(_rows_set(r for r in pert if r.event_type != "planted")
+            == _rows_set(base), "other event types must be unchanged")
+
+
+def _mut_curation_stats(base, pert, spark):
+    # one doc PASSING the >= 40-token quality gate (60 unique tokens, so
+    # it cannot be a near-dup removal victim) and one FAILING it (10
+    # tokens): exactly ONE new row may appear
+    passing = " ".join(f"uniq{i}" for i in range(60))
+    failing = " ".join(f"shrt{i}" for i in range(10))
+    _append_rows(pert, "documents", [
+        {"doc_id": NEW_ID, "text": passing, "lang": "zz",
+         "source": "planted", "n_chars": len(passing)},
+        {"doc_id": NEW_ID + 1, "text": failing, "lang": "zz2",
+         "source": "planted", "n_chars": len(failing)},
+    ])
+    return {}
+
+
+def _chk_curation_stats(base, pert, ctx):
+    new = [r for r in pert if r.lang == "zz"]
+    _assert(len(new) == 1 and (new[0].n_docs, new[0].total_tokens)
+            == (1, 60),
+            f"gate-passing doc must appear with its 60 tokens: {new}")
+    _assert(not any(r.lang == "zz2" for r in pert),
+            "the 10-token doc must be EXCLUDED by the quality gate")
+    _assert(_rows_set(r for r in pert if r.lang != "zz") == _rows_set(base),
+            "other (lang, source) rows must be unchanged")
+
+
+CHECKS_STAGED_R13: dict[str, tuple] = {
+    "pii_scan": (_mut_pii_scan, _chk_pii_scan),
+    "simhash": (_mut_simhash, _chk_simhash),
+    "train_test_split": (_mut_train_test_split, _chk_train_test_split),
+    "length_histogram": (_mut_length_histogram, _chk_length_histogram),
+    "customer_lookup": (_mut_customer_lookup, _chk_customer_lookup),
+    "quality_scores": (_mut_quality_scores, _chk_quality_scores),
+    "events_json": (_mut_events_json, _chk_events_json),
+    "curation_stats": (_mut_curation_stats, _chk_curation_stats),
+}
+
+
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    names = sys.argv[2:] or list(CHECKS)
+    args = [a for a in sys.argv[1:] if a != "--staged"]
+    staged = "--staged" in sys.argv[1:]
+    src = args[0] if args else "/root/testdata/sf0.001"
+    pool = CHECKS_STAGED_R13 if staged else CHECKS
+    names = args[1:] or list(pool)
 
     import __spark_entry__ as E
     from xboard_spark.session import get_spark
@@ -356,7 +555,8 @@ def main() -> None:
     workroot = tempfile.mkdtemp(prefix="xboard_perturb_")
     try:
         for name in names:
-            mutate, check = CHECKS[name]
+            mutate, check = pool.get(name) or CHECKS.get(name) or \
+                CHECKS_STAGED_R13[name]
             pert_dir = os.path.join(workroot, name)
             _copy_fixture(src, pert_dir)
             try:
