@@ -97,6 +97,52 @@ def test_round_div_units_sign_symmetry(spark):
     assert d == (4.0, -4.0)
 
 
+def _py_round_half_away(n: int, d: int) -> int:
+    q = (2 * abs(n) + abs(d)) // (2 * abs(d))
+    return -q if (n < 0) != (d < 0) else q
+
+
+def test_round_div_units_matches_exact_integer_rounding(spark):
+    # 200 seeded random (N, D) pairs spanning signs and 1..1e24 — one
+    # Spark job against pure-python integer arithmetic, then the DuckDB
+    # twin on the same pairs. Catches any rounding-mode or precision
+    # drift in the decimal path that a hand-picked fixture could miss.
+    import random
+
+    rng = random.Random(12)
+    pairs = []
+    for _ in range(200):
+        # |n| <= 1e17 keeps every quotient inside the BIGINT fence (the
+        # loud-overflow path has its own dedicated test below)
+        n = rng.randint(0, 10 ** rng.randint(1, 17)) * rng.choice([1, -1])
+        d = rng.randint(1, 10 ** rng.randint(1, 12)) * rng.choice([1, -1])
+        pairs.append((str(n), str(d)))
+    df = spark.createDataFrame(pairs, "n string, d string")
+    got = (
+        df.select(
+            "n",
+            "d",
+            X.round_div_units(
+                F.col("n").cast("decimal(38,0)"),
+                F.col("d").cast("decimal(38,0)"),
+                1.0,
+            ).alias("q"),
+        )
+        .collect()
+    )
+    for r in got:
+        # float() rounds to nearest exactly like the JVM long->double
+        # narrow, so equality is exact even past 2^53
+        want = _py_round_half_away(int(r.n), int(r.d))
+        assert r.q == float(want), (r.n, r.d, r.q, want)
+    con = duckdb.connect()
+    for n, d in pairs[:50]:
+        (dq,) = con.execute(
+            f"select {X.duck_round_div_units(f'({n})::HUGEINT', f'({d})::HUGEINT', '1.0')}"
+        ).fetchone()
+        assert dq == float(_py_round_half_away(int(n), int(d))), (n, d, dq)
+
+
 def test_cent_narrow_is_the_loud_fence(spark):
     # result cents past 2^63 must ERROR (ANSI cast), never wrap or
     # silently degrade — the same fence as the plain cent-sum convention
