@@ -358,8 +358,20 @@ def bootstrap_mean_ci(
     w = F.lit(5)
     for k in reversed(range(len(POISSON1_CDF))):
         w = F.when(u < POISSON1_CDF[k], F.lit(k)).otherwise(w)
+    # replicate means in EXACT integer arithmetic (functions.exact,
+    # round 12): weights are small integers and o_totalprice is
+    # cent-quantized, so sum(w*cents) is an exact DECIMAL(38,0) sum and
+    # round(mean, 4) happens in integer space — the weighted double sum
+    # re-associated across partitions and round-on-huge split engines on
+    # the magnitude sweep (this was one of the two queries classified
+    # inherent-float in round 11; only the w*price product made it so)
+    from xboard_spark.functions import exact as X
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     weighted = staged.select(
-        "o_totalprice", F.col("r.b").alias("b"), w.cast("double").alias("w")
+        F.col("r.b").alias("b"),
+        w.cast("long").alias("w"),
+        (w.cast("long") * cents).cast("decimal(38,0)").alias("wc"),
     )
     # a replica whose Poisson weights are ALL zero has no resample mean
     # — probability (1/e)^n, so only plausible for tiny groups, where it
@@ -372,8 +384,10 @@ def bootstrap_mean_ci(
         .agg(
             F.when(
                 F.sum("w") > 0,
-                F.round(
-                    F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w"), 4
+                X.round_div_units(
+                    F.sum("wc") * F.lit(100),
+                    F.sum("w").cast("decimal(38,0)"),
+                    1e4,
                 ),
             ).alias("rep_mean")
         )
@@ -391,7 +405,11 @@ def bootstrap_mean_ci(
     point = orders.agg(
         F.count("*").alias("n_rows"),
         F.lit(n_replicas).cast("long").alias("n_replicas"),
-        F.round(F.avg("o_totalprice"), 4).alias("point_mean"),
+        X.round_div_units(
+            F.sum(cents.cast("decimal(38,0)")) * F.lit(100),
+            F.count("*").cast("decimal(38,0)"),
+            1e4,
+        ).alias("point_mean"),
     )
     return (
         point.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))

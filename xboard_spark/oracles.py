@@ -3194,19 +3194,30 @@ coined AS (
   FROM staged
 ),
 weighted AS (
-  SELECT o_totalprice, b,
+  -- exact integer replicate sums (functions.exact, round 12): integer
+  -- Poisson weight x integer cents in HUGEINT, rounding in integer space
+  SELECT b,
          (CASE WHEN u < 0.367879 THEN 0
                WHEN u < 0.735759 THEN 1
                WHEN u < 0.919699 THEN 2
                WHEN u < 0.981012 THEN 3
                WHEN u < 0.996340 THEN 4
-               ELSE 5 END)::DOUBLE AS w
+               ELSE 5 END)::BIGINT AS w,
+         (CASE WHEN u < 0.367879 THEN 0
+               WHEN u < 0.735759 THEN 1
+               WHEN u < 0.919699 THEN 2
+               WHEN u < 0.981012 THEN 3
+               WHEN u < 0.996340 THEN 4
+               ELSE 5 END)::HUGEINT
+           * CAST(round(o_totalprice * 100) AS BIGINT)::HUGEINT AS wc
   FROM coined
 ),
 reps AS (
   SELECT b,
          CASE WHEN sum(w) > 0
-              THEN round(sum(w * o_totalprice) / sum(w), 4) END AS rep_mean
+              THEN {duck_round_div_units("(sum(wc) * 100)",
+                                         "sum(w)::HUGEINT", "10000.0")}
+         END AS rep_mean
   FROM weighted GROUP BY 1
 ),
 ranked AS (
@@ -3214,7 +3225,9 @@ ranked AS (
 )
 SELECT (SELECT count(*) FROM orders)::BIGINT AS n_rows,
        32::BIGINT AS n_replicas,
-       (SELECT round(avg(o_totalprice), 4) FROM orders) AS point_mean,
+       (SELECT {duck_round_div_units(
+           "(sum(CAST(round(o_totalprice * 100) AS BIGINT)::HUGEINT) * 100)",
+           "count(*)::HUGEINT", "10000.0")} FROM orders) AS point_mean,
        (SELECT rep_mean FROM ranked WHERE rn = 1) AS ci_lo,
        (SELECT rep_mean FROM ranked WHERE rn = 32) AS ci_hi""",
         "text_embedding_alignment": f"""
