@@ -163,7 +163,12 @@ def test_bootstrap_survives_single_row_table(spark):
     )
     r = bootstrap_mean_ci(one).collect()[0]
     assert r.n_rows == 1 and r.point_mean == 100.0
-    assert r.ci_hi in (None, 100.0) and r.ci_lo in (None, 100.0)
+    # NULLS FIRST is the pinned null position (round 12): the zero-weight
+    # replicas rank LOW, so ci_lo is the NULL bound and ci_hi carries the
+    # value — before the pin the DuckDB twin's NULLS LAST default produced
+    # the MIRROR image (value, NULL) and the two engines silently diverged
+    # on any corpus with an all-zero replica
+    assert (r.ci_lo, r.ci_hi) == (None, 100.0)
 
 
 def test_probes_exclude_unidentified_or_unlabeled_rows(spark):

@@ -392,7 +392,11 @@ def bootstrap_mean_ci(
             ).alias("rep_mean")
         )
     )
-    win = Window.partitionBy().orderBy("rep_mean")
+    # NULLS FIRST explicitly (Spark's asc default, but PINNED because the
+    # twin must say it out loud: DuckDB defaults NULLS LAST, which
+    # mirrored the CI bounds on a degenerate corpus — (NULL, v) vs
+    # (v, NULL) — before both sides pinned the same null position
+    win = Window.partitionBy().orderBy(F.asc_nulls_first("rep_mean"))
     lo_rank = max(1, int(0.025 * n_replicas))
     hi_rank = min(n_replicas, int(0.975 * n_replicas) + 1)
     ranked = reps.withColumn("rn", F.row_number().over(win))

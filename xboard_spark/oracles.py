@@ -3221,7 +3221,11 @@ reps AS (
   FROM weighted GROUP BY 1
 ),
 ranked AS (
-  SELECT rep_mean, row_number() OVER (ORDER BY rep_mean) AS rn FROM reps
+  -- NULLS FIRST pinned explicitly: Spark windows default NULLS FIRST,
+  -- DuckDB defaults NULLS LAST — measured MIRRORED CI bounds on a
+  -- degenerate 1-row corpus ((NULL, v) vs (v, NULL)) before the pin
+  SELECT rep_mean,
+         row_number() OVER (ORDER BY rep_mean NULLS FIRST) AS rn FROM reps
 )
 SELECT (SELECT count(*) FROM orders)::BIGINT AS n_rows,
        32::BIGINT AS n_replicas,
