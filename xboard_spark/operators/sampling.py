@@ -400,11 +400,16 @@ def bootstrap_mean_ci(
     lo_rank = max(1, int(0.025 * n_replicas))
     hi_rank = min(n_replicas, int(0.975 * n_replicas) + 1)
     ranked = reps.withColumn("rn", F.row_number().over(win))
-    lo = ranked.filter(F.col("rn") == lo_rank).select(
-        F.col("rep_mean").alias("ci_lo")
+    # 1-row AGGREGATES, not 1-row filters: a filter over an empty corpus
+    # yields ZERO rows and the crossJoin below collapses the whole panel
+    # to nothing, where the twin's scalar subquery yields one NULL-bound
+    # row (round-12 empty-fixture sweep). min() over the <=1-row filter
+    # result is the value itself — or NULL on empty, matching the twin.
+    lo = ranked.filter(F.col("rn") == lo_rank).agg(
+        F.min("rep_mean").alias("ci_lo")
     )
-    hi = ranked.filter(F.col("rn") == hi_rank).select(
-        F.col("rep_mean").alias("ci_hi")
+    hi = ranked.filter(F.col("rn") == hi_rank).agg(
+        F.min("rep_mean").alias("ci_hi")
     )
     point = orders.agg(
         F.count("*").alias("n_rows"),
