@@ -489,8 +489,35 @@ _ROUND14_FIRST = [
 ]
 
 
+# Round-15 rotation, STAGED AHEAD (swap at the start of round 15;
+# re-validate against whatever rounds 13-15 add). Head: the remaining 25
+# r11-window rows in none of the r12/r13/r14 windows, in their r11
+# order; backfill: the oldest 25 r12-window rows in their r12 order. The
+# other 25 r12-window rows roll to round 16.
+_ROUND15_FIRST = [
+    # -- r11-window remainder (25) --
+    "doc_chunks", "doc_fingerprints", "dedup_token_savings",
+    "knn_label_vote", "boilerplate_ngrams", "dup_span_stats",
+    "basket_pairs", "value_outliers", "scd2_history", "table_profile",
+    "decayed_engagement", "salted_event_rollup", "fuzzy_customer_pairs",
+    "value_drift_psi", "incremental_daily_rollup", "orders_cdc_summary",
+    "event_transitions", "value_equidepth", "part_pagerank",
+    "keyword_pagerank", "source_contamination", "winsorized_stats",
+    "doc_stats", "session_stats", "dedup_clusters",
+    # -- oldest r12-window rows (25) --
+    "embedding_neardup", "knn_ivf", "ivf_cell_sizes",
+    "embedding_stats", "pq_quantization", "label_centroids",
+    "vocab_coverage", "char_lm_fluency", "truncation_recall", "knn_rrf",
+    "filter_funnel", "dataset_card", "similar_docs", "sql_status_panel",
+    "sql_orders_since", "daily_type_unpivot", "text_embedding_alignment",
+    "pii_scan", "top_orders_per_segment", "ann_recall_audit",
+    "prospect_customers", "segment_priority_chi2", "quality_weighted_sample",
+    "first_purchase_latency", "bounce_rate_by_dow",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dict ORDER is deliberate — see ``_ROUND12_FIRST``: the driver checks
+    """Dict ORDER is deliberate — see ``_ROUND13_FIRST``: the driver checks
     the first 50 entries per round, so entries rotate toward BOUNDED
     staleness: new queries and value-changed rewrites get a driver row the
     round they land (head of the active window), and every other
@@ -1031,7 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
     }
-    ordered = {name: base[name] for name in _ROUND12_FIRST}
+    ordered = {name: base[name] for name in _ROUND13_FIRST}
     ordered.update(base)  # remaining entries keep their relative order
     return ordered
 

@@ -94,9 +94,9 @@ def test_rotation_lists_are_valid():
     from the active one (otherwise a slot is wasted re-checking a fresh
     row while a stale one ages another round)."""
     q = set(entrymod.queries())
-    active = entrymod._ROUND12_FIRST
-    staged = entrymod._ROUND13_FIRST
-    staged2 = entrymod._ROUND14_FIRST
+    active = entrymod._ROUND13_FIRST
+    staged = entrymod._ROUND14_FIRST
+    staged2 = entrymod._ROUND15_FIRST
     for name, lst in [
         ("active", active),
         ("staged", staged),
@@ -112,7 +112,7 @@ def test_rotation_lists_are_valid():
 
 def test_queries_dict_leads_with_active_window():
     names = list(entrymod.queries())
-    assert names[:50] == entrymod._ROUND12_FIRST, (
+    assert names[:50] == entrymod._ROUND13_FIRST, (
         "queries() must emit the active rotation window first — the "
         "driver only checks the first 50 entries"
     )
