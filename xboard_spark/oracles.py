@@ -2711,7 +2711,7 @@ WITH jx AS (
 ),
 j AS (
   SELECT event_type,
-         TRY_CAST(CASE WHEN regexp_matches(ks, '^\s*[+-]?[0-9]+\s*$')
+         TRY_CAST(CASE WHEN regexp_matches(ks, '^\\s*[+-]?[0-9]+\\s*$')
                        THEN ks END AS BIGINT) AS k
   FROM jx
 )
@@ -2738,7 +2738,7 @@ WITH jx AS (
 ),
 j AS (
   SELECT event_type,
-         TRY_CAST(CASE WHEN regexp_matches(ks, '^\s*[+-]?[0-9]+\s*$')
+         TRY_CAST(CASE WHEN regexp_matches(ks, '^\\s*[+-]?[0-9]+\\s*$')
                        THEN ks END AS BIGINT) AS k
   FROM jx
 )
