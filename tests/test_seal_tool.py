@@ -97,6 +97,43 @@ def test_summarize_survives_missing_baseline_total(tmp_path, monkeypatch):
     assert "= ?x" in s and "vs ?s baseline" in s
 
 
+GREEN_NOTES = (
+    "# notes\n" + seal.BEGIN + "\n"
+    "Chain run by `tools/seal_round.py 13` at git `abc1234` (tree clean"
+    " at start)\n"
+    "- [x] `pytest` (100s): PASS — 500 passed\n\n"
+    "Seal verdict: **GREEN** — commit this file.\n" + seal.END + "\n"
+)
+
+
+def test_check_stamp_current_when_only_docs_changed():
+    """VERDICT r12 #6: evidence/docs commits after the sealed run are fine;
+    the stamp only goes stale on RUNTIME changes."""
+    ok, msg = seal.check_stamp(GREEN_NOTES, [])
+    assert ok, msg
+    ok, msg = seal.check_stamp(
+        GREEN_NOTES, ["NOTES_r13.md", "VERDICT.md", "BENCH_r13.json"]
+    )
+    assert ok, msg
+
+
+def test_check_stamp_stale_on_runtime_change():
+    for path in (
+        "xboard_spark/oracles.py", "tools/perturb_check.py",
+        "tests/test_seal_tool.py", "__spark_entry__.py", "bench.py",
+    ):
+        ok, msg = seal.check_stamp(GREEN_NOTES, ["NOTES_r13.md", path])
+        assert not ok and path in msg, (path, msg)
+
+
+def test_check_stamp_requires_green_seal():
+    ok, msg = seal.check_stamp("# notes, no seal section", [])
+    assert not ok and "no SEAL section" in msg
+    red = GREEN_NOTES.replace("**GREEN**", "**RED**")
+    ok, msg = seal.check_stamp(red, [])
+    assert not ok and "not GREEN" in msg
+
+
 def test_write_section_is_idempotent(tmp_path):
     notes = tmp_path / "NOTES_rX.md"
     notes.write_text("# header\n\nbody\n")

@@ -344,10 +344,10 @@ CHECKS: dict[str, tuple] = {
 
 
 # --------------------------------------------------------------------------
-# staged round-13 cohort (the rotation pattern applied to this gate):
-# tested green in round 12, promoted into CHECKS at the start of round 13
-# so each round's sealed evidence matches the coverage it claims. Run now
-# with: python tools/perturb_check.py <sf_dir> --staged
+# round-13 cohort (the rotation pattern applied to this gate): authored
+# and tested green in round 12, PROMOTED into CHECKS at the start of
+# round 13 (merged below) so each round's sealed evidence matches the
+# coverage it claims.
 # --------------------------------------------------------------------------
 
 
@@ -527,7 +527,7 @@ def _chk_curation_stats(base, pert, ctx):
             "other (lang, source) rows must be unchanged")
 
 
-CHECKS_STAGED_R13: dict[str, tuple] = {
+CHECKS.update({
     "pii_scan": (_mut_pii_scan, _chk_pii_scan),
     "simhash": (_mut_simhash, _chk_simhash),
     "train_test_split": (_mut_train_test_split, _chk_train_test_split),
@@ -536,14 +536,23 @@ CHECKS_STAGED_R13: dict[str, tuple] = {
     "quality_scores": (_mut_quality_scores, _chk_quality_scores),
     "events_json": (_mut_events_json, _chk_events_json),
     "curation_stats": (_mut_curation_stats, _chk_curation_stats),
-}
+})
+
+
+# --------------------------------------------------------------------------
+# staged round-14 cohort: authored and tested green in round 13, to be
+# promoted into CHECKS at the start of round 14. Run now with:
+#   python tools/perturb_check.py <sf_dir> --staged
+# --------------------------------------------------------------------------
+
+CHECKS_STAGED_R14: dict[str, tuple] = {}
 
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--staged"]
     staged = "--staged" in sys.argv[1:]
     src = args[0] if args else "/root/testdata/sf0.001"
-    pool = CHECKS_STAGED_R13 if staged else CHECKS
+    pool = CHECKS_STAGED_R14 if staged else CHECKS
     names = args[1:] or list(pool)
 
     import __spark_entry__ as E
@@ -556,7 +565,7 @@ def main() -> None:
     try:
         for name in names:
             mutate, check = pool.get(name) or CHECKS.get(name) or \
-                CHECKS_STAGED_R13[name]
+                CHECKS_STAGED_R14[name]
             pert_dir = os.path.join(workroot, name)
             _copy_fixture(src, pert_dir)
             try:

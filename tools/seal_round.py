@@ -22,6 +22,13 @@ ran on, THEN snapshot.
 Usage: python tools/seal_round.py ROUND [--skip-sf01] [--skip STEP ...]
   --skip-sf01     alias for --skip oracle_sf0.1 (the ~15-20 min sweep)
   --skip STEP     skip a named step, recorded as SKIPPED in the notes
+  --check-stamp   don't run the chain; verify the recorded seal is still
+                  current: the notes' recorded git hash must be GREEN and
+                  no RUNTIME file (xboard_spark/, tools/, tests/,
+                  __spark_entry__.py, bench.py) may have changed between
+                  it and HEAD. Exit 1 = a post-seal runtime commit landed
+                  (the r12 ``b0bce4a``-after-``cfba517`` gap) — re-run
+                  the chain (or the focused gates) and re-stamp.
 """
 
 from __future__ import annotations
@@ -135,12 +142,79 @@ def _write_section(notes: pathlib.Path, lines: list[str]) -> None:
     notes.write_text(text)
 
 
+# Paths whose post-seal change invalidates the recorded verification
+# (everything that can alter query results, gates, or measurements;
+# docs/evidence files are free to land after the seal).
+RUNTIME_PATHS = (
+    "xboard_spark/", "tools/", "tests/", "__spark_entry__.py", "bench.py",
+)
+
+
+def _is_runtime_path(path: str) -> bool:
+    return any(
+        path == p or path.startswith(p) for p in RUNTIME_PATHS
+    )
+
+
+def check_stamp(notes_text: str, changed_paths: list[str]) -> tuple[bool, str]:
+    """Pure core of --check-stamp: is the recorded seal still current?
+
+    ``changed_paths`` = files differing between the recorded seal hash and
+    HEAD. Returns (ok, message). Process fix for VERDICT r12 #6: a runtime
+    commit after the sealed run leaves the record one commit stale.
+    """
+    if BEGIN not in notes_text:
+        return False, "no SEAL section in the round notes — run the chain"
+    if "Seal verdict: **GREEN**" not in notes_text:
+        return False, "recorded seal is not GREEN — fix and re-run the chain"
+    stale = sorted({p for p in changed_paths if _is_runtime_path(p)})
+    if stale:
+        return False, (
+            "RUNTIME files changed after the sealed run — re-run the chain "
+            f"(or focused gates) and re-stamp: {stale}"
+        )
+    return True, "seal stamp current (post-seal diff touches no runtime file)"
+
+
+def _run_check_stamp(round_no: int) -> int:
+    notes = REPO / f"NOTES_r{round_no}.md"
+    if not notes.exists():
+        print(f"STAMP FAIL: {notes} missing")
+        return 1
+    text = notes.read_text()
+    m = re.search(r"Chain run by `tools/seal_round\.py \d+` at git `(\w+)`",
+                  text)
+    if not m:
+        print("STAMP FAIL: no recorded git hash in the SEAL section")
+        return 1
+    sealed = m.group(1)
+    diff = subprocess.run(
+        ["git", "diff", "--name-only", sealed, "HEAD"], cwd=REPO,
+        capture_output=True, text=True,
+    )
+    if diff.returncode != 0:
+        print(f"STAMP FAIL: git diff {sealed}..HEAD failed: {diff.stderr}")
+        return 1
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain"], cwd=REPO,
+        capture_output=True, text=True,
+    ).stdout
+    changed = [ln for ln in diff.stdout.splitlines() if ln.strip()]
+    changed += [ln[3:].strip() for ln in dirty.splitlines() if ln.strip()]
+    ok, msg = check_stamp(text, changed)
+    print(f"STAMP {'OK' if ok else 'FAIL'}: {msg} (sealed `{sealed}`)")
+    return 0 if ok else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("round", type=int)
     ap.add_argument("--skip-sf01", action="store_true")
     ap.add_argument("--skip", action="append", default=[])
+    ap.add_argument("--check-stamp", action="store_true")
     args = ap.parse_args()
+    if args.check_stamp:
+        return _run_check_stamp(args.round)
     skips = set(args.skip) | ({"oracle_sf0.1"} if args.skip_sf01 else set())
     unknown = skips - {n for n, _ in STEPS}
     if unknown:
