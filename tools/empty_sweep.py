@@ -6,13 +6,15 @@ exposed the bootstrap CI's crossJoin-with-empty collapse (round 12: a
 1-row FILTER over an empty corpus yields zero rows and nukes the whole
 panel, where a scalar subquery yields one NULL-bound row).
 
-Known classified non-passes on this fixture (NOTES_r12.md): three
-by-design loud Spark guards (ridge/logistic probe, silver demo), the
-Spark-vs-standard ROLLUP/CUBE-on-empty-relation boundary (Expand emits
-no () grand-total row where the standard and DuckDB emit one), and
-three oracle-twin-side empty-index CTE errors (embedding_neardup /
-knn_lsh / ann_recall_audit — Spark side returns the correct empty
-result).
+Expected baseline (round 13): **172/175 PASS, 3 failures** — all three
+by-design loud Spark guards (ridge_probe / logistic_probe: "embeddings
+table is empty"; streaming_silver_merge: "no usable purchase events").
+The round-12 classified non-passes were closed in round 13: the three
+oracle-twin empty-index CTE errors (embedding_neardup / knn_lsh /
+ann_recall_audit) by coalescing the mean-centering CTE's avg() to 0 on
+empty input, and the ROLLUP/CUBE-on-empty-relation boundary by
+``window_ops._grand_total_if_empty`` (Spark now emits the standard's
+``()`` grand-total row; pinned by tests/test_grouping_sets_empty.py).
 
 Usage: python tools/empty_sweep.py [src_sf_dir] [out_dir]
 Then:  python tools/check_oracle.py <out_dir>

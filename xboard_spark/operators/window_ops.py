@@ -96,9 +96,38 @@ def status_distinct_aggs(orders: DataFrame) -> DataFrame:
     )
 
 
+def _grand_total_if_empty(
+    src: DataFrame, keys: list, aggs: list, gid: int
+) -> DataFrame:
+    """The SQL-standard ROLLUP/CUBE on an EMPTY relation emits the ``()``
+    grand-total grouping set's row (COUNT 0, NULL sums) where Spark's
+    Expand-based plan emits zero rows (round-12 empty sweep; VERDICT r12
+    #4). Build that row with a global aggregate — always exactly one row,
+    even over empty input — and keep it ONLY when the relation is empty:
+    a broadcast LEFT ANTI against a ``limit(1)`` probe of the source. On
+    any non-empty input the probe row kills the guard row (the real
+    grand-total row comes from the Expand), and the probe is a
+    first-partition CollectLimit, never a full scan, at any scale."""
+    grand = (
+        src.agg(*aggs)
+        .select(
+            *[
+                F.lit(None).cast(src.schema[k].dataType).alias(k)
+                for k in keys
+            ],
+            "*",
+            F.lit(gid).cast("long").alias("gid"),
+        )
+    )
+    probe = src.select(F.lit(1).alias("_one")).limit(1)
+    return grand.join(F.broadcast(probe), F.lit(True), "left_anti")
+
+
 def revenue_rollup(lineitem: DataFrame) -> DataFrame:
     """ROLLUP (returnflag, linestatus): subtotals + grand total with
-    grouping_id — one Expand + hash aggregate, no extra scans.
+    grouping_id — one Expand + hash aggregate, no extra scans, plus the
+    ``_grand_total_if_empty`` guard so an empty relation yields the
+    standard's ``()`` row instead of Spark's zero rows.
 
     Revenue runs in exact integer units (``functions.exact`` — see
     ``tpch.pricing_summary``): the GRAND-total row sums the entire table,
@@ -106,21 +135,23 @@ def revenue_rollup(lineitem: DataFrame) -> DataFrame:
     shows up as the data grows."""
     from xboard_spark.functions import exact as X
 
-    return (
-        lineitem.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            X.units_sum_dollars(
-                X.disc_price_units(
-                    F.col("l_extendedprice"), F.col("l_discount")
-                ),
-                100,
-            ).alias("revenue"),
-            F.count("*").alias("n_items"),
-            F.grouping_id().cast("long").alias("gid"),
-        )
-        .orderBy(
-            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
-        )
+    aggs = [
+        X.units_sum_dollars(
+            X.disc_price_units(
+                F.col("l_extendedprice"), F.col("l_discount")
+            ),
+            100,
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    ]
+    main = lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        *aggs, F.grouping_id().cast("long").alias("gid")
+    )
+    guard = _grand_total_if_empty(
+        lineitem, ["l_returnflag", "l_linestatus"], aggs, gid=3
+    )
+    return main.unionByName(guard).orderBy(
+        F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
     )
 
 
@@ -232,20 +263,23 @@ def customer_order_gaps(orders: DataFrame, customer: DataFrame) -> DataFrame:
 def orders_cube(orders: DataFrame) -> DataFrame:
     """CUBE (status, priority): all 4 grouping combinations in one Expand +
     hash aggregate — the full grouping-sets surface next to
-    ``revenue_rollup``'s ROLLUP."""
+    ``revenue_rollup``'s ROLLUP, with the same ``_grand_total_if_empty``
+    guard (an empty relation yields the standard's ``()`` row)."""
     from xboard_spark.functions.exact import cent_sum_dollars
 
-    return (
-        orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            cent_sum_dollars(F.col("o_totalprice")).alias("total_price"),
-            F.grouping_id().cast("long").alias("gid"),
-        )
-        .orderBy(
-            F.asc_nulls_first("o_orderstatus"),
-            F.asc_nulls_first("o_orderpriority"),
-        )
+    aggs = [
+        F.count("*").alias("n_orders"),
+        cent_sum_dollars(F.col("o_totalprice")).alias("total_price"),
+    ]
+    main = orders.cube("o_orderstatus", "o_orderpriority").agg(
+        *aggs, F.grouping_id().cast("long").alias("gid")
+    )
+    guard = _grand_total_if_empty(
+        orders, ["o_orderstatus", "o_orderpriority"], aggs, gid=3
+    )
+    return main.unionByName(guard).orderBy(
+        F.asc_nulls_first("o_orderstatus"),
+        F.asc_nulls_first("o_orderpriority"),
     )
 
 

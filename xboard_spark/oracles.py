@@ -741,7 +741,14 @@ def _lsh_norms_sql(n_planes: int, n_tables: int) -> str:
         f"SELECT vec_id, {t} AS t, bucket_{t} AS bucket FROM norms"
         for t in range(n_tables)
     )
-    mean_list = ", ".join(f"avg(v[{d + 1}])" for d in range(DIM))
+    # coalesce(avg, 0): on an EMPTY corpus avg() is NULL and DuckDB's
+    # list_dot_product ERRORS on NULL elements (round-12 empty sweep;
+    # VERDICT r12 #3) — 0-offsets are harmless there because ``norms``
+    # (FROM corpus, offs) is empty anyway; value-identical whenever any
+    # row exists. Spark side already returns the correct empty result.
+    mean_list = ", ".join(
+        f"coalesce(avg(v[{d + 1}]), 0.0)" for d in range(DIM)
+    )
     return f"""corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
