@@ -429,13 +429,20 @@ _ROUND12_FIRST = [
 
 
 # Round-13 rotation, STAGED AHEAD (swap at the start of round 13;
-# re-validate against whatever rounds 12-13 add). Head: the 2 entries
+# re-validate against whatever rounds 12-13 add). Head: the round-13
+# value-CHANGING rewrite (input_bounds_audit gained the n_offgrid
+# quantization counters + the l_discount/l_tax rows, ADVICE r12 — a
+# rewrite needs a driver row the round it lands), then the 2 entries
 # the round-11 insertions displaced from the round-12 backfill
 # (effective_tokens, customer_spend_percentiles) plus the remaining 23
 # r9-window rows in none of the r10/r11/r12 windows, in their r9 order;
-# backfill: the oldest 25 r10-window rows in their r10 order. The other
-# 25 r10-window rows plus the round-11 head roll to round 14.
+# backfill: the oldest 25 r10-window rows in their r10 order. The
+# insertion displaces the tail entry (part_type_breakdown) into
+# input_bounds_audit's old round-14 slot — a one-for-one swap; the
+# other 25 r10-window rows plus capture_merge_audit roll to round 14.
 _ROUND13_FIRST = [
+    # -- round-13 rewrite (1) --
+    "input_bounds_audit",
     # -- r9-window remainder (2 + 23) --
     "effective_tokens", "customer_spend_percentiles",
     "order_fanout_profile", "watermark_delay_profile", "supplier_panel",
@@ -455,16 +462,17 @@ _ROUND13_FIRST = [
     "customer_lookup", "upsert_merge", "pricing_summary",
     "revenue_by_nation", "top_parts_by_revenue", "segment_top_orders",
     "order_priority_counts", "nation_market_share", "orders_above_cust_avg",
-    "part_type_breakdown",
 ]
 
 
 # Round-14 rotation, STAGED AHEAD (swap at the start of round 14;
-# re-validate against whatever rounds 12-14 add). Head: the remaining 25
+# re-validate against whatever rounds 13-14 add). Head: the remaining 25
 # r10-window rows in none of the r11/r12/r13 windows (in their r10
-# order) plus the round-11 head (input_bounds_audit, capture_merge_audit
-# — their only driver rows are r11, so they age with the r11 cohort);
-# backfill: the oldest 23 r11-window rows in their r11 order.
+# order), part_type_breakdown (displaced from the round-13 tail by the
+# input_bounds_audit rewrite insertion — it took input_bounds_audit's
+# old slot here), and capture_merge_audit (round-11 head; its only
+# driver row is r11, so it ages with the r11 cohort); backfill: the
+# oldest 23 r11-window rows in their r11 order.
 _ROUND14_FIRST = [
     # -- r10-window remainder (25) --
     "brand_promo_revenue", "tenant_orders_overview", "events_daily",
@@ -476,8 +484,8 @@ _ROUND14_FIRST = [
     "training_order_audit", "delta_dedup_stats", "zipf_fit",
     "bpe_merge_candidates", "bpe_learn", "user_rollup", "hourly_windows",
     "cohort_retention",
-    # -- round-11 head (2) --
-    "input_bounds_audit", "capture_merge_audit",
+    # -- displaced round-13 tail + round-11 head --
+    "part_type_breakdown", "capture_merge_audit",
     # -- oldest r11-window rows (23) --
     "epochs_plan", "events_json", "top_supplier_revenue", "quality_scores",
     "language_id", "doc_chunks_overlapping", "train_test_split",

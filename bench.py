@@ -249,6 +249,11 @@ def main() -> None:
     cal_pre = _calibrate()
 
     errors: dict[str, str] = {}
+    # a retry that crashes must NOT discard the already-successful
+    # original measurement (ADVICE r12): the gate evaluates the original
+    # number and the retry failure is recorded here, never in ``errors``
+    # (which reads the whole bench step red).
+    retry_errors: dict[str, str] = {}
     passes: list[dict[str, float]] = []
     for _ in range(3):
         # reclaim dead plan/shuffle state between passes: Spark's
@@ -427,12 +432,12 @@ def main() -> None:
                             dt = retry
                             stream_split = dict(LAST_DEMO_TIMINGS)
                     except Exception as exc:
-                        errors[name] = (
+                        # keep the original steady measurement; a flaky
+                        # retry must not turn a green step red
+                        retry_errors[name] = (
                             f"{type(exc).__name__}: {exc}".splitlines()[0][:200]
                         )
                         break
-                if name in errors:
-                    continue
                 ext_ratios[name] = round(dt / b, 2)
                 if dt > 2.0 * b and dt - b > 1.0:
                     extended_regressions.append(
@@ -460,12 +465,11 @@ def main() -> None:
                         dt, round(time.time() - t0, 3)
                     )
                 except Exception as exc:
-                    errors[name] = (
+                    # keep the original wall measurement (ADVICE r12)
+                    retry_errors[name] = (
                         f"{type(exc).__name__}: {exc}".splitlines()[0][:200]
                     )
                     break
-            if name in errors:
-                continue
             ext_ratios[name] = round(dt / b, 2)
             if dt > 2.0 * b and dt - b > 1.0:
                 extended_regressions.append(
@@ -493,6 +497,7 @@ def main() -> None:
                 "streaming_dedup_split": stream_split,
                 "regressions": regressions,
                 "errors": errors,
+                "retry_errors": retry_errors,
                 "calibration_sec": {"pre": cal_pre, "post": cal_post},
             }
         )

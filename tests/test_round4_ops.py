@@ -594,12 +594,62 @@ def test_input_bounds_audit_flags_corrupt_rows(spark):
     for key in (
         ("orders", "o_totalprice"),
         ("orders", "o_orderdate"),
+        ("lineitem", "l_discount"),
         ("lineitem", "l_extendedprice"),
+        ("lineitem", "l_tax"),
         ("lineitem", "l_shipdate"),
     ):
         r = out[key]
         assert (r.n_null, r.n_nonfinite, r.n_oob) == (0, 0, 0)
         assert r.n_ok == r.n_rows == 1
+
+
+def test_input_bounds_audit_counts_off_grid_values(spark):
+    """ADVICE r12: the x100-grid quantization contract — a dirty rate
+    (0.125) or dirty price (9.999) silently rounds inside cent_units /
+    pct_units with both engines agreeing, so the audit must surface it
+    at intake. Off-grid rows flag in n_offgrid but stay in n_ok (they
+    are in-fence and finite — a contract warning, not quarantine);
+    columns without the contract (timestamps) report NULL."""
+    import datetime as dt
+
+    ok_t = dt.datetime(2026, 3, 1, 12, 0)
+    ev = spark.createDataFrame(
+        [(1, ok_t, 1, "view", 1.25, "{}")],  # cent-clean
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 9.999, ok_t, "1-URGENT")],  # dirty price
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 10.0, 0.125, 0.02, "N", "O", ok_t),  # dirty d
+            (2, 1, 1, 1, 1.0, 10.01, 0.04, 0.08, "N", "O", ok_t),  # clean
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    out = {
+        (r.table_name, r.col_name): r
+        for r in profiling.input_bounds_audit(ev, orders, li).collect()
+    }
+    assert out[("events", "value")].n_offgrid == 0
+    assert out[("orders", "o_totalprice")].n_offgrid == 1
+    d = out[("lineitem", "l_discount")]
+    assert d.n_offgrid == 1 and d.n_ok == 2  # flagged, NOT quarantined
+    assert out[("lineitem", "l_extendedprice")].n_offgrid == 0
+    assert out[("lineitem", "l_tax")].n_offgrid == 0
+    for ts_key in (
+        ("events", "ts"),
+        ("orders", "o_orderdate"),
+        ("lineitem", "l_shipdate"),
+    ):
+        assert out[ts_key].n_offgrid is None  # no contract on timestamps
 
 
 def test_input_bounds_audit_empty_table_reports_zeros(spark):
@@ -623,11 +673,14 @@ def test_input_bounds_audit_empty_table_reports_zeros(spark):
         " l_shipdate timestamp",
     )
     rows = profiling.input_bounds_audit(ev, orders, li).collect()
-    assert len(rows) == 6
+    assert len(rows) == 8
     for r in rows:
         assert (r.n_rows, r.n_null, r.n_nonfinite, r.n_oob, r.n_ok) == (
             0, 0, 0, 0, 0
         )
+        # quantized columns audit 0 off-grid on empty (not NULL); columns
+        # without the contract stay NULL
+        assert r.n_offgrid == (None if r.kind == "timestamp" else 0)
 
 
 def test_quarantine_out_of_bounds_splits_on_audit_fences(spark):

@@ -129,6 +129,15 @@ def _mut_bounds(base, pert, spark):
         "user_id": 1, "event_type": "view", "value": 9.9e13,  # > 1e12 fence
         "props": "{}",
     }])
+    # off-x100-grid discount (ADVICE r12): 0.125 -> 12.5 "percent", the
+    # exact dirty-rate case pct_units would silently round — must count
+    # in n_offgrid while staying in n_ok (in-fence, finite)
+    _append_rows(pert, "lineitem", [{
+        "l_orderkey": NEW_ID, "l_partkey": 1, "l_suppkey": 1,
+        "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": 10.0,
+        "l_discount": 0.125, "l_tax": 0.02, "l_returnflag": "N",
+        "l_linestatus": "O", "l_shipdate": _TS(1996, 1, 1),
+    }])
     return {}
 
 
@@ -143,8 +152,18 @@ def _chk_bounds(base, pert, ctx):
     _assert(pt.n_rows == bt.n_rows + 1 and pt.n_ok == bt.n_ok + 1
             and pt.n_oob == bt.n_oob,
             f"events.ts: {tuple(bt)} -> {tuple(pt)} (want ok +1)")
+    bd, pd = b[("lineitem", "l_discount")], p[("lineitem", "l_discount")]
+    _assert(pd.n_offgrid == bd.n_offgrid + 1 and pd.n_ok == bd.n_ok + 1
+            and pd.n_oob == bd.n_oob,
+            f"l_discount: {tuple(bd)} -> {tuple(pd)} (want offgrid +1, "
+            "ok +1 — off-grid is a contract flag, not quarantine)")
+    for c in ("l_extendedprice", "l_tax"):
+        bc, pc = b[("lineitem", c)], p[("lineitem", c)]
+        _assert(pc.n_offgrid == bc.n_offgrid
+                and pc.n_ok == bc.n_ok + 1,
+                f"{c}: clean planted value must not count off-grid")
     for k in b:
-        if k[0] != "events":
+        if k[0] not in ("events", "lineitem"):
             _assert(tuple(b[k]) == tuple(p[k]), f"{k} must be unchanged")
 
 

@@ -2,8 +2,10 @@
 methodology the round notes use to confirm/deny driver-bench drift
 (caches cleared + GC between attempts, same warmup as bench.py).
 
-Usage: python tools/solo_bench.py <query> [n_attempts] [sf_dir]
-Prints one JSON line: {"query": ..., "attempts": [...], "min": ...}.
+Usage: python tools/solo_bench.py <query>[,<query>...] [n_attempts] [sf_dir]
+Prints one JSON line per query: {"query": ..., "attempts": [...], "min": ...}.
+(Several comma-separated queries share one session + warmup — the
+per-attempt protocol, cache clear + GC, is identical either way.)
 """
 
 from __future__ import annotations
@@ -37,16 +39,23 @@ def main() -> None:
         df = read_table(spark, sf_dir, t)
         df.select([F.count(c) for c in df.columns]).collect()
 
-    fn = entry.queries()[name]
-    attempts = []
-    for _ in range(n):
-        spark.catalog.clearCache()
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        attempts.append(round(time.time() - t0, 3))
-    print(json.dumps({"query": name, "attempts": attempts, "min": min(attempts)}))
+    registry = entry.queries()
+    for qname in name.split(","):
+        fn = registry[qname]
+        attempts = []
+        for _ in range(n):
+            spark.catalog.clearCache()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            attempts.append(round(time.time() - t0, 3))
+        print(
+            json.dumps(
+                {"query": qname, "attempts": attempts, "min": min(attempts)}
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -277,6 +277,7 @@ def bounds_audit(
     value_fence: float = 1.0e12,
     ts_lo: str = "1990-01-01",
     ts_hi: str = "2035-01-01",
+    quantized_cols: list[str] | None = None,
 ) -> DataFrame:
     """Typed intake-bounds panel for ONE table: per audited column, how
     many rows are NULL, non-finite (NaN/±Inf — numeric only), out of the
@@ -296,6 +297,24 @@ def bounds_audit(
     (``n_nonfinite``) and never double-counted as out-of-bounds;
     ``n_ok = n_rows - n_null - n_nonfinite - n_oob`` by construction.
 
+    ``quantized_cols`` (ADVICE r12): numeric columns contract-bound to
+    the engine's x100 integer grid — money to cents
+    (``exact.cent_units``), rates to integer percent (``pct_units``).
+    Those helpers silently round ``v * 100``, so a dirty input (discount
+    0.125, price 9.999) changes results without tripping any fence: both
+    engines round identically and the gate stays green. ``n_offgrid``
+    counts in-fence finite rows where ``abs(v*100 - round(v*100)) >
+    1e-9 + abs(v) * 1e-13`` — the additive term catches dirt near zero,
+    the relative term stays ~4x above the worst representation error of
+    a TRUE cent value (|v*100| * 2^-52; at the 1e12 fence that is
+    ~0.022, the threshold 0.1) while any real off-grid value deviates
+    by up to 0.5. Both engines evaluate the identical double expression
+    on identical inputs, so the verdict is cross-engine-stable even in
+    the gray zone. NULL ``n_offgrid`` = column has no quantization
+    contract; off-grid rows still count in ``n_ok`` (they are in-bounds
+    and finite — the flag is a contract warning for the exact-arithmetic
+    surface, not intake corruption).
+
     The surface is exact integers + constant strings only — hash-stable
     at any input magnitude by design (an audit that itself diverged on
     the corrupt data it exists to flag would be useless).
@@ -310,10 +329,30 @@ def bounds_audit(
     # NULLs (sum over zero rows is NULL in both engines; an intake gate
     # must report "0 corrupt rows", not "unknown")
     csum = lambda c: F.coalesce(F.sum(c), F.lit(0))  # noqa: E731
+    quantized = set(quantized_cols or [])
     aggs = [F.count("*").alias("_n_rows")]
     for c in numeric_cols:
         v = F.col(c)
         nonfinite = F.isnan(v) | (F.abs(v) == F.lit(inf))
+        in_fence = (
+            v.isNotNull()
+            & ~nonfinite
+            & (F.abs(v) <= F.lit(float(value_fence)))
+        )
+        offgrid = (
+            csum(
+                F.when(
+                    in_fence
+                    & (
+                        F.abs(v * 100 - F.round(v * 100))
+                        > F.lit(1.0e-9) + F.abs(v) * F.lit(1.0e-13)
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            if c in quantized
+            else F.lit(None).cast("long")
+        )
         aggs += [
             csum(v.isNull().cast("long")).alias(f"_null_{c}"),
             csum(F.when(v.isNotNull() & nonfinite, 1).otherwise(0)).alias(
@@ -327,6 +366,7 @@ def bounds_audit(
                     1,
                 ).otherwise(0)
             ).alias(f"_oob_{c}"),
+            offgrid.alias(f"_offgrid_{c}"),
         ]
     lo = F.lit(ts_lo).cast("timestamp")
     hi = F.lit(ts_hi).cast("timestamp")
@@ -338,6 +378,7 @@ def bounds_audit(
             csum(
                 F.when(v.isNotNull() & ((v < lo) | (v >= hi)), 1).otherwise(0)
             ).alias(f"_oob_{c}"),
+            F.lit(None).cast("long").alias(f"_offgrid_{c}"),
         ]
     one = df.agg(*aggs)
     rows = F.array(
@@ -350,6 +391,7 @@ def bounds_audit(
                 F.col(f"_null_{c}").cast("long").alias("n_null"),
                 F.col(f"_nonfin_{c}").cast("long").alias("n_nonfinite"),
                 F.col(f"_oob_{c}").cast("long").alias("n_oob"),
+                F.col(f"_offgrid_{c}").cast("long").alias("n_offgrid"),
                 (
                     F.col("_n_rows")
                     - F.col(f"_null_{c}")
@@ -419,12 +461,31 @@ def input_bounds_audit(
     cross-engine "for this magnitude") and the calendar-spine grids
     (``traffic_anomalies``) assume exactly the bounds this audit
     enforces. Default fences: |value| <= 1e12, ts in [1990-01-01,
-    2035-01-01)."""
+    2035-01-01).
+
+    Round 13 (ADVICE r12): every column feeding the exact-arithmetic
+    helpers carries the x100-grid quantization contract — events.value /
+    o_totalprice / l_extendedprice (``cent_units`` / ``cent_sum_dollars``)
+    and l_discount / l_tax (``pct_units``; the rate columns join the
+    audit here) — so a dirty rate like 0.125 surfaces as ``n_offgrid``
+    at intake instead of being silently rounded to a percent."""
     parts = [
-        bounds_audit(events, "events", ["value"], ["ts"]),
-        bounds_audit(orders, "orders", ["o_totalprice"], ["o_orderdate"]),
         bounds_audit(
-            lineitem, "lineitem", ["l_extendedprice"], ["l_shipdate"]
+            events, "events", ["value"], ["ts"], quantized_cols=["value"]
+        ),
+        bounds_audit(
+            orders,
+            "orders",
+            ["o_totalprice"],
+            ["o_orderdate"],
+            quantized_cols=["o_totalprice"],
+        ),
+        bounds_audit(
+            lineitem,
+            "lineitem",
+            ["l_discount", "l_extendedprice", "l_tax"],
+            ["l_shipdate"],
+            quantized_cols=["l_discount", "l_extendedprice", "l_tax"],
         ),
     ]
     out = parts[0]

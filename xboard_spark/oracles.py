@@ -2331,11 +2331,17 @@ def _bounds_audit_col_sql(
     value_fence: float = 1.0e12,
     ts_lo: str = "1990-01-01",
     ts_hi: str = "2035-01-01",
+    quantized: bool = False,
 ) -> str:
     """One (table, column) row of the intake bounds audit — mirrors
     operators.profiling.bounds_audit: NULL / non-finite / out-of-fence /
-    clean counts, exact integers only."""
+    off-x100-grid / clean counts, exact integers only. ``quantized``
+    mirrors the Spark side's quantized_cols (ADVICE r12): identical double
+    expression ``abs(v*100 - round(v*100)) > 1e-9 + abs(v)*1e-13`` on
+    identical inputs, so the verdict is cross-engine-stable by
+    construction; NULL n_offgrid = no quantization contract."""
     v = col_expr or col
+    offgrid_cnt = "NULL"
     if kind == "numeric":
         nonfin = f"(isnan({v}) OR isinf({v}))"
         nonfin_cnt = (
@@ -2346,6 +2352,14 @@ def _bounds_audit_col_sql(
             f"coalesce(sum(CASE WHEN {v} IS NOT NULL AND NOT {nonfin}"
             f" AND abs({v}) > {value_fence!r} THEN 1 ELSE 0 END), 0)"
         )
+        if quantized:
+            offgrid_cnt = (
+                f"coalesce(sum(CASE WHEN {v} IS NOT NULL AND NOT {nonfin}"
+                f" AND abs({v}) <= {value_fence!r}"
+                f" AND abs({v} * 100 - round({v} * 100))"
+                f" > 1e-9 + abs({v}) * 1e-13"
+                f" THEN 1 ELSE 0 END), 0)"
+            )
     else:
         nonfin_cnt = "0"
         oob_cnt = (
@@ -2362,6 +2376,7 @@ SELECT '{table}' AS table_name, '{col}' AS col_name, '{kind}' AS kind,
        {null_cnt}::BIGINT AS n_null,
        ({nonfin_cnt})::BIGINT AS n_nonfinite,
        ({oob_cnt})::BIGINT AS n_oob,
+       ({offgrid_cnt})::BIGINT AS n_offgrid,
        (count(*) - {null_cnt} - ({nonfin_cnt}) - ({oob_cnt}))::BIGINT AS n_ok
 FROM {table}"""
 
@@ -2390,11 +2405,19 @@ GROUP BY 1 ORDER BY 1"""
 
 def input_bounds_audit_sql() -> str:
     parts = [
-        _bounds_audit_col_sql("events", "value", "numeric"),
+        _bounds_audit_col_sql("events", "value", "numeric", quantized=True),
         _bounds_audit_col_sql("events", "ts", "timestamp", EVENTS_TS),
-        _bounds_audit_col_sql("orders", "o_totalprice", "numeric"),
+        _bounds_audit_col_sql(
+            "orders", "o_totalprice", "numeric", quantized=True
+        ),
         _bounds_audit_col_sql("orders", "o_orderdate", "timestamp"),
-        _bounds_audit_col_sql("lineitem", "l_extendedprice", "numeric"),
+        _bounds_audit_col_sql(
+            "lineitem", "l_discount", "numeric", quantized=True
+        ),
+        _bounds_audit_col_sql(
+            "lineitem", "l_extendedprice", "numeric", quantized=True
+        ),
+        _bounds_audit_col_sql("lineitem", "l_tax", "numeric", quantized=True),
         _bounds_audit_col_sql("lineitem", "l_shipdate", "timestamp"),
     ]
     return (
