@@ -562,9 +562,290 @@ CHECKS.update({
 # staged round-14 cohort: authored and tested green in round 13, to be
 # promoted into CHECKS at the start of round 14. Run now with:
 #   python tools/perturb_check.py <sf_dir> --staged
+# Families covered (all new to this gate): referential integrity, anti
+# join, time-grid heatmap, salted aggregation, lag/growth ladder, n-gram
+# novelty, deterministic stratified sampling, Markov transitions.
 # --------------------------------------------------------------------------
 
-CHECKS_STAGED_R14: dict[str, tuple] = {}
+
+def _round_half_up6(x: float) -> float:
+    """Mirror both engines' round(double, 6): HALF_UP on the shortest
+    decimal repr (JVM BigDecimal.valueOf == Python repr)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _mut_fk_integrity(base, pert, spark):
+    # one orphan lineitem (parent order missing) + one orphan order
+    # (parent customer missing); the planted order's key is NEW_ID, the
+    # orphan lineitem points at NEW_ID+1 so the planted order can never
+    # adopt it
+    _append_rows(pert, "lineitem", [{
+        "l_orderkey": NEW_ID + 1, "l_partkey": 1, "l_suppkey": 1,
+        "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": 10.0,
+        "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+        "l_linestatus": "O", "l_shipdate": _TS(1996, 1, 1),
+    }])
+    _append_rows(pert, "orders", [{
+        "o_orderkey": NEW_ID, "o_custkey": NEW_ID, "o_orderstatus": "F",
+        "o_totalprice": 1.0, "o_orderdate": _TS(1996, 1, 1),
+        "o_orderpriority": "3-MEDIUM",
+    }])
+    return {}
+
+
+def _chk_fk_integrity(base, pert, ctx):
+    b = {r.relationship: r for r in base}
+    p = {r.relationship: r for r in pert}
+    _assert(set(p) == set(b), f"panel rows must not change: {set(p)}")
+    for rel in b:
+        _assert(p[rel].n_child_rows == b[rel].n_child_rows + 1
+                and p[rel].n_orphans == b[rel].n_orphans + 1,
+                f"{rel}: {tuple(b[rel])} -> {tuple(p[rel])} "
+                "(want child +1, orphans +1)")
+
+
+def _mut_silent_customers(base, pert, spark):
+    nation = _read_rows(base, "nation")
+    target = next(n for n in nation if n["n_nationkey"] == 0)
+    _append_rows(pert, "customer", [{
+        "c_custkey": NEW_ID, "c_name": "Customer#silent",
+        "c_nationkey": 0, "c_acctbal": 55.25, "c_mktsegment": "BUILDING",
+    }])
+    return {"nation": target["n_name"]}
+
+
+def _chk_silent_customers(base, pert, ctx):
+    nn = ctx["nation"]
+    b = {r.nation_name: r for r in base}
+    p = {r.nation_name: r for r in pert}
+    bn, pn = b.get(nn), p[nn]
+    _assert(pn.n_silent == (bn.n_silent if bn else 0) + 1,
+            f"{nn} n_silent must move +1: {bn} -> {tuple(pn)}")
+    delta = pn.idle_balance - (bn.idle_balance if bn else 0.0)
+    _assert(abs(delta - 55.25) < 0.011,
+            f"{nn} idle_balance delta {delta} != +55.25")
+    _assert(_rows_set(r for r in pert if r.nation_name != nn)
+            == _rows_set(r for r in base if r.nation_name != nn),
+            "other nations must be unchanged")
+
+
+def _mut_heatmap(base, pert, spark):
+    # 2024-01-03 is a Wednesday -> Spark dayofweek 4; NEW user so the
+    # cell's distinct-user count must also move
+    _append_rows(pert, "events", [{
+        "event_id": NEW_ID, "ts": _TS(2024, 1, 3, 15, 30, 0),
+        "user_id": NEW_ID, "event_type": "view", "value": 1.0,
+        "props": "{}",
+    }])
+    return {"cell": (4, 15)}
+
+
+def _chk_heatmap(base, pert, ctx):
+    cell = ctx["cell"]
+    b = {(r.dow, r.hour): r for r in base}
+    p = {(r.dow, r.hour): r for r in pert}
+    total = sum(r.n_events for r in base)
+    bc = b.get(cell)
+    pc = p[cell]
+    _assert(pc.n_events == (bc.n_events if bc else 0) + 1
+            and pc.n_users == (bc.n_users if bc else 0) + 1,
+            f"planted cell {cell}: {bc and tuple(bc)} -> {tuple(pc)} "
+            "(want events +1, users +1)")
+    for k, r in p.items():
+        want_n = (b[k].n_events if k in b else 0) + (1 if k == cell else 0)
+        _assert(r.n_events == want_n, f"cell {k} n_events {r.n_events}"
+                f" != {want_n}")
+        if k != cell and k in b:
+            _assert(r.n_users == b[k].n_users,
+                    f"cell {k} n_users must not move")
+        # every share must use the GROWN denominator (same double
+        # division both sides -> exact)
+        _assert(r.share == r.n_events / (total + 1),
+                f"cell {k} share {r.share} != {r.n_events}/{total + 1}")
+
+
+def _mut_salted_rollup(base, pert, spark):
+    _append_rows(pert, "events", [
+        {"event_id": NEW_ID, "ts": _TS(2024, 1, 10, 8, 0, 0),
+         "user_id": 1, "event_type": "planted", "value": 1.25,
+         "props": "{}"},
+        {"event_id": NEW_ID + 1, "ts": _TS(2024, 1, 10, 9, 0, 0),
+         "user_id": 2, "event_type": "planted", "value": -0.5,
+         "props": "{}"},
+    ])
+    return {}
+
+
+def _chk_salted_rollup(base, pert, ctx):
+    new = [r for r in pert if r.event_type == "planted"]
+    _assert(len(new) == 1, "planted type must get exactly one rollup row")
+    r = new[0]
+    _assert((r.n_events, r.sum_value, r.min_value, r.max_value)
+            == (2, 0.75, -0.5, 1.25),
+            f"planted rollup row wrong: {tuple(r)}")
+    _assert(_rows_set(r for r in pert if r.event_type != "planted")
+            == _rows_set(base),
+            "the salt must not move any existing type's row")
+
+
+def _mut_mom_growth(base, pert, spark):
+    # a brand-new month AFTER every observed order month: one closed-form
+    # ladder row appears, every existing row (including its growth
+    # against ITS predecessor) stays identical
+    _append_rows(pert, "orders", [{
+        "o_orderkey": NEW_ID, "o_custkey": 1, "o_orderstatus": "F",
+        "o_totalprice": 100.0, "o_orderdate": _TS(2005, 6, 15),
+        "o_orderpriority": "3-MEDIUM",
+    }])
+    return {}
+
+
+def _chk_mom_growth(base, pert, ctx):
+    import datetime as dt
+
+    _assert(len(pert) == len(base) + 1, "exactly one new month row")
+    _assert([tuple(r) for r in pert[:-1]] == [tuple(r) for r in base],
+            "prior months (and their growth) must be unchanged")
+    last = base[-1]
+    r = pert[-1]
+    _assert(r.month == dt.date(2005, 6, 1) and r.n_orders == 1
+            and r.revenue == 100.0,
+            f"planted month row wrong: {tuple(r)}")
+    _assert(r.prev_revenue == last.revenue
+            and r.mom_growth == (100.0 - last.revenue) / last.revenue,
+            f"closed-form growth wrong: {tuple(r)} (prev {last.revenue})")
+
+
+def _mut_ngram_novelty(base, pert, spark):
+    # discover engine-split ids, then plant: one TRAIN doc and a TEST
+    # exact copy of it (novelty must be exactly 0.0) plus a TEST doc of
+    # pure gibberish (novelty exactly 1.0); the planted tokens exist
+    # nowhere else, so no other test doc's row can move
+    from pyspark.sql import functions as F
+
+    from xboard_spark.operators.sampling import with_split
+
+    cand = spark.range(NEW_ID, NEW_ID + 2000).select(
+        F.col("id").alias("doc_id")
+    )
+    ids = {
+        r.split: sorted(r.ids)
+        for r in with_split(cand, 10)
+        .groupBy("split")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .collect()
+    }
+    train_id = ids["train"][0]
+    copy_id, gib_id = ids["test"][0], ids["test"][1]
+    shared = " ".join(f"qv{chr(97 + i)}" for i in range(10))  # 8 shingles
+    gibber = " ".join(f"qz{chr(97 + i)}" for i in range(6))   # 4 shingles
+    _append_rows(pert, "documents", [
+        {"doc_id": train_id, "text": shared, "lang": "zz",
+         "source": "planted", "n_chars": len(shared)},
+        {"doc_id": copy_id, "text": shared, "lang": "zz",
+         "source": "planted", "n_chars": len(shared)},
+        {"doc_id": gib_id, "text": gibber, "lang": "zz",
+         "source": "planted", "n_chars": len(gibber)},
+    ])
+    return {"copy_id": copy_id, "gib_id": gib_id}
+
+
+def _chk_ngram_novelty(base, pert, ctx):
+    copy_id, gib_id = ctx["copy_id"], ctx["gib_id"]
+    p = {r.doc_id: r for r in pert}
+    c, g = p[copy_id], p[gib_id]
+    _assert((c.n_shingles, c.n_overlap, c.novelty) == (8, 8, 0.0),
+            f"exact copy of a train doc must score novelty 0: {tuple(c)}")
+    _assert((g.n_shingles, g.n_overlap, g.novelty) == (4, 0, 1.0),
+            f"pure gibberish must score novelty 1: {tuple(g)}")
+    _assert(_rows_set(r for r in pert if r.doc_id not in (copy_id, gib_id))
+            == _rows_set(base), "other test docs' rows must be unchanged")
+
+
+def _mut_stratified_sample(base, pert, spark):
+    # 7 docs under a NEW stratum vs the k=5 cap: exactly 5 sampled, ranks
+    # 1..5, tags ascending, all from the planted set; other strata
+    # untouched (stratum isolation is the whole point of stratification)
+    rows = []
+    for i in range(7):
+        text = f"stratum doc {i}"
+        rows.append({"doc_id": NEW_ID + i, "text": text, "lang": "zz",
+                     "source": "planted", "n_chars": len(text)})
+    _append_rows(pert, "documents", rows)
+    return {"ids": {NEW_ID + i for i in range(7)}}
+
+
+def _chk_stratified_sample(base, pert, ctx):
+    new = [r for r in pert if r.lang == "zz"]
+    _assert(len(new) == 5, f"k=5 cap must hold: {len(new)} zz rows")
+    _assert([r.rank for r in new] == [1, 2, 3, 4, 5], "ranks must be 1..5")
+    tags = [r.tag for r in new]
+    _assert(tags == sorted(tags), "sample order must follow the tag order")
+    _assert({r.doc_id for r in new} <= ctx["ids"],
+            "sampled docs must come from the planted stratum")
+    _assert(_rows_set(r for r in pert if r.lang != "zz") == _rows_set(base),
+            "other strata must be unchanged")
+
+
+def _mut_event_transitions(base, pert, spark):
+    # one NEW user with the 3-event chain pqa -> pqb -> pqc: three new
+    # transition rows with closed-form counts; the _start group's
+    # denominator grows by one user, so every existing _start row's
+    # probability shifts by exactly the recomputed quotient
+    _append_rows(pert, "events", [
+        {"event_id": NEW_ID + i, "ts": _TS(2024, 2, 1, 8, i, 0),
+         "user_id": NEW_ID, "event_type": t, "value": 1.0, "props": "{}"}
+        for i, t in enumerate(("pqa", "pqb", "pqc"))
+    ])
+    return {}
+
+
+def _chk_event_transitions(base, pert, ctx):
+    b = {(r.from_type, r.to_type): r for r in base}
+    p = {(r.from_type, r.to_type): r for r in pert}
+    start_total = sum(
+        r.n_transitions for r in base if r.from_type == "_start"
+    )
+    for key, n, denom in (
+        (("_start", "pqa"), 1, start_total + 1),
+        (("pqa", "pqb"), 1, 1),
+        (("pqb", "pqc"), 1, 1),
+    ):
+        r = p.get(key)
+        _assert(r is not None and r.n_transitions == n
+                and r.p_transition == _round_half_up6(n / denom),
+                f"planted transition {key} wrong: {r and tuple(r)}")
+    for key, r in p.items():
+        if key in (("_start", "pqa"), ("pqa", "pqb"), ("pqb", "pqc")):
+            continue
+        _assert(key in b, f"unexpected transition row {key}")
+        _assert(r.n_transitions == b[key].n_transitions,
+                f"{key}: count must not move")
+        want_p = (
+            _round_half_up6(r.n_transitions / (start_total + 1))
+            if key[0] == "_start"
+            else b[key].p_transition
+        )
+        _assert(r.p_transition == want_p,
+                f"{key}: p {r.p_transition} != {want_p}")
+
+
+CHECKS_STAGED_R14: dict[str, tuple] = {
+    "fk_integrity_audit": (_mut_fk_integrity, _chk_fk_integrity),
+    "customers_without_orders": (
+        _mut_silent_customers, _chk_silent_customers
+    ),
+    "activity_heatmap": (_mut_heatmap, _chk_heatmap),
+    "salted_event_rollup": (_mut_salted_rollup, _chk_salted_rollup),
+    "orders_mom_growth": (_mut_mom_growth, _chk_mom_growth),
+    "ngram_novelty": (_mut_ngram_novelty, _chk_ngram_novelty),
+    "stratified_sample": (_mut_stratified_sample, _chk_stratified_sample),
+    "event_transitions": (_mut_event_transitions, _chk_event_transitions),
+}
 
 
 def main() -> None:
