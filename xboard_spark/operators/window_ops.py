@@ -97,27 +97,28 @@ def status_distinct_aggs(orders: DataFrame) -> DataFrame:
 
 
 def _grand_total_if_empty(
-    src: DataFrame, keys: list, aggs: list, gid: int
+    src: DataFrame, keys: list, zero_aggs: list, gid: int
 ) -> DataFrame:
     """The SQL-standard ROLLUP/CUBE on an EMPTY relation emits the ``()``
-    grand-total grouping set's row (COUNT 0, NULL sums) where Spark's
-    Expand-based plan emits zero rows (round-12 empty sweep; VERDICT r12
-    #4). Build that row with a global aggregate — always exactly one row,
-    even over empty input — and keep it ONLY when the relation is empty:
-    a broadcast LEFT ANTI against a ``limit(1)`` probe of the source. On
-    any non-empty input the probe row kills the guard row (the real
-    grand-total row comes from the Expand), and the probe is a
-    first-partition CollectLimit, never a full scan, at any scale."""
-    grand = (
-        src.agg(*aggs)
-        .select(
-            *[
-                F.lit(None).cast(src.schema[k].dataType).alias(k)
-                for k in keys
-            ],
-            "*",
-            F.lit(gid).cast("long").alias("gid"),
-        )
+    grand-total grouping set's row where Spark's Expand-based plan emits
+    zero rows (round-12 empty sweep; VERDICT r12 #4). Aggregates over
+    zero rows are CLOSED-FORM — COUNT is 0, sums are NULL — so the row is
+    pure typed literals (``zero_aggs``) over a 1-row range, NEVER a
+    second aggregate scan of ``src`` (the first cut used a global agg
+    here; the plan audit showed it doubling the operators' shuffle/scan
+    count — a full re-scan of the table at any scale, paid on every run,
+    to build a row discarded whenever any data exists). It is kept ONLY
+    when the relation is empty: a broadcast LEFT ANTI against a
+    ``limit(1)`` probe — a first-partition CollectLimit, never a full
+    scan. tests/test_grouping_sets_empty.py pins both the empty-input
+    row and the non-empty no-duplication."""
+    grand = src.sparkSession.range(1).select(
+        *[
+            F.lit(None).cast(src.schema[k].dataType).alias(k)
+            for k in keys
+        ],
+        *zero_aggs,
+        F.lit(gid).cast("long").alias("gid"),
     )
     probe = src.select(F.lit(1).alias("_one")).limit(1)
     return grand.join(F.broadcast(probe), F.lit(True), "left_anti")
@@ -135,7 +136,7 @@ def revenue_rollup(lineitem: DataFrame) -> DataFrame:
     shows up as the data grows."""
     from xboard_spark.functions import exact as X
 
-    aggs = [
+    main = lineitem.rollup("l_returnflag", "l_linestatus").agg(
         X.units_sum_dollars(
             X.disc_price_units(
                 F.col("l_extendedprice"), F.col("l_discount")
@@ -143,12 +144,16 @@ def revenue_rollup(lineitem: DataFrame) -> DataFrame:
             100,
         ).alias("revenue"),
         F.count("*").alias("n_items"),
-    ]
-    main = lineitem.rollup("l_returnflag", "l_linestatus").agg(
-        *aggs, F.grouping_id().cast("long").alias("gid")
+        F.grouping_id().cast("long").alias("gid"),
     )
     guard = _grand_total_if_empty(
-        lineitem, ["l_returnflag", "l_linestatus"], aggs, gid=3
+        lineitem,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.lit(None).cast("double").alias("revenue"),  # SUM() of none
+            F.lit(0).cast("long").alias("n_items"),       # COUNT of none
+        ],
+        gid=3,
     )
     return main.unionByName(guard).orderBy(
         F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
@@ -267,15 +272,19 @@ def orders_cube(orders: DataFrame) -> DataFrame:
     guard (an empty relation yields the standard's ``()`` row)."""
     from xboard_spark.functions.exact import cent_sum_dollars
 
-    aggs = [
+    main = orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         cent_sum_dollars(F.col("o_totalprice")).alias("total_price"),
-    ]
-    main = orders.cube("o_orderstatus", "o_orderpriority").agg(
-        *aggs, F.grouping_id().cast("long").alias("gid")
+        F.grouping_id().cast("long").alias("gid"),
     )
     guard = _grand_total_if_empty(
-        orders, ["o_orderstatus", "o_orderpriority"], aggs, gid=3
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.lit(0).cast("long").alias("n_orders"),          # COUNT of none
+            F.lit(None).cast("double").alias("total_price"),  # SUM of none
+        ],
+        gid=3,
     )
     return main.unionByName(guard).orderBy(
         F.asc_nulls_first("o_orderstatus"),
