@@ -554,8 +554,13 @@ def prospect_customers(
 
 
 # one-slot cache registry for segment_priority_chi2's persisted cell
-# frame — see the unpersist note inside the function (ADVICE r11)
+# frame — see the unpersist note inside the function (ADVICE r11). The
+# lock makes the swap atomic under concurrent callers (ADVICE r12: a
+# racing pair could double-pop/double-append, leaking a persisted frame
+# or unpersisting one a peer still holds); the single-driver harness
+# never contends, so it costs nothing there.
 _CHI2_CELL_CACHE: list = []
+_CHI2_CELL_LOCK = __import__("threading").Lock()
 
 
 def segment_priority_chi2(customer: DataFrame, orders: DataFrame) -> DataFrame:
@@ -613,10 +618,11 @@ def segment_priority_chi2(customer: DataFrame, orders: DataFrame) -> DataFrame:
     # cell cache (ADVICE r11): steady state holds exactly one ~25-row
     # cached frame, never an unbounded accumulation; MEMORY_ONLY keeps
     # even that one LRU-evictable
-    prev = _CHI2_CELL_CACHE.pop() if _CHI2_CELL_CACHE else None
+    with _CHI2_CELL_LOCK:
+        prev = _CHI2_CELL_CACHE.pop() if _CHI2_CELL_CACHE else None
+        _CHI2_CELL_CACHE.append(observed)
     if prev is not None:
         prev.unpersist(blocking=False)
-    _CHI2_CELL_CACHE.append(observed)
     # dense (segment x priority) grid over the observed category values:
     # both sides are bounded category domains (broadcast cross join), and
     # every marginal stays > 0 because each value occurs in >= 1 row
