@@ -24,6 +24,7 @@ from xboard_spark.ingest import (
 )
 from xboard_spark.streaming.dedup import dedup_stream_demo
 from xboard_spark.streaming.webhook import silver_merge_demo
+from xboard_spark.streaming.windows import windows_stream_demo
 from xboard_spark.operators import (
     analytics,
     curation,
@@ -441,8 +442,9 @@ _ROUND12_FIRST = [
 # input_bounds_audit's old round-14 slot — a one-for-one swap; the
 # other 25 r10-window rows plus capture_merge_audit roll to round 14.
 _ROUND13_FIRST = [
-    # -- round-13 rewrite (1) --
-    "input_bounds_audit",
+    # -- round-13 addition + rewrite (2): the new streaming-windows face
+    # and the n_offgrid rewrite each need a driver row this round --
+    "streaming_tumbling_windows", "input_bounds_audit",
     # -- r9-window remainder (2 + 23) --
     "effective_tokens", "customer_spend_percentiles",
     "order_fanout_profile", "watermark_delay_profile", "supplier_panel",
@@ -461,19 +463,24 @@ _ROUND13_FIRST = [
     "orders_by_date_range", "top_customers", "recent_orders",
     "customer_lookup", "upsert_merge", "pricing_summary",
     "revenue_by_nation", "top_parts_by_revenue", "segment_top_orders",
-    "order_priority_counts", "nation_market_share", "orders_above_cust_avg",
+    "order_priority_counts", "nation_market_share",
 ]
 
 
 # Round-14 rotation, STAGED AHEAD (swap at the start of round 14;
-# re-validate against whatever rounds 13-14 add). Head: the remaining 25
-# r10-window rows in none of the r11/r12/r13 windows (in their r10
-# order), part_type_breakdown (displaced from the round-13 tail by the
+# re-validate against whatever rounds 13-14 add). Head:
+# orders_above_cust_avg (displaced from the round-13 tail by the
+# streaming_tumbling_windows insertion), the remaining 25 r10-window
+# rows in none of the r11/r12/r13 windows (in their r10 order),
+# part_type_breakdown (displaced from the round-13 tail by the
 # input_bounds_audit rewrite insertion — it took input_bounds_audit's
 # old slot here), and capture_merge_audit (round-11 head; its only
 # driver row is r11, so it ages with the r11 cohort); backfill: the
-# oldest 23 r11-window rows in their r11 order.
+# oldest 22 r11-window rows in their r11 order (tfidf_top_terms spilled
+# to the round-15 head by the round-13 insertions).
 _ROUND14_FIRST = [
+    # -- displaced round-13 tail (1) --
+    "orders_above_cust_avg",
     # -- r10-window remainder (25) --
     "brand_promo_revenue", "tenant_orders_overview", "events_daily",
     "pii_redact_stats", "quality_dup_correlation", "sole_late_suppliers",
@@ -493,16 +500,20 @@ _ROUND14_FIRST = [
     "sequence_packing", "dedup_exact", "dedup_prefix", "ngram_jaccard",
     "minhash_dedup", "decontamination", "simhash", "curation_stats",
     "segment_setops", "events_dedup",
-    "views_before_purchase", "repetition_stats", "tfidf_top_terms",
+    "views_before_purchase", "repetition_stats",
 ]
 
 
 # Round-15 rotation, STAGED AHEAD (swap at the start of round 15;
-# re-validate against whatever rounds 13-15 add). Head: the remaining 25
-# r11-window rows in none of the r12/r13/r14 windows, in their r11
-# order; backfill: the oldest 25 r12-window rows in their r12 order. The
-# other 25 r12-window rows roll to round 16.
+# re-validate against whatever rounds 13-15 add). Head: tfidf_top_terms
+# (spilled from the round-14 tail by the round-13 insertions) plus the
+# remaining 25 r11-window rows in none of the r12/r13/r14 windows, in
+# their r11 order; backfill: the oldest 24 r12-window rows in their r12
+# order. The other r12-window rows (from bounce_rate_by_dow, spilled
+# here by the same insertions) roll to round 16.
 _ROUND15_FIRST = [
+    # -- spilled round-14 tail (1) --
+    "tfidf_top_terms",
     # -- r11-window remainder (25) --
     "doc_chunks", "doc_fingerprints", "dedup_token_savings",
     "knn_label_vote", "boilerplate_ngrams", "dup_span_stats",
@@ -520,7 +531,7 @@ _ROUND15_FIRST = [
     "sql_orders_since", "daily_type_unpivot", "text_embedding_alignment",
     "pii_scan", "top_orders_per_segment", "ann_recall_audit",
     "prospect_customers", "segment_priority_chi2", "quality_weighted_sample",
-    "first_purchase_latency", "bounce_rate_by_dow",
+    "first_purchase_latency",
 ]
 
 
@@ -1057,6 +1068,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from the parity split (oracles.dedup_stream_sql)
         "streaming_dedup_pairs": lambda s, d: dedup_stream_demo(
             _t(s, d, "documents")
+        ),
+        # the tumbling-window streaming face (round 13, VERDICT r12 #8's
+        # sanctioned addition — the streaming/windows surface was
+        # pytest-only): two real availableNow runs over one checkpoint
+        # through the 1-day window state store; the twin is the batch
+        # day-grain rollup the merged state must reproduce exactly
+        "streaming_tumbling_windows": lambda s, d: windows_stream_demo(
+            _t(s, d, "events")
         ),
         # decode-integrity audit of the multimodal layer: closed-form
         # synthetic WAV/PPM/y4m payloads round-tripped through the REAL

@@ -173,6 +173,7 @@ EXTENDED = [
     "streaming_dedup_pairs",
     "input_bounds_audit",
     "capture_merge_audit",
+    "streaming_tumbling_windows",
 ]
 
 

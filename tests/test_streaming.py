@@ -182,6 +182,42 @@ def test_late_redelivery_past_watermark_hits_merge_backstop(spark, tmp_path):
     assert str(out[0].total_price) == "99.00"  # and the redelivery got through
 
 
+def test_windows_stream_demo_merges_state_across_restart(spark, tmp_path):
+    """The registered streaming_tumbling_windows face, closed-form: even
+    event_ids run in batch 1, odd in batch 2 (a genuine checkpoint
+    restart), and both hit the SAME day windows — the final counts are
+    only right if run 2 merged into run 1's state-store partials. A lost
+    state store would read odd-only counts."""
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            # day 1, type a: even id (batch 1) + odd id (batch 2)
+            (2, dt.datetime(2024, 3, 1, 8, 0), 1, "a", 1.25, "{}"),
+            (3, dt.datetime(2024, 3, 1, 9, 0), 2, "a", 2.00, "{}"),
+            # day 1, type b: odd only + a NULL value (counts, no sum)
+            (5, dt.datetime(2024, 3, 1, 10, 0), 1, "b", None, "{}"),
+            # day 2, type a: even only
+            (4, dt.datetime(2024, 3, 2, 8, 0), 1, "a", -0.50, "{}"),
+            # NULL ts / NULL type: excluded on both sides
+            (6, None, 1, "a", 9.0, "{}"),
+            (8, dt.datetime(2024, 3, 2, 9, 0), 1, None, 9.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    rows = windows.windows_stream_demo(ev, workdir=str(tmp_path / "wsd"))
+    got = [
+        (r.window_start, r.event_type, r.n_events, r.revenue)
+        for r in rows.collect()
+    ]
+    assert got == [
+        (dt.datetime(2024, 3, 1), "a", 2, 3.25),   # merged across runs
+        (dt.datetime(2024, 3, 1), "b", 1, None),   # NULL value: count only
+        (dt.datetime(2024, 3, 2), "a", 1, -0.50),
+    ]
+
+
 def test_tumbling_daily_counts(spark, tmp_path):
     src = _mk_webhooks(tmp_path, "tumble", WH)
     orders = webhook.parse_order_events(webhook.read_webhook_stream(spark, src))

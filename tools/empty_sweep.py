@@ -6,7 +6,7 @@ exposed the bootstrap CI's crossJoin-with-empty collapse (round 12: a
 1-row FILTER over an empty corpus yields zero rows and nukes the whole
 panel, where a scalar subquery yields one NULL-bound row).
 
-Expected baseline (round 13): **172/175 PASS, 3 failures** — all three
+Expected baseline (round 13): **173/176 PASS, 3 failures** — all three
 by-design loud Spark guards (ridge_probe / logistic_probe: "embeddings
 table is empty"; streaming_silver_merge: "no usable purchase events").
 The round-12 classified non-passes were closed in round 13: the three

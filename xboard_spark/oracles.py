@@ -4183,6 +4183,21 @@ c AS (
 SELECT event_id AS purchase_id, user_id,
        coalesce(nv, 0)::BIGINT AS n_views_before
 FROM c WHERE event_type = 'purchase' ORDER BY purchase_id""",
+        # twin of streaming.windows.windows_stream_demo: the streaming
+        # tumbling-window path (two availableNow runs over one
+        # checkpoint, state merged across the restart) must equal the
+        # plain batch day-grain rollup over the same rows; NULL ts /
+        # event_type rows are excluded on both sides (no event-time
+        # analog), and revenue is the exact cent-sum convention
+        "streaming_tumbling_windows": """
+SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0
+         AS revenue
+FROM events
+WHERE ts IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY window_start, event_type""",
         "hourly_windows": """
 SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start,
        date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR AS window_end,

@@ -6,6 +6,8 @@ the engine (ST3 semantics the reference only sketches in its schema).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -15,6 +17,7 @@ def tumbling_daily_order_counts(
     watermark_delay: str = "1 day",
     time_col: str = "created_at",
     key_col: str = "tenant_id",
+    value_col: str = "total_price",
 ) -> DataFrame:
     """A2's streaming analog: per-tenant daily order counts + revenue over
     event time. Emits one row per (window, tenant) — with partial aggregates
@@ -25,7 +28,7 @@ def tumbling_daily_order_counts(
         .groupBy(F.window(time_col, "1 day").alias("w"), key_col)
         .agg(
             F.count("*").alias("order_count"),
-            F.sum("total_price").alias("revenue"),
+            F.sum(value_col).alias("revenue"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -35,6 +38,145 @@ def tumbling_daily_order_counts(
             "revenue",
         )
     )
+
+
+def windows_stream_demo(
+    events: DataFrame, workdir: str | None = None
+) -> DataFrame:
+    """Registered batch-equivalence surface for the tumbling-window
+    streaming path (VERDICT r12 #8's sanctioned candidate: the
+    ``streaming/windows`` surface was pytest-only) — the
+    ``silver_merge_demo`` / ``dedup_stream_demo`` pattern applied to
+    ``tumbling_daily_order_counts``: derive a deterministic two-batch
+    fixture from ``events``, run it through the REAL windowed aggregation
+    (file source -> watermark -> 1-day tumbling window per event_type,
+    state store keyed on (window, type)) as TWO sequential
+    ``availableNow`` runs sharing one checkpoint, then return the final
+    window panel.
+
+    What the hash makes load-bearing:
+
+    * batch 1 = even event_ids, batch 2 = odd event_ids — both batches
+      hit the SAME day windows, so the final per-window counts are only
+      correct if run 2 (a genuine restart: a fresh query whose
+      aggregation state comes entirely from the checkpoint) MERGES
+      batch-2 rows into batch-1's state-store partials. Lost state reads
+      as odd-only counts and breaks the hash.
+    * revenue runs in exact integer cents end to end (``functions.exact``
+      convention): the fixture ships cents (long), the stream sums longs
+      in the state store — associative at any partitioning — and dollars
+      appear only in the final select, so the cross-engine hash has no
+      float-sum-order hazard.
+    * complete output mode + idempotent foreachBatch overwrite: the
+      final parquet is the full window panel regardless of how
+      availableNow slices the files into micro-batches (the watermark is
+      declared but not load-bearing — complete mode never evicts window
+      state; the DROP semantics of append-mode watermarking are a
+      different face).
+
+    Rows with NULL ts or event_type are excluded up front (event-time
+    streaming has no NULL-time analog; the twin mirrors the filter —
+    round-10 null-key sweep pattern). The DuckDB twin
+    (``oracles.py: streaming_tumbling_windows``) recomputes the panel as
+    the plain day-grain GROUP BY over the same rows: the streaming path
+    must equal the batch rollup exactly.
+
+    Driver footprint: the panel is (n_days x n_types) rows, collected
+    once so the temp fixture/checkpoint dirs can be removed before
+    returning; a caller-provided ``workdir`` is caller-owned and left in
+    place. At 100 TB this demo IS the production shape: the file source
+    becomes Kafka, the two runs a continuous trigger, and the panel the
+    downstream reader of the sink table."""
+    import glob
+    import shutil
+    import tempfile
+
+    spark = events.sparkSession
+    owns_workdir = workdir is None
+    if owns_workdir:
+        workdir = tempfile.mkdtemp(prefix="xboard_windows_demo_")
+    indir = os.path.join(workdir, "in")
+    out = os.path.join(workdir, "panel")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(indir, exist_ok=True)
+
+    base = events.filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type",
+        # cents at the source (NULL value stays NULL: count includes the
+        # row, the sum skips it — both engines)
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def _write_file(df: DataFrame, fname: str) -> None:
+        stage = os.path.join(workdir, f"_stage_{fname}")
+        df.select(
+            F.to_json(F.struct("event_id", "ts", "event_type", "cents"))
+            .alias("value")
+        ).coalesce(1).write.mode("overwrite").text(stage)
+        parts = glob.glob(os.path.join(stage, "part-*"))
+        if not parts:
+            raise ValueError(
+                f"windows_stream_demo: fixture {fname!r} produced no part "
+                "file — an event_id parity class is empty"
+            )
+        os.rename(parts[0], os.path.join(indir, fname))
+        shutil.rmtree(stage)
+
+    def _run_once() -> None:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts string, event_type string, cents long"
+            )
+            .json(indir)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        agg = tumbling_daily_order_counts(
+            stream,
+            watermark_delay="1 day",
+            time_col="ts",
+            key_col="event_type",
+            value_col="cents",
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("overwrite").parquet(out)
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        _write_file(base.filter(F.col("event_id") % 2 == 0), "batch1.json")
+        _run_once()
+        _write_file(base.filter(F.col("event_id") % 2 == 1), "batch2.json")
+        _run_once()
+        panel = (
+            spark.read.parquet(out)
+            .select(
+                "window_start",
+                "event_type",
+                F.col("order_count").cast("long").alias("n_events"),
+                (F.col("revenue").cast("double") / F.lit(100.0)).alias(
+                    "revenue"
+                ),
+            )
+            .orderBy("window_start", "event_type")
+        )
+        rows = panel.collect()  # n_days x n_types; detaches from temp files
+        schema = panel.schema
+    finally:
+        # only destroy what we created: a caller-provided workdir is
+        # caller-owned (fixture/panel/checkpoint kept for inspection)
+        if owns_workdir:
+            shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def sliding_event_rates(
