@@ -535,6 +535,39 @@ _ROUND15_FIRST = [
 ]
 
 
+# Round-16 rotation, STAGED AHEAD (swap at the start of round 16;
+# re-validate against whatever rounds 13-16 add). Head: bounce_rate_by_dow
+# (spilled from the round-15 tail by the round-13 insertions) plus the
+# remaining 25 r12-window rows in none of the r13/r14/r15 windows, in
+# their r12 order; backfill: the oldest 24 r13-window rows in their r13
+# order (the round-13 insertions streaming_tumbling_windows and
+# input_bounds_audit re-enter here, closing their ~3-round cycle).
+_ROUND16_FIRST = [
+    # -- spilled round-15 tail (1) --
+    "bounce_rate_by_dow",
+    # -- r12-window remainder (25) --
+    "knn_bruteforce", "knn_lsh", "streaming_silver_merge",
+    "top_customers_faithful", "media_decode_audit", "approx_cardinality",
+    "quantile_sketch_error", "kmeans_inertia", "canonical_docs",
+    "ngram_novelty", "semantic_decontam", "activity_heatmap",
+    "key_skew_profile", "temporal_split_audit", "session_paths",
+    "shipping_lag_stats", "lsh_candidate_profile", "fk_integrity_audit",
+    "user_erasure_audit", "ivf_delta_assign", "brand_supplier_diversity",
+    "revenue_change_forecast", "customer_entity_clusters",
+    "orders_mom_growth", "seasonal_naive_error",
+    # -- oldest r13-window rows (24) --
+    "streaming_tumbling_windows", "input_bounds_audit", "effective_tokens",
+    "customer_spend_percentiles", "order_fanout_profile",
+    "watermark_delay_profile", "supplier_panel", "revenue_concentration",
+    "cluster_size_profile", "props_key_coverage", "reading_level",
+    "simhash_neardup", "part_degree_profile", "copurchase_triangles",
+    "chunk_dedup_stats", "conversion_attribution", "lsh_recall_audit",
+    "events_json_variant", "status_distinct_aggs", "revenue_rollup",
+    "value_percentiles", "daily_type_pivot", "customers_without_orders",
+    "rolling_revenue",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate — see ``_ROUND13_FIRST``: the driver checks
     the first 50 entries per round, so entries rotate toward BOUNDED

@@ -97,10 +97,12 @@ def test_rotation_lists_are_valid():
     active = entrymod._ROUND13_FIRST
     staged = entrymod._ROUND14_FIRST
     staged2 = entrymod._ROUND15_FIRST
+    staged3 = entrymod._ROUND16_FIRST
     for name, lst in [
         ("active", active),
         ("staged", staged),
         ("staged+1", staged2),
+        ("staged+2", staged3),
     ]:
         assert len(lst) == 50, f"{name} window must be exactly 50"
         assert len(set(lst)) == 50, f"{name} window has duplicates"
@@ -108,6 +110,11 @@ def test_rotation_lists_are_valid():
         assert missing == [], f"{name} window names unregistered: {missing}"
     assert not set(active) & set(staged), "windows overlap"
     assert not set(staged) & set(staged2), "staged windows overlap"
+    assert not set(staged2) & set(staged3), "staged windows overlap"
+    # every registered query appears in at least one of the four windows
+    # (the ~3.5-round staleness bound, checkable now that 4 are staged)
+    uncovered = q - set(active) - set(staged) - set(staged2) - set(staged3)
+    assert not uncovered, f"queries outside the 4-round cycle: {uncovered}"
 
 
 def test_queries_dict_leads_with_active_window():

@@ -848,11 +848,320 @@ CHECKS_STAGED_R14: dict[str, tuple] = {
 }
 
 
+# --------------------------------------------------------------------------
+# staged round-15 cohort: authored and tested green in round 13 (one round
+# ahead of cadence — the round-13 board closed with budget left), to be
+# promoted into CHECKS at the start of round 15. Run now with:
+#   python tools/perturb_check.py <sf_dir> --staged-r15
+# Families covered (all new to this gate): trailing window frames (rolling
+# MA over observed days), top-k displacement, grouping-sets coherence (one
+# planted row must move leaf + subtotal + grand total together), as-of join
+# (incl. the no-prior-view and same-instant tie rules), TRANSITIVE-closure
+# clustering (a planted A~B~C chain whose A–C Jaccard is below tau by
+# construction, so only the components step can link them), sessionization
+# paths, governance erasure scope, pivot.
+# --------------------------------------------------------------------------
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Mirror both engines' round(double, nd): HALF_UP on the shortest
+    decimal repr (JVM BigDecimal.valueOf == Python repr)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _cents(x: float) -> int:
+    """Exact integer cents of a 2-decimal-clean double, HALF_UP — the
+    ``round(v * 100)::long`` convention of ``functions.exact``."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(x)).scaleb(2).to_integral_value(rounding=ROUND_HALF_UP)
+    )
+
+
+def _mut_rolling_revenue(base, pert, spark):
+    import datetime
+
+    max_d = max(r["o_orderdate"] for r in _read_rows(base, "orders"))
+    planted = (max_d + datetime.timedelta(days=30)).replace(
+        hour=0, minute=0, second=0, microsecond=0
+    )
+    _append_rows(pert, "orders", [{
+        "o_orderkey": NEW_ID, "o_custkey": 1, "o_orderstatus": "F",
+        "o_totalprice": 321.09, "o_orderdate": planted,
+        "o_orderpriority": "3-MEDIUM",
+    }])
+    return {"date": planted.date(), "price": 321.09}
+
+
+def _chk_rolling_revenue(base, pert, ctx):
+    _assert(len(pert) == len(base) + 1, "exactly one new daily row")
+    _assert([tuple(r) for r in pert[:-1]] == [tuple(r) for r in base],
+            "prior rows must be unchanged (the frame is TRAILING)")
+    new = pert[-1]
+    _assert(new.order_date == ctx["date"] and new.revenue == ctx["price"],
+            f"new daily row wrong: {tuple(new)}")
+    # closed-form ma7: the ROWS frame covers the last 7 OBSERVED days —
+    # the planted day plus the last 6 base days, in exact integer cents
+    last6 = base[-6:]
+    tot = sum(_cents(r.revenue) for r in last6) + _cents(ctx["price"])
+    cnt = len(last6) + 1
+    want = _round_half_up(tot / (cnt * 100.0), 4)
+    _assert(new.ma7 == want, f"ma7 {new.ma7} != closed-form {want}")
+
+
+def _mut_top_parts(base, pert, spark):
+    _append_rows(pert, "part", [{
+        "p_partkey": NEW_ID, "p_name": "planted mega part",
+        "p_brand": "Brand#99", "p_type": "PLANTED ANODIZED PLUTONIUM",
+        "p_size": 1, "p_retailprice": 100.0,
+    }])
+    _append_rows(pert, "lineitem", [{
+        "l_orderkey": NEW_ID, "l_partkey": NEW_ID, "l_suppkey": 1,
+        "l_linenumber": 1, "l_quantity": 7.0,
+        "l_extendedprice": 5_000_000.0, "l_discount": 0.0, "l_tax": 0.0,
+        "l_returnflag": "N", "l_linestatus": "O",
+        "l_shipdate": _TS(1996, 1, 1),
+    }])
+    return {}
+
+
+def _chk_top_parts(base, pert, ctx):
+    _assert(len(pert) == len(base), "k rows in, k rows out")
+    top = pert[0]
+    _assert(
+        (top.p_partkey, top.p_name, top.revenue, top.total_qty)
+        == (NEW_ID, "planted mega part", 5_000_000.0, 7.0),
+        f"planted part must take rank 1 exactly: {tuple(top)}",
+    )
+    _assert([tuple(r) for r in pert[1:]] == [tuple(r) for r in base[:-1]],
+            "ranks 2..k must be base ranks 1..k-1 (one displacement)")
+
+
+def _mut_revenue_rollup(base, pert, spark):
+    # a NEW (returnflag, linestatus) combination: one planted row must
+    # surface in THREE grouping sets at once — its leaf, its flag
+    # subtotal, and the grand total — and nowhere else
+    _append_rows(pert, "lineitem", [{
+        "l_orderkey": NEW_ID, "l_partkey": 1, "l_suppkey": 1,
+        "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": 10.0,
+        "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "Z",
+        "l_linestatus": "Q", "l_shipdate": _TS(1996, 1, 1),
+    }])
+    return {}
+
+
+def _chk_revenue_rollup(base, pert, ctx):
+    b = {(r.l_returnflag, r.l_linestatus, r.gid): r for r in base}
+    p = {(r.l_returnflag, r.l_linestatus, r.gid): r for r in pert}
+    _assert(set(p) == set(b) | {("Z", "Q", 0), ("Z", None, 1)},
+            f"exactly the Z leaf + Z subtotal must appear: {sorted(set(p) - set(b), key=str)}")
+    for key in [("Z", "Q", 0), ("Z", None, 1)]:
+        _assert((p[key].revenue, p[key].n_items) == (10.0, 1),
+                f"{key}: {tuple(p[key])} != (10.0, 1)")
+    gb, gp = b[(None, None, 3)], p[(None, None, 3)]
+    _assert(gp.n_items == gb.n_items + 1, "grand total n_items must move +1")
+    _assert(_cents(gp.revenue) == _cents(gb.revenue) + 1000,
+            f"grand total revenue must move exactly +10.00: "
+            f"{gb.revenue} -> {gp.revenue}")
+    for key in set(b) - {(None, None, 3)}:
+        _assert(tuple(p[key]) == tuple(b[key]),
+                f"untouched grouping set {key} must not move")
+
+
+def _mut_asof(base, pert, spark):
+    _append_rows(pert, "events", [
+        {"event_id": NEW_ID, "ts": _TS(2024, 3, 1, 10, 0, 0),
+         "user_id": NEW_ID, "event_type": "view", "value": 1.0,
+         "props": "{}"},
+        {"event_id": NEW_ID + 1, "ts": _TS(2024, 3, 1, 10, 5, 0),
+         "user_id": NEW_ID, "event_type": "view", "value": 1.0,
+         "props": "{}"},
+        # matches the LATEST prior view (NEW_ID+1), not the first
+        {"event_id": NEW_ID + 2, "ts": _TS(2024, 3, 1, 10, 7, 30),
+         "user_id": NEW_ID, "event_type": "purchase", "value": 9.99,
+         "props": "{}"},
+        # BEFORE any view of this user -> must emit NULL view, NULL gap
+        {"event_id": NEW_ID + 3, "ts": _TS(2024, 3, 1, 9, 0, 0),
+         "user_id": NEW_ID, "event_type": "purchase", "value": 9.99,
+         "props": "{}"},
+        # same instant as view NEW_ID+1 -> the or-equal tie rule: matched,
+        # gap exactly 0.0
+        {"event_id": NEW_ID + 4, "ts": _TS(2024, 3, 1, 10, 5, 0),
+         "user_id": NEW_ID, "event_type": "purchase", "value": 9.99,
+         "props": "{}"},
+    ])
+    return {}
+
+
+def _chk_asof(base, pert, ctx):
+    b = {r.purchase_id: r for r in base}
+    p = {r.purchase_id: r for r in pert}
+    _assert(set(p) == set(b) | {NEW_ID + 2, NEW_ID + 3, NEW_ID + 4},
+            "exactly the three planted purchases must appear")
+    for pid in b:
+        _assert(tuple(p[pid]) == tuple(b[pid]),
+                f"existing purchase {pid} must not move")
+    _assert((p[NEW_ID + 2].view_id, p[NEW_ID + 2].gap_sec)
+            == (NEW_ID + 1, 150.0),
+            f"latest-prior-view match: {tuple(p[NEW_ID + 2])}")
+    _assert((p[NEW_ID + 3].view_id, p[NEW_ID + 3].gap_sec) == (None, None),
+            f"no-prior-view purchase must emit NULLs: {tuple(p[NEW_ID + 3])}")
+    _assert((p[NEW_ID + 4].view_id, p[NEW_ID + 4].gap_sec)
+            == (NEW_ID + 1, 0.0),
+            f"same-instant view must match at gap 0: {tuple(p[NEW_ID + 4])}")
+
+
+# Planted near-dup chain for dedup_clusters, word-3-gram shingle algebra
+# (contiguous windows over a 21-token alphabet unique to the plant):
+#   A = w1..w15  -> shingles s1..s13   (13)
+#   B = w1..w20  -> shingles s1..s18   (18)
+#   C = w5..w21  -> shingles s5..s19   (15)
+#   J(A,B) = 13/18 = 0.722   >= tau  (band-collision P ~ 0.92, pinned)
+#   J(B,C) = 14/19 = 0.737   >= tau  (band-collision P ~ 0.92, pinned)
+#   J(A,C) =  9/19 = 0.474   <  tau  -> the exact-Jaccard verification
+#                                       REJECTS A-C structurally, so only
+#                                       the connected-components step can
+#                                       put A and C in one cluster
+# Band collision at J~0.72-0.74 is ~55-92% per link under the engine's
+# fixed (32-perm, 8-band) seeds — deterministic per alphabet, so the
+# "mm" suffix was SELECTED (from a 5-candidate scan) as one where both
+# links collide; any future hash/salt change re-rolls this and the check
+# fails loudly, which is the correct signal (it is a value-changing
+# rewrite of every minhash surface).
+_CHAIN_WORDS = [f"xqplant{i}mm" for i in range(1, 22)]
+
+
+def _mut_dedup_chain(base, pert, spark):
+    docs = []
+    for off, (lo, hi) in enumerate([(1, 15), (1, 20), (5, 21)]):
+        text = " ".join(_CHAIN_WORDS[lo - 1:hi])
+        docs.append({
+            "doc_id": NEW_ID + off, "text": text, "lang": "en",
+            "source": "planted", "n_chars": len(text),
+        })
+    _append_rows(pert, "documents", docs)
+    return {}
+
+
+def _chk_dedup_chain(base, pert, ctx):
+    bset = _rows_set(tuple(r) for r in base)
+    pset = _rows_set(tuple(r) for r in pert)
+    want = {(NEW_ID + i, NEW_ID, 3) for i in range(3)}
+    _assert(pset - bset == want,
+            f"the planted chain must form ONE cluster of 3 under its min "
+            f"doc_id: new rows {sorted(pset - bset)}")
+    _assert(bset - pset == set(),
+            f"existing clusters must not move: lost {sorted(bset - pset)}")
+
+
+def _mut_session_paths(base, pert, spark):
+    import __spark_entry__ as E
+
+    top = E.queries()["session_paths"](spark, base).first()
+    types = top.path.split(">")
+    _append_rows(pert, "events", [
+        {"event_id": NEW_ID + 100 + i, "ts": _TS(2024, 1, 10, 12, i, 0),
+         "user_id": NEW_ID + 10, "event_type": t, "value": 1.0,
+         "props": "{}"}
+        for i, t in enumerate(types)
+    ])
+    return {"path": top.path}
+
+
+def _chk_session_paths(base, pert, ctx):
+    _assert(len(pert) == len(base), "top-N row count must not change")
+    _assert(pert[0].path == ctx["path"]
+            and pert[0].n_sessions == base[0].n_sessions + 1,
+            f"top path must gain exactly one session: {tuple(base[0])} -> "
+            f"{tuple(pert[0])}")
+    _assert([tuple(r) for r in pert[1:]] == [tuple(r) for r in base[1:]],
+            "ranks 2..N must be unchanged")
+
+
+ERASE_UID = 97 * 10_000_000  # in the modulus-97 erase cohort; NEW_ID is not
+
+
+def _mut_erasure(base, pert, spark):
+    _append_rows(pert, "events", [{
+        "event_id": NEW_ID, "ts": _TS(2024, 1, 5, 0, 0, 0),
+        "user_id": ERASE_UID, "event_type": "view", "value": 1.0,
+        "props": "{}",
+    }])
+    _append_rows(pert, "orders", [{
+        "o_orderkey": NEW_ID, "o_custkey": NEW_ID, "o_orderstatus": "F",
+        "o_totalprice": 1.0, "o_orderdate": _TS(1996, 1, 1),
+        "o_orderpriority": "3-MEDIUM",
+    }])
+    return {}
+
+
+def _chk_erasure(base, pert, ctx):
+    b = {r.table_name: r for r in base}
+    p = {r.table_name: r for r in pert}
+    eb, ep = b["events"], p["events"]
+    _assert((ep.n_rows, ep.n_in_scope) == (eb.n_rows + 1, eb.n_in_scope + 1),
+            f"events: planted in-scope row must count: {tuple(ep)}")
+    _assert(ep.scope_share == (eb.n_in_scope + 1) / (eb.n_rows + 1),
+            f"events scope_share {ep.scope_share} off closed form")
+    ob, op = b["orders"], p["orders"]
+    _assert((op.n_rows, op.n_in_scope) == (ob.n_rows + 1, ob.n_in_scope),
+            f"orders: planted OUT-of-scope row must not enter scope: "
+            f"{tuple(op)}")
+    _assert(op.scope_share == ob.n_in_scope / (ob.n_rows + 1),
+            f"orders scope_share {op.scope_share} off closed form")
+
+
+def _mut_daily_pivot(base, pert, spark):
+    import datetime
+
+    max_ts = max(r["ts"] for r in _read_rows(base, "events"))
+    planted = (max_ts + datetime.timedelta(days=30)).replace(
+        hour=12, minute=0, second=0, microsecond=0
+    )
+    _append_rows(pert, "events", [{
+        "event_id": NEW_ID, "ts": planted, "user_id": 1,
+        "event_type": "purchase", "value": 2.5, "props": "{}",
+    }])
+    return {"date": planted.date()}
+
+
+def _chk_daily_pivot(base, pert, ctx):
+    _assert(len(pert) == len(base) + 1, "exactly one new day row")
+    _assert([tuple(r) for r in pert[:-1]] == [tuple(r) for r in base],
+            "existing day rows must not move")
+    new = pert[-1]
+    _assert(new.event_date == ctx["date"], f"new row date {new.event_date}")
+    _assert((new.click, new.error, new.purchase, new.signup, new.view)
+            == (0, 0, 1, 0, 0),
+            f"pivot cells must be purchase=1, rest 0: {tuple(new)}")
+
+
+CHECKS_STAGED_R15: dict[str, tuple] = {
+    "rolling_revenue": (_mut_rolling_revenue, _chk_rolling_revenue),
+    "top_parts_by_revenue": (_mut_top_parts, _chk_top_parts),
+    "revenue_rollup": (_mut_revenue_rollup, _chk_revenue_rollup),
+    "purchase_asof_view": (_mut_asof, _chk_asof),
+    "dedup_clusters": (_mut_dedup_chain, _chk_dedup_chain),
+    "session_paths": (_mut_session_paths, _chk_session_paths),
+    "user_erasure_audit": (_mut_erasure, _chk_erasure),
+    "daily_type_pivot": (_mut_daily_pivot, _chk_daily_pivot),
+}
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--staged"]
-    staged = "--staged" in sys.argv[1:]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     src = args[0] if args else "/root/testdata/sf0.001"
-    pool = CHECKS_STAGED_R14 if staged else CHECKS
+    if "--staged-r15" in flags:
+        pool = CHECKS_STAGED_R15
+    elif "--staged" in flags:
+        pool = CHECKS_STAGED_R14
+    else:
+        pool = CHECKS
     names = args[1:] or list(pool)
 
     import __spark_entry__ as E
@@ -865,7 +1174,7 @@ def main() -> None:
     try:
         for name in names:
             mutate, check = pool.get(name) or CHECKS.get(name) or \
-                CHECKS_STAGED_R14[name]
+                CHECKS_STAGED_R14.get(name) or CHECKS_STAGED_R15[name]
             pert_dir = os.path.join(workroot, name)
             _copy_fixture(src, pert_dir)
             try:
