@@ -104,6 +104,24 @@ def test_value_outliers_null_values_ignored_in_moments(spark):
     assert r.n_outliers == 0
 
 
+def test_value_outliers_degenerate_groups(spark):
+    # round-13 n=1 sweep finding: a single-valued group has no sample
+    # variance — std must be NULL and nothing flagged (the bare
+    # (n_vals - 1) division was an ANSI DIVIDE_BY_ZERO crash); an
+    # all-NULL group's mean gets the same contract; a healthy group in
+    # the same frame is untouched by the guards
+    ev = spark.createDataFrame(
+        [("solo", 5.0), ("ghost", None), ("ok", 1.0), ("ok", 3.0)],
+        "event_type string, value double",
+    )
+    out = {r.event_type: r for r in events.value_outliers(ev).collect()}
+    assert (out["solo"].mean_value, out["solo"].std_value,
+            out["solo"].n_outliers) == (5.0, None, 0)
+    assert (out["ghost"].mean_value, out["ghost"].std_value,
+            out["ghost"].n_outliers) == (None, None, 0)
+    assert out["ok"].mean_value == 2.0 and out["ok"].std_value is not None
+
+
 def test_scd2_history_planted(spark):
     d = lambda s: datetime.datetime.fromisoformat(s)  # noqa: E731
     orders = spark.createDataFrame(

@@ -458,21 +458,30 @@ def value_outliers(events: DataFrame, z: float = 3.0) -> DataFrame:
     per-row comparison is then bit-deterministic (ties sit on a
     measure-zero boundary). Std uses the explicit (ss - s^2/n)/(n-1)
     formula rather than each engine's stddev_samp (DuckDB's is
-    Welford-based — different association, different last ulps)."""
+    Welford-based — different association, different last ulps).
+
+    Degenerate-denominator contract (round-13 n=1 sweep finding): a
+    single-valued group has no sample variance — NULLIF(n-1, 0) makes
+    ``std_value`` NULL there (and the z-comparison then flags nothing)
+    on BOTH engines, where the bare division was an ANSI
+    DIVIDE_BY_ZERO crash; an all-NULL group's mean gets the same
+    NULLIF(n, 0) guard. Inert whenever a group has >= 2 values — the
+    guards cannot move a non-degenerate result."""
     moments = events.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.count("value").alias("n_vals"),
         F.sum("value").alias("s"),
         F.sum(F.col("value") * F.col("value")).alias("ss"),
     )
+    n_vals_nz = F.nullif(F.col("n_vals"), F.lit(0))
     stats = moments.select(
         "event_type",
         "n_events",
-        F.round(F.col("s") / F.col("n_vals"), 6).alias("mean_value"),
+        F.round(F.col("s") / n_vals_nz, 6).alias("mean_value"),
         F.round(
             F.sqrt(
-                (F.col("ss") - F.col("s") * F.col("s") / F.col("n_vals"))
-                / (F.col("n_vals") - 1)
+                (F.col("ss") - F.col("s") * F.col("s") / n_vals_nz)
+                / F.nullif(F.col("n_vals") - 1, F.lit(0))
             ),
             6,
         ).alias("std_value"),

@@ -2827,9 +2827,13 @@ WITH moments AS (
   FROM events GROUP BY 1
 ),
 stats AS (
+  -- NULLIF guards mirror the Spark side's degenerate-denominator
+  -- contract: n=1 group -> std NULL (no sample variance), all-NULL
+  -- group -> mean NULL; inert for any group with >= 2 values
   SELECT event_type, n_events,
-         round(s / n_vals, 6) AS mean_value,
-         round(sqrt((ss - s * s / n_vals) / (n_vals - 1)), 6) AS std_value
+         round(s / NULLIF(n_vals, 0), 6) AS mean_value,
+         round(sqrt((ss - s * s / NULLIF(n_vals, 0))
+                    / NULLIF(n_vals - 1, 0)), 6) AS std_value
   FROM moments
 )
 SELECT e.event_type, st.n_events, st.mean_value, st.std_value,
