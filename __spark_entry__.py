@@ -61,9 +61,14 @@ def _sql_orders_since(
     from xboard_spark.io import load_tables
 
     load_tables(spark, sf_dir, ("orders",))
+    # revenue in exact integer cents (functions.exact convention — the
+    # round-13 half-boundary sweep showed round(sum(double), 2) splits
+    # engines when off-grid inputs land the sum on a repr half-boundary)
     return spark.sql(
         "SELECT CAST(o_orderdate AS DATE) AS order_date, "
-        "count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue "
+        "count(*) AS n_orders, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)"
+        " / 100.0 AS revenue "
         "FROM orders WHERE o_orderdate >= CAST(:cutoff AS TIMESTAMP) "
         "GROUP BY 1 ORDER BY 1",
         args={"cutoff": f"{cutoff} 00:00:00"},

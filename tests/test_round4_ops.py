@@ -198,11 +198,30 @@ def test_table_profile_double_repr_is_plain_at_extreme_magnitude(spark):
     )
     out = {r.col_name: r for r in profiling.table_profile(df).collect()}
     expect_min, expect_max = duckdb.sql(
-        "SELECT round(-9.99e15::DOUBLE, 2)::DECIMAL(38,2)::VARCHAR,"
-        "       round(9.99e15::DOUBLE, 2)::DECIMAL(38,2)::VARCHAR"
+        "SELECT TRY_CAST(-9.99e15::DOUBLE AS DECIMAL(38,2))::VARCHAR,"
+        "       TRY_CAST(9.99e15::DOUBLE AS DECIMAL(38,2))::VARCHAR"
     ).fetchone()
     assert out["v"].min_repr == expect_min == "-9990000000000000.00"
     assert out["v"].max_repr == expect_max == "9990000000000000.00"
+
+
+def test_table_profile_double_repr_half_boundary(spark):
+    """Round-13 half-boundary probe: Spark's round(v, 2) quantizes HALF_UP
+    on the shortest decimal repr (8.165 -> 8.17) while DuckDB's round()
+    follows the binary value (8.165 -> 8.16) — but BOTH engines'
+    double->DECIMAL casts are repr-faithful and agree. The render
+    therefore casts directly with no pre-round; assert the repr-faithful
+    boundary on Spark's side and that DuckDB's cast produces the same
+    string for the same value."""
+    import duckdb
+
+    df = spark.createDataFrame([(1, 8.165), (2, 1.005)], "k long, v double")
+    out = {r.col_name: r for r in profiling.table_profile(df).collect()}
+    assert (out["v"].min_repr, out["v"].max_repr) == ("1.01", "8.17")
+    assert duckdb.sql(
+        "SELECT TRY_CAST(1.005::DOUBLE AS DECIMAL(38,2))::VARCHAR,"
+        "       TRY_CAST(8.165::DOUBLE AS DECIMAL(38,2))::VARCHAR"
+    ).fetchone() == ("1.01", "8.17")
 
 
 def test_decayed_engagement_halflife(spark):

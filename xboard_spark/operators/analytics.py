@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from xboard_spark.functions.exact import cent_sum_dollars
+
 
 def overview(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """A1 scalar-aggregate panel (``routes/analytics.js:33-39``).
@@ -33,7 +35,7 @@ def overview(customer: DataFrame, orders: DataFrame) -> DataFrame:
     cust_panel = customer.agg(F.count("*").alias("total_customers"))
     order_panel = orders.agg(
         F.count("*").alias("total_orders"),
-        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+        F.coalesce(cent_sum_dollars(F.col("o_totalprice")), F.lit(0.0)).alias(
             "total_revenue"
         ),
         F.min("o_orderstatus").alias("sample_status"),
@@ -64,7 +66,7 @@ def orders_by_date(
         df.groupBy(F.to_date("o_orderdate").alias("order_date"))
         .agg(
             F.count("*").alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            cent_sum_dollars(F.col("o_totalprice")).alias("revenue"),
         )
         .orderBy(F.desc("order_date"))
     )
@@ -90,7 +92,7 @@ def top_customers(orders: DataFrame, customer: DataFrame, k: int = 5) -> DataFra
         )
         .agg(
             F.count("o_orderkey").alias("orders_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            cent_sum_dollars(F.col("o_totalprice")).alias("total_spent"),
         )
         .orderBy(F.desc("total_spent"), F.asc("cust_id"))
         .limit(k)
@@ -156,7 +158,7 @@ def top_customers_faithful(orders: DataFrame, customer: DataFrame, on: str) -> D
         )
         .agg(
             F.count("o_orderkey").alias("orders_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            cent_sum_dollars(F.col("o_totalprice")).alias("total_spent"),
         )
         .orderBy(F.desc("total_spent"), F.asc("cust_name"))
     )
@@ -214,7 +216,7 @@ def tenant_orders_overview(
         joined.groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            cent_sum_dollars(F.col("o_totalprice")).alias("revenue"),
             F.count_distinct("o_custkey").alias("n_customers"),
         )
         .orderBy("o_orderstatus")

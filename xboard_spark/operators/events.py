@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from xboard_spark.functions.portable_hash import fingerprint64
+from xboard_spark.functions import exact as X
 
 
 def delivery_hash_col() -> F.Column:
@@ -123,7 +124,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            X.cent_sum_dollars(F.col("value")).alias("session_value"),
         )
         .withColumn(
             "duration_us",

@@ -32,17 +32,21 @@ def incremental_daily_rollup(
     Scale: history is touched only through its (tiny) stored partials —
     per-day rows, not per-order; the delta pays one scan + one shuffle on
     the group key. The oracle recomputes the rollup FROM SCRATCH over all
-    orders — the gate proves incremental == recompute. The revenue merge
-    re-associates double addition (partial + partial vs one stream), so
-    the output carries the repo-standard 2dp round the full-recompute
-    side also emits."""
+    orders — the gate proves incremental == recompute. Revenue partials
+    are EXACT integer cents (round-13 half-boundary sweep), so the
+    cross-batch merge is genuinely algebraic: long addition re-associates
+    losslessly where the previous double partials could drift a cent at a
+    repr half-boundary, and incremental == recompute holds bit-exactly at
+    any batch split."""
     day = F.to_date("o_orderdate").alias("order_date")
     base_partials = (
         orders.filter(F.col("o_orderdate") < cutoff)
         .groupBy(day)
         .agg(
             F.count("*").alias("order_count"),
-            F.sum("o_totalprice").alias("revenue"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("rev_cents"),
         )
     )
     delta_partials = (
@@ -50,7 +54,9 @@ def incremental_daily_rollup(
         .groupBy(day)
         .agg(
             F.count("*").alias("order_count"),
-            F.sum("o_totalprice").alias("revenue"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("rev_cents"),
         )
     )
     return (
@@ -58,7 +64,9 @@ def incremental_daily_rollup(
         .groupBy("order_date")
         .agg(
             F.sum("order_count").cast("long").alias("order_count"),
-            F.round(F.sum("revenue"), 2).alias("revenue"),
+            (F.sum("rev_cents").cast("double") / F.lit(100.0)).alias(
+                "revenue"
+            ),
         )
         .orderBy("order_date")
     )

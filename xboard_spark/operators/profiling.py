@@ -41,8 +41,15 @@ def _as_repr(agg, dtype: T.DataType):
     if isinstance(dtype, T.DoubleType):
         # try_cast: NaN and >1e36 degrade to NULL instead of the ANSI
         # overflow error (the twin's isfinite-guarded TRY_CAST matches —
-        # DuckDB's TRY_CAST itself RAISES on non-finite doubles)
-        return F.round(agg, 2).try_cast("decimal(38,2)").cast("string")
+        # DuckDB's TRY_CAST itself RAISES on non-finite doubles).
+        # Cast DIRECTLY, no round(v, 2) first (round-13 half-boundary
+        # probe): both engines' double->DECIMAL casts quantize HALF_UP on
+        # the shortest decimal repr and AGREE on half-boundary values
+        # (8.165 -> 8.17 both), while their round() functions split
+        # (Spark repr-based 8.17 vs DuckDB 8.16) — so a pre-round turns
+        # an off-grid input into a silent cross-engine divergence the
+        # direct cast avoids. Identity on cent-clean data either way.
+        return agg.try_cast("decimal(38,2)").cast("string")
     return agg.cast("string")
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from xboard_spark.functions import exact as X
 from pyspark.storagelevel import StorageLevel
 
 
@@ -492,10 +494,15 @@ def revenue_change_forecast(
     row-group stats), the aggregate is a single global sum, and nothing
     shuffles but one partial-sum row per partition.
 
-    Revenue is rounded to cents at the output (same 2dp convention as
-    pricing_summary; sums of doubles agree to well past 2dp on both
-    engines for this magnitude)."""
-    rev = F.col("l_extendedprice") * F.col("l_discount")
+    Revenue runs in exact integer units (``functions.exact``, round-13
+    half-boundary sweep): price*discount is exact in 1e-4-dollar units,
+    the DECIMAL(38,0) sum is associative at any partitioning, and the
+    round-to-cents happens in integer space — bit-identical to the
+    DuckDB twin even when off-grid inputs land the sum on a repr half
+    boundary."""
+    rev_units = X.cent_units(F.col("l_extendedprice")) * X.pct_units(
+        F.col("l_discount")
+    )
     return (
         lineitem.filter(
             (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
@@ -506,7 +513,7 @@ def revenue_change_forecast(
         )
         .agg(
             F.count("*").alias("n_lineitems"),
-            F.round(F.sum(rev), 2).alias("potential_revenue"),
+            X.units_sum_dollars(rev_units, 100).alias("potential_revenue"),
         )
     )
 
@@ -530,7 +537,11 @@ def prospect_customers(
     parquet scan; anti joins shuffle only keys), then a bounded-key
     rollup by nation."""
     thr = customer.filter(F.col("c_acctbal") > 0.0).agg(
-        F.round(F.avg("c_acctbal"), 2).alias("thr")
+        X.round_div_units(
+            F.sum(X.cent_units(F.col("c_acctbal"))),
+            F.nullif(F.count("c_acctbal"), F.lit(0)).cast("decimal(38,0)"),
+            100.0,
+        ).alias("thr")
     )
     rich = customer.crossJoin(F.broadcast(thr)).filter(
         F.col("c_acctbal") > F.col("thr")
@@ -547,7 +558,7 @@ def prospect_customers(
         prospects.groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_prospects"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            X.cent_sum_dollars(F.col("c_acctbal")).alias("total_acctbal"),
         )
         .orderBy("c_nationkey")
     )
@@ -699,8 +710,14 @@ def supplier_panel(supplier: DataFrame, nation: DataFrame) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
-            F.round(F.avg("s_acctbal"), 2).alias("avg_acctbal"),
+            X.cent_sum_dollars(F.col("s_acctbal")).alias("total_acctbal"),
+            X.round_div_units(
+                F.sum(X.cent_units(F.col("s_acctbal"))),
+                F.nullif(F.count("s_acctbal"), F.lit(0)).cast(
+                    "decimal(38,0)"
+                ),
+                100.0,
+            ).alias("avg_acctbal"),
             F.sum((F.col("s_acctbal") < 0).cast("long")).alias(
                 "n_negative"
             ),

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from xboard_spark.functions.exact import cent_sum_dollars
+
 
 def nation_customer_ranks(customer: DataFrame, nation: DataFrame, k: int = 3) -> DataFrame:
     """Ranking windows: top-k customers by account balance per nation, with
@@ -210,7 +212,7 @@ def customers_without_orders(
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
             F.count("*").alias("n_silent"),
-            F.round(F.sum("c_acctbal"), 2).alias("idle_balance"),
+            cent_sum_dollars(F.col("c_acctbal")).alias("idle_balance"),
         )
         .orderBy("nation_name")
     )
@@ -224,14 +226,19 @@ def rolling_revenue(orders: DataFrame, window_days: int = 7) -> DataFrame:
     days, not orders, so the single-partition sort is a few thousand rows at
     any raw-data scale. (Partition by year if the calendar itself gets big.)
     """
+    # daily revenue and the moving average both run over EXACT integer
+    # cents aggregated ONCE per row (round-13 half-boundary sweep: a
+    # rounded double sum splits engines when off-grid inputs land the sum
+    # on a repr half-boundary; the long sum is associative and
+    # engine-identical, and deriving cents directly avoids the
+    # dollars->cents double roundtrip that breaks past ~2^52 cents)
     daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_cents"
+        )
     )
-    # moving average over EXACT integer cents: a windowed avg over doubles
-    # is engine-order-dependent (segment-tree vs running sum) and can flip a
-    # rounding boundary; summing longs is exact in any order
     daily = daily.withColumn(
-        "rev_cents", F.round(F.col("revenue") * 100).cast("long")
+        "revenue", F.col("rev_cents").cast("double") / F.lit(100.0)
     )
     w = Window.orderBy("order_date").rowsBetween(-(window_days - 1), 0)
     return (
@@ -369,7 +376,7 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        cent_sum_dollars(F.col("o_totalprice")).alias("spend"),
     )
     # DESC orderings become ASC keys by negation: dates via epoch-day,
     # counts exactly representable as double, spend a 2-dp positive double.
@@ -536,7 +543,7 @@ def orders_mom_growth(orders: DataFrame) -> DataFrame:
         orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            cent_sum_dollars(F.col("o_totalprice")).alias("revenue"),
         )
     )
     w = Window.partitionBy().orderBy("month")
@@ -575,7 +582,7 @@ def customer_spend_percentiles(
     prunes to the decile."""
     spend = (
         orders.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .agg(cent_sum_dollars(F.col("o_totalprice")).alias("spend"))
         .join(
             F.broadcast(customer.select("c_custkey", "c_nationkey")),
             F.col("o_custkey") == F.col("c_custkey"),
@@ -608,9 +615,9 @@ def revenue_concentration(orders: DataFrame) -> DataFrame:
     customer frame (approx_percentile is the drop-in at scale), broadcast
     fences, conditional 1-row rollup. No global sort."""
     spend = orders.groupBy("o_custkey").agg(
-        F.round(F.round(F.sum("o_totalprice"), 2) * 100)
-        .cast("long")
-        .alias("cents")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
     )
     fences = spend.agg(
         F.floor(F.expr("percentile(cents, 0.99)")).cast("long").alias("f99"),

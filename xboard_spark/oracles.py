@@ -932,7 +932,7 @@ def rfm_segments_sql() -> str:
     return """
 WITH per_cust AS (
   SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS n_orders,
-         round(sum(o_totalprice), 2) AS spend
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS spend
   FROM orders GROUP BY o_custkey
 ),
 tiled AS (
@@ -2446,17 +2446,17 @@ def all_oracles() -> dict[str, str]:
 SELECT
   (SELECT count(*) FROM customer) AS total_customers,
   (SELECT count(*) FROM orders) AS total_orders,
-  (SELECT round(coalesce(sum(o_totalprice), 0), 2) FROM orders) AS total_revenue,
+  (SELECT coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0, 0) FROM orders) AS total_revenue,
   (SELECT min(o_orderstatus) FROM orders) AS sample_status""",
         "orders_by_date": """
 SELECT CAST(o_orderdate AS DATE) AS order_date,
        count(*) AS order_count,
-       round(sum(o_totalprice), 2) AS revenue
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS revenue
 FROM orders GROUP BY 1 ORDER BY order_date DESC""",
         "orders_by_date_range": """
 SELECT CAST(o_orderdate AS DATE) AS order_date,
        count(*) AS order_count,
-       round(sum(o_totalprice), 2) AS revenue
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS revenue
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'
@@ -2465,7 +2465,7 @@ GROUP BY 1 ORDER BY order_date DESC""",
 SELECT coalesce(c_custkey, -1) AS cust_id,
        coalesce(c_name, 'Guest Customer') AS cust_name,
        count(o_orderkey) AS orders_count,
-       round(sum(o_totalprice), 2) AS total_spent
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS total_spent
 FROM orders LEFT JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2 ORDER BY total_spent DESC, cust_id LIMIT 5""",
         "recent_orders": """
@@ -2677,7 +2677,7 @@ FROM part WHERE p_type IN ('STANDARD', 'SMALL')
 GROUP BY 1 ORDER BY 1""",
         "tenant_orders_overview": """
 SELECT o_orderstatus, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS revenue,
        count(DISTINCT o_custkey) AS n_customers
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE c_nationkey = 7
@@ -2846,8 +2846,8 @@ GROUP BY 1, 2, 3, 4 ORDER BY 1""",
 SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
        sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
        count(DISTINCT {c})::BIGINT AS n_distinct,
-       {f"CASE WHEN isfinite(min({c})) THEN TRY_CAST(round(min({c}), 2) AS DECIMAL(38,2)) END::VARCHAR" if c == "o_totalprice" else f"min({c})::VARCHAR"} AS min_repr,
-       {f"CASE WHEN isfinite(max({c})) THEN TRY_CAST(round(max({c}), 2) AS DECIMAL(38,2)) END::VARCHAR" if c == "o_totalprice" else f"max({c})::VARCHAR"} AS max_repr
+       {f"CASE WHEN isfinite(min({c})) THEN TRY_CAST(min({c}) AS DECIMAL(38,2)) END::VARCHAR" if c == "o_totalprice" else f"min({c})::VARCHAR"} AS min_repr,
+       {f"CASE WHEN isfinite(max({c})) THEN TRY_CAST(max({c}) AS DECIMAL(38,2)) END::VARCHAR" if c == "o_totalprice" else f"max({c})::VARCHAR"} AS max_repr
 FROM orders"""
             for c in sorted(
                 [
@@ -2935,10 +2935,10 @@ SELECT (CASE WHEN fp_us IS NULL THEN -1
 FROM pu GROUP BY 1 ORDER BY 1""",
         "prospect_customers": """
 WITH thr AS (
-  SELECT round(avg(c_acctbal), 2) AS thr FROM customer WHERE c_acctbal > 0.0
+  SELECT (CASE WHEN (sum(CAST(round(c_acctbal * 100) AS BIGINT)::HUGEINT) < 0) != (NULLIF(count(c_acctbal), 0)::HUGEINT < 0) THEN -((2 * abs(sum(CAST(round(c_acctbal * 100) AS BIGINT)::HUGEINT)) + abs(NULLIF(count(c_acctbal), 0)::HUGEINT)) // (2 * abs(NULLIF(count(c_acctbal), 0)::HUGEINT))) ELSE ((2 * abs(sum(CAST(round(c_acctbal * 100) AS BIGINT)::HUGEINT)) + abs(NULLIF(count(c_acctbal), 0)::HUGEINT)) // (2 * abs(NULLIF(count(c_acctbal), 0)::HUGEINT))) END)::BIGINT::DOUBLE / 100.0 AS thr FROM customer WHERE c_acctbal > 0.0
 )
 SELECT c_nationkey, count(*)::BIGINT AS n_prospects,
-       round(sum(c_acctbal), 2) AS total_acctbal
+       sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS total_acctbal
 FROM customer, thr
 WHERE c_acctbal > thr
   -- NOT EXISTS, deliberately not NOT IN: the operator's left_anti join
@@ -3032,7 +3032,7 @@ FROM j GROUP BY 1 ORDER BY 1""",
         "revenue_concentration": """
 WITH spend AS (
   SELECT o_custkey,
-         CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT) AS cents
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
   FROM orders GROUP BY 1
 ),
 f AS (
@@ -3053,8 +3053,8 @@ FROM spend, f""",
         "supplier_panel": """
 SELECT n_name,
        count(*)::BIGINT AS n_suppliers,
-       round(sum(s_acctbal), 2) AS total_acctbal,
-       round(avg(s_acctbal), 2) AS avg_acctbal,
+       sum(CAST(round(s_acctbal * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS total_acctbal,
+       (CASE WHEN (sum(CAST(round(s_acctbal * 100) AS BIGINT)::HUGEINT) < 0) != (NULLIF(count(s_acctbal), 0)::HUGEINT < 0) THEN -((2 * abs(sum(CAST(round(s_acctbal * 100) AS BIGINT)::HUGEINT)) + abs(NULLIF(count(s_acctbal), 0)::HUGEINT)) // (2 * abs(NULLIF(count(s_acctbal), 0)::HUGEINT))) ELSE ((2 * abs(sum(CAST(round(s_acctbal * 100) AS BIGINT)::HUGEINT)) + abs(NULLIF(count(s_acctbal), 0)::HUGEINT)) // (2 * abs(NULLIF(count(s_acctbal), 0)::HUGEINT))) END)::BIGINT::DOUBLE / 100.0 AS avg_acctbal,
        sum(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY 1 ORDER BY 1""",
@@ -3079,7 +3079,7 @@ SELECT count(*)::BIGINT AS n_events,
 FROM lat""",
         "customer_spend_percentiles": """
 WITH spend AS (
-  SELECT c_nationkey, c_custkey, round(sum(o_totalprice), 2) AS spend
+  SELECT c_nationkey, c_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS spend
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2
 ),
@@ -3141,7 +3141,7 @@ FROM t, du, cu""",
 WITH m AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
          count(*)::BIGINT AS n_orders,
-         round(sum(o_totalprice), 2) AS revenue
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS revenue
   FROM orders GROUP BY 1
 )
 SELECT month, n_orders, revenue,
@@ -3307,7 +3307,7 @@ ORDER BY d.event_date, t.event_type""",
         "sql_orders_since": """
 SELECT CAST(o_orderdate AS DATE) AS order_date,
        count(*)::BIGINT AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS revenue
 FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY 1 ORDER BY 1""",
         # avg_price rounds in INTEGER space (round 12): round() on the
@@ -3443,7 +3443,7 @@ SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_parts
 FROM deg GROUP BY 1 ORDER BY 1""",
         "revenue_change_forecast": """
 SELECT count(*)::BIGINT AS n_lineitems,
-       round(sum(l_extendedprice * l_discount), 2) AS potential_revenue
+       (CASE WHEN (sum(CAST(round((l_extendedprice) * 100) AS BIGINT)::HUGEINT * CAST(round((l_discount) * 100) AS BIGINT)::HUGEINT) < 0) != (100::HUGEINT < 0) THEN -((2 * abs(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)::HUGEINT * CAST(round((l_discount) * 100) AS BIGINT)::HUGEINT)) + abs(100::HUGEINT)) // (2 * abs(100::HUGEINT))) ELSE ((2 * abs(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)::HUGEINT * CAST(round((l_discount) * 100) AS BIGINT)::HUGEINT)) + abs(100::HUGEINT)) // (2 * abs(100::HUGEINT))) END)::BIGINT::DOUBLE / 100.0 AS potential_revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
@@ -3794,7 +3794,7 @@ GROUP BY 1 ORDER BY 1""",
         "incremental_daily_rollup": """
 SELECT CAST(o_orderdate AS DATE) AS order_date,
        count(*)::BIGINT AS order_count,
-       round(sum(o_totalprice), 2) AS revenue
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS revenue
 FROM orders GROUP BY 1 ORDER BY 1""",
         "orders_cdc_summary": """
 WITH old_snap AS (SELECT o_orderkey, o_totalprice FROM orders),
@@ -4017,7 +4017,7 @@ WITH o AS (SELECT * FROM orders WHERE o_custkey % 797 = 7),
      c AS (SELECT * FROM customer WHERE c_custkey % 797 = 7)
 SELECT coalesce(c_name, 'Guest Customer') AS cust_name,
        count(o_orderkey) AS orders_count,
-       round(sum(o_totalprice), 2) AS total_spent
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS total_spent
 FROM o LEFT JOIN c ON 1 = 1
 GROUP BY 1 ORDER BY total_spent DESC, cust_name""",
         # batch-equivalence twin of the ST4 streaming chain
@@ -4144,7 +4144,7 @@ SELECT CAST(ts AS DATE) AS event_date,
 FROM events GROUP BY 1 ORDER BY 1""",
         "customers_without_orders": """
 SELECT n_name AS nation_name, count(*) AS n_silent,
-       round(sum(c_acctbal), 2) AS idle_balance
+       sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT::DOUBLE / 100.0 AS idle_balance
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 WHERE NOT EXISTS (
   SELECT 1 FROM orders
@@ -4238,11 +4238,10 @@ GROUP BY 1, 2 ORDER BY label, dim_idx""",
         "rolling_revenue": """
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS order_date,
-         round(sum(o_totalprice), 2) AS revenue,
-         round(round(sum(o_totalprice), 2) * 100)::BIGINT AS rev_cents
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_cents
   FROM orders GROUP BY 1
 )
-SELECT order_date, revenue,
+SELECT order_date, rev_cents::DOUBLE / 100.0 AS revenue,
        round(sum(rev_cents) OVER w / (count(*) OVER w * 100.0), 4) AS ma7
 FROM daily
 WINDOW w AS (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
