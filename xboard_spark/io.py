@@ -20,6 +20,7 @@ Scale notes
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -97,6 +98,41 @@ def _nanos_timestamp_cols(path: str) -> set[str]:
     return ns_cols
 
 
+# Session-level table-HANDLE cache (the catalog analog — metadata only,
+# never data): every `spark.read.parquet` call costs ~200 ms of driver
+# work (file listing, footer schema inference, relation construction via
+# Py4J) before a single row is read, and the query registry re-opens its
+# input tables on every invocation — measured at 1-6 opens per query,
+# i.e. 0.2-1.2 s of pure table-open overhead inside each timed query
+# (optimization guide §5/§6: the driver should do no repeated metadata
+# work; production engines resolve tables through a catalog/manifest
+# exactly once). The cache returns the already-constructed DataFrame
+# handle for an UNCHANGED table; the data path is untouched — no
+# persist(), no materialization — every action still scans the parquet
+# files. Keyed by (Spark application, resolved path, on-disk file
+# signature): any file add/remove/rewrite (size or mtime) misses and
+# re-opens, so evolving tables (streaming appends, test fixtures
+# rewriting a dir) never see a stale schema or file set.
+_TABLE_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+_TABLE_CACHE_MAX = 64
+
+
+def _table_signature(path: str) -> tuple:
+    """(file, size, mtime_ns) per data file — cheap local stats (the
+    moral equivalent of a manifest snapshot id)."""
+    files = _list_parquet_files(path) if os.path.isdir(path) else [path]
+    return tuple(
+        (f, st.st_size, st.st_mtime_ns)
+        for f in sorted(files)
+        for st in (os.stat(f),)
+    )
+
+
+def clear_table_cache() -> None:
+    """Drop every cached table handle (tests / explicit invalidation)."""
+    _TABLE_CACHE.clear()
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (layout: ``{sf_dir}/{name}.parquet``).
 
@@ -119,8 +155,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       ``ts::TIMESTAMP``.
     * ``timestamp[us, UTC]`` — already TimestampType, no-op.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(path),
+        _table_signature(path),
+    )
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        _TABLE_CACHE.move_to_end(key)
+        return cached
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     long_cols = [
         f.name for f in df.schema.fields if isinstance(f.dataType, T.LongType)
@@ -136,6 +181,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    _TABLE_CACHE[key] = df
+    while len(_TABLE_CACHE) > _TABLE_CACHE_MAX:
+        _TABLE_CACHE.popitem(last=False)
     return df
 
 

@@ -180,9 +180,17 @@ def _pair_jaccard(
     inverted-index counts — no array materialization, no per-pair set
     intersection. shared(a,b) = |index join|, sizes from a groupBy; every
     step is a hash shuffle on a content key (scales linearly in index
-    size + candidate count)."""
-    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    size + candidate count).
+
+    With a candidate set, the size aggregate is RESTRICTED to candidate
+    docs first (semi-join before the groupBy): only candidate sizes are
+    ever consumed (the joins below are inner on doc_a/doc_b), so
+    aggregating the full index shuffles |corpus| rows to keep
+    |candidates| of them — at 100 TB the index is the big side and the
+    candidate set is the probe (round-13 optimization; result-identical
+    by construction, guide §2.3 "shuffle fewer bytes")."""
     if candidates is None:
+        sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
         a = inv.select(F.col("doc_id").alias("doc_a"), "shfp")
         b = inv.select(F.col("doc_id").alias("doc_b"), "shfp")
         shared = (
@@ -192,6 +200,16 @@ def _pair_jaccard(
             .agg(F.count("*").alias("shared"))
         )
     else:
+        cand_docs = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sizes = (
+            inv.join(cand_docs, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_sh"))
+        )
         # restrict the index join to the (small) LSH candidate set first
         a = candidates.join(
             inv.select(F.col("doc_id").alias("doc_a"), "shfp"), "doc_a"
