@@ -182,15 +182,15 @@ def _pair_jaccard(
     step is a hash shuffle on a content key (scales linearly in index
     size + candidate count).
 
-    With a candidate set, the size aggregate is RESTRICTED to candidate
-    docs first (semi-join before the groupBy): only candidate sizes are
-    ever consumed (the joins below are inner on doc_a/doc_b), so
-    aggregating the full index shuffles |corpus| rows to keep
-    |candidates| of them — at 100 TB the index is the big side and the
-    candidate set is the probe (round-13 optimization; result-identical
-    by construction, guide §2.3 "shuffle fewer bytes")."""
+    The size aggregate deliberately runs over the FULL index even when a
+    candidate set is given: restricting it with a semi-join on the
+    candidate docs was tried (round 13) and measured as a REGRESSION —
+    the candidate frame is an unpersisted plan (bands self-join +
+    distinct), and referencing it two more times to build the key set
+    re-derives that whole subtree per reference, which costs far more
+    than the one map-side-combined groupBy over the index it saves."""
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if candidates is None:
-        sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
         a = inv.select(F.col("doc_id").alias("doc_a"), "shfp")
         b = inv.select(F.col("doc_id").alias("doc_b"), "shfp")
         shared = (
@@ -200,16 +200,6 @@ def _pair_jaccard(
             .agg(F.count("*").alias("shared"))
         )
     else:
-        cand_docs = (
-            candidates.select(F.col("doc_a").alias("doc_id"))
-            .unionAll(candidates.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
-        )
-        sizes = (
-            inv.join(cand_docs, "doc_id", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_sh"))
-        )
         # restrict the index join to the (small) LSH candidate set first
         a = candidates.join(
             inv.select(F.col("doc_id").alias("doc_a"), "shfp"), "doc_a"

@@ -8,7 +8,7 @@ is oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from xboard_spark.functions.portable_hash import fingerprint64
@@ -326,38 +326,31 @@ def term_cooccurrence(
     (token count, pair count) stay IN the plan as one-row aggregates joined
     back via broadcast crossJoin — no driver-side collect/count actions, so
     the whole query is a single action."""
-    # Pair generation via lead() windows instead of the old
-    # explode(sequence) + (doc_id, pos) equi-join back onto the token
-    # stream (round-13 optimization): positions from posexplode are
-    # consecutive, so lead(word, j) IS the token at pos+j — the same
-    # (a, b-follows-within-window) multiset — and the join's two
-    # exchanges (tokens x window rows on one side, tokens on the other)
-    # collapse into the single doc_id exchange the window needs
-    # (guide §2.4 "remove shuffles outright"). The windowed frame is
-    # persisted once and feeds pairs AND unigram counts; the token
-    # total is the sum of unigram counts (same integer).
     tok = documents.select(
         "doc_id",
         F.posexplode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
         ).alias("pos", "word"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    nxt = tok.select(
-        "word",
-        F.array(
-            *[F.lead("word", j).over(win) for j in range(1, window + 1)]
-        ).alias("nexts"),
     ).persist()
-    uni = nxt.groupBy("word").agg(F.count("*").alias("cnt"))
-    token_total = uni.agg(F.sum("cnt").cast("double").alias("__n_tokens"))
-    pairs = nxt.select(
-        F.col("word").alias("w_a"), F.explode("nexts").alias("w_b")
-    ).filter(F.col("w_b").isNotNull())
+    token_total = tok.agg(F.count("*").cast("double").alias("__n_tokens"))
+    left = tok.select(
+        "doc_id",
+        F.col("word").alias("w_a"),
+        F.explode(
+            F.sequence(F.col("pos") + 1, F.col("pos") + window)
+        ).alias("pos_b"),
+    )
+    pairs = left.join(
+        tok.select(
+            "doc_id", F.col("pos").alias("pos_b"), F.col("word").alias("w_b")
+        ),
+        ["doc_id", "pos_b"],
+    )
     pair_counts = pairs.groupBy("w_a", "w_b").agg(F.count("*").alias("pair_n"))
     pair_total = pair_counts.agg(
         F.sum("pair_n").cast("double").alias("__n_pairs")
     )
+    uni = tok.groupBy("word").agg(F.count("*").alias("cnt"))
     scored = (
         pair_counts.filter(F.col("pair_n") >= min_count)
         .join(uni.select(F.col("word").alias("w_a"), F.col("cnt").alias("cnt_a")), "w_a")

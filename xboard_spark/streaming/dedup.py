@@ -106,13 +106,8 @@ class IncrementalDedupIndex:
         self._live = []
         inv_old = self._read("inv")
         if inv_old is not None:
-            # no distinct() on the anti-join key frame: LEFT ANTI is
-            # set-semantics on the right side already, and the distinct
-            # cost a full aggregate of the accumulated index's doc_id
-            # column every batch (round-13 optimization — one fewer
-            # exchange per micro-batch, identical result)
             documents = documents.join(
-                inv_old.select("doc_id"), "doc_id", "left_anti"
+                inv_old.select("doc_id").distinct(), "doc_id", "left_anti"
             )
         inv_new = filtered_index(shingle_index(documents), self.max_df).persist()
         sigs_new = minhash_signatures(inv_new)
