@@ -157,20 +157,50 @@ def cached_filtered_index(documents: DataFrame, n: int, max_df: int) -> DataFram
     return _INDEX_CACHE[key]
 
 
-def filtered_index(inv: DataFrame, max_df: int) -> DataFrame:
+def filtered_index(
+    inv: DataFrame, max_df: int, *, rejoin: bool = False
+) -> DataFrame:
     """Drop stop-shingles (document frequency > max_df) from the index.
 
     The standard stop-shingle treatment — like stopword removal, it both
     bounds the pair-join fan-out to sum(df^2) over surviving shingles AND
     keeps Jaccard well-defined over the filtered sets. Without it one
-    ubiquitous shingle makes candidate generation quadratic in the corpus."""
-    df_ok = (
-        inv.groupBy("shfp")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("shfp")
+    ubiquitous shingle makes candidate generation quadratic in the corpus.
+
+    Two result-identical shapes, chosen per call site from round-13
+    interleaved A/B measurements:
+
+    * default (``rejoin=False``): df as a COUNT window over shfp. The
+      old groupBy + join-back form references ``inv`` twice and the
+      optimizer re-derives the whole tokenize->window->fingerprint
+      subtree for each reference — the plan showed TWO full document
+      scans inside one index build (measured 1.83 s -> 0.98 s warm at
+      sf0.1 for the full-corpus build alone, identical 260 388 rows).
+      One subtree, one exchange on the uniformly-distributed shfp key;
+      at 100 TB the join form's broadcast of the surviving-shingle set
+      is impossible anyway (it grows with the corpus), so its sort-merge
+      fallback would cost MORE sorts than this single window. This is
+      the batch path (``cached_filtered_index``).
+    * ``rejoin=True``: the groupBy + broadcast-join-back form, for SMALL
+      per-micro-batch indexes (streaming ``add_batch``): there the df
+      set always broadcasts, the doubled subtree over a tiny batch is
+      cheap, and the window form's per-batch shfp sort measured SLOWER
+      in the composed stream (steady 13.6-14.4 s vs 11.1-11.6 s
+      interleaved at sf0.1)."""
+    if rejoin:
+        df_ok = (
+            inv.groupBy("shfp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shfp")
+        )
+        return inv.join(df_ok, "shfp")
+    w = Window.partitionBy("shfp")
+    return (
+        inv.withColumn("_df", F.count("*").over(w))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
     )
-    return inv.join(df_ok, "shfp")
 
 
 def _pair_jaccard(

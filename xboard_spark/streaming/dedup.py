@@ -109,7 +109,12 @@ class IncrementalDedupIndex:
             documents = documents.join(
                 inv_old.select("doc_id").distinct(), "doc_id", "left_anti"
             )
-        inv_new = filtered_index(shingle_index(documents), self.max_df).persist()
+        # rejoin=True: the per-batch index is small — the broadcast
+        # join-back df filter measured faster here than the window form
+        # that wins on the full-corpus batch build (see filtered_index)
+        inv_new = filtered_index(
+            shingle_index(documents), self.max_df, rejoin=True
+        ).persist()
         sigs_new = minhash_signatures(inv_new)
         bands_new = band_hashes(sigs_new).persist()
 
