@@ -590,3 +590,81 @@ def test_blank_lines_do_not_become_valid_null_rows(spark, tmp_path):
     valid = [r for r in rows if r.is_valid]
     assert len(valid) == 1 and valid[0].delivery_hash == WH[0]["delivery_hash"]
     assert all(r.delivery_hash is not None for r in valid)
+
+
+# -- round-13 optimization: empty micro-batches skip the silver rewrite --
+
+_SILVER_SCHEMA = (
+    "tenant_id long, shopify_order_id long, total_price decimal(18,2), "
+    "currency string, created_at timestamp, raw string, "
+    "created_recorded_at timestamp"
+)
+
+
+def _silver_batch(spark, rows):
+    return spark.createDataFrame(rows, _SILVER_SCHEMA)
+
+
+def test_empty_batch_leaves_silver_files_untouched(spark, tmp_path):
+    """An empty (watermark-advance) micro-batch must not pay the
+    read-merge-rewrite-swap: the silver table's files stay byte-for-byte
+    in place, while the run log still records the batch (ST5)."""
+    import datetime as dt
+
+    silver = str(tmp_path / "skip" / "orders")
+    run_log: list = []
+    process = webhook._make_batch_processor(
+        silver, keys=["tenant_id", "shopify_order_id"], run_log=run_log
+    )
+    ts = dt.datetime(2024, 1, 1, 10, 0)
+    from decimal import Decimal
+
+    process(
+        _silver_batch(
+            spark, [(1, 100, Decimal("10.00"), "USD", ts, "{}", ts)]
+        ),
+        0,
+    )
+    files_before = {
+        f: os.stat(os.path.join(silver, f)).st_mtime_ns
+        for f in os.listdir(silver)
+    }
+    process(_silver_batch(spark, []), 1)
+    files_after = {
+        f: os.stat(os.path.join(silver, f)).st_mtime_ns
+        for f in os.listdir(silver)
+    }
+    assert files_after == files_before  # no rewrite happened
+    assert run_log[-1] == {"batch_id": 1, "n_rows": 0, "status": "ok"}
+
+
+def test_first_batch_collapses_within_batch_duplicate_keys(spark, tmp_path):
+    """The first batch goes through the same keyed merge as every later
+    one, so within-batch key duplicates collapse immediately — silver is
+    key-unique by construction (previously the trailing watermark-advance
+    batch's full merge did this cleanup incidentally)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    silver = str(tmp_path / "firstdup" / "orders")
+    process = webhook._make_batch_processor(
+        silver, keys=["tenant_id", "shopify_order_id"], run_log=None
+    )
+    ts = dt.datetime(2024, 1, 1, 10, 0)
+    process(
+        _silver_batch(
+            spark,
+            [
+                (1, 100, Decimal("10.00"), "USD", ts, "{}", ts),
+                (1, 100, Decimal("12.00"), "USD", ts, "{}", ts),
+                (2, 200, Decimal("5.00"), "USD", ts, "{}", ts),
+            ],
+        ),
+        0,
+    )
+    out = spark.read.parquet(silver).collect()
+    assert len(out) == 2  # one row per (tenant_id, shopify_order_id)
+    assert {(r.tenant_id, r.shopify_order_id) for r in out} == {
+        (1, 100),
+        (2, 200),
+    }

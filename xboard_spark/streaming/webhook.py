@@ -195,6 +195,93 @@ def _recover_silver_swap(silver_path: str) -> None:
             os.rename(backup, silver_path)
 
 
+def _make_batch_processor(
+    silver_path: str, keys: list[str], run_log: list | None = None
+):
+    """Build the per-micro-batch merge closure for
+    ``start_bronze_to_silver`` (module-level so tests can drive single
+    batches directly, without a streaming query around them)."""
+    from xboard_spark.ingest import merge_upsert
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        spark = batch.sparkSession
+        _recover_silver_swap(silver_path)  # heal any interrupted swap first
+        # persist + one count(): the single job materializes the whole
+        # micro-batch into the cache — every state-store partition of the
+        # upstream stateful dedup loads and commits exactly once (an
+        # isEmpty() probe here ran take(1)'s escalating 1/4/20/all ramp,
+        # 3-4 scheduler rounds on an empty stateful batch) — and yields
+        # the run-log row count for free (replacing the Observation that
+        # previously rode the write). The staging write below then reads
+        # from the cache instead of re-executing the batch plan.
+        batch = batch.persist()
+        try:
+            n_rows = batch.count()
+            # Empty micro-batches (the watermark-advance batch that
+            # dropDuplicatesWithinWatermark emits after every data batch
+            # under availableNow — half of every demo run's batches)
+            # previously paid the FULL merge path: read the whole silver
+            # table, merge nothing, rewrite every byte, swap (~1.4 s of
+            # pure rewrite per empty batch at sf0.1). Because EVERY write
+            # path below goes through merge_upsert's keyed window, silver
+            # is key-unique by construction, so merging zero rows into it
+            # is the identity and the skip leaves the table's values
+            # untouched; the run log still gets its bookkeeping row (ST5).
+            if n_rows == 0:
+                if run_log is not None:
+                    run_log.append(
+                        {"batch_id": batch_id, "n_rows": 0, "status": "ok"}
+                    )
+                return
+            if os.path.exists(silver_path):
+                current = spark.read.parquet(silver_path)
+            else:
+                # First batch: merge against an empty current so
+                # within-batch key duplicates collapse HERE, not
+                # incidentally in the next batch's merge (the old
+                # ``merged = batch`` fast path left them in silver and
+                # relied on the trailing watermark-advance batch's full
+                # merge to clean up — the rewrite the skip above removes).
+                current = spark.createDataFrame([], batch.schema)
+            merged = merge_upsert(
+                current,
+                batch.withColumn("_batch_priority", F.lit(batch_id + 1)),
+                keys=keys,
+            )
+            out = merged.select(batch.columns)
+            # stage-then-swap: write the merged table next to the live
+            # one, then promote it via two atomic renames with a backup in
+            # between — the crash-safe Delta-free transactional overwrite
+            # (a bare rmtree-then-rename had a window where a driver death
+            # lost the whole table; see _recover_silver_swap). All data
+            # movement stays on executors (no collect); only the renames
+            # are driver-side. At warehouse scale the swap is a metastore
+            # partition-location flip instead.
+            staging = silver_path.rstrip("/") + f"._staging_{batch_id}"
+            backup = silver_path.rstrip("/") + "._backup"
+            out.write.mode("overwrite").parquet(staging)
+            if os.path.exists(silver_path):
+                os.rename(silver_path, backup)  # atomic demote
+            os.rename(staging, silver_path)  # atomic promote
+            if os.path.exists(backup):
+                shutil.rmtree(backup)
+            if run_log is not None:
+                run_log.append(
+                    {
+                        "batch_id": batch_id,
+                        "n_rows": int(n_rows),
+                        "status": "ok",
+                    }
+                )
+        finally:
+            batch.unpersist()
+
+    return process
+
+
 def start_bronze_to_silver(
     stream: DataFrame,
     silver_path: str,
@@ -206,56 +293,7 @@ def start_bronze_to_silver(
     """foreachBatch merge into a parquet silver table (ST4 exactly-once:
     checkpoint + idempotent merge; re-processing a batch converges to the
     same table). ``run_log`` collects per-batch bookkeeping (ST5)."""
-    from pyspark.sql import Observation
-
-    from xboard_spark.ingest import merge_upsert
-
-    def process(batch: DataFrame, batch_id: int) -> None:
-        import os
-        import shutil
-
-        spark = batch.sparkSession
-        _recover_silver_swap(silver_path)  # heal any interrupted swap first
-        # run-log row count via an Observation on the batch: the metric
-        # rides the staging write's job instead of costing a second full
-        # source scan (the old ``batch.count()``)
-        obs = Observation()
-        batch = batch.observe(obs, F.count(F.lit(1)).alias("n_rows"))
-        if os.path.exists(silver_path):
-            current = spark.read.parquet(silver_path)
-            merged = merge_upsert(
-                current,
-                batch.withColumn("_batch_priority", F.lit(batch_id + 1)),
-                keys=keys,
-            )
-        else:
-            merged = batch
-        out = merged.select(batch.columns)
-        # stage-then-swap: write the merged table next to the live one, then
-        # promote it via two atomic renames with a backup in between — the
-        # crash-safe Delta-free transactional overwrite (a bare
-        # rmtree-then-rename had a window where a driver death lost the
-        # whole table; see _recover_silver_swap). All data movement stays
-        # on executors (no collect); only the renames are driver-side. At
-        # warehouse scale the swap is a metastore partition-location flip
-        # instead.
-        staging = silver_path.rstrip("/") + f"._staging_{batch_id}"
-        backup = silver_path.rstrip("/") + "._backup"
-        out.write.mode("overwrite").parquet(staging)
-        if os.path.exists(silver_path):
-            os.rename(silver_path, backup)  # atomic demote
-        os.rename(staging, silver_path)  # atomic promote
-        if os.path.exists(backup):
-            shutil.rmtree(backup)
-        if run_log is not None:
-            run_log.append(
-                {
-                    "batch_id": batch_id,
-                    "n_rows": int(obs.get["n_rows"]),
-                    "status": "ok",
-                }
-            )
-
+    process = _make_batch_processor(silver_path, keys, run_log)
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_path
     )
