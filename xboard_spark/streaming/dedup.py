@@ -65,7 +65,23 @@ class IncrementalDedupIndex:
                 return self.spark.read.parquet(*files)
         return None
 
-    def _append(self, df: DataFrame, name: str) -> None:
+    # target rows per written index file: 2-long rows ≈ 16 bytes raw, so
+    # ~4M rows lands near the 64-128 MB file-size sweet spot (guide §6);
+    # the count is rows-derived, never a constant tuned to local core count
+    ROWS_PER_FILE = 4_000_000
+
+    def _append(self, df: DataFrame, name: str, n_rows: int | None = None) -> None:
+        if n_rows is not None:
+            # Right-size the append: the cached micro-batch frame inherits
+            # the shuffle partitioning of its build (32 near-empty
+            # partitions locally — measured 64 files per 2 MiB of index
+            # after two batches, each a parquet footer the NEXT batch's
+            # _read pays to list and open). coalesce on the cached frame
+            # merges partitions without a shuffle; k grows linearly with
+            # batch size so a 100 TB batch still writes full-size files.
+            k = max(1, min(df.rdd.getNumPartitions(),
+                           -(-n_rows // self.ROWS_PER_FILE)))
+            df = df.coalesce(k)
         df.write.mode("append").parquet(os.path.join(self.path, name))
 
     def add_batch(
@@ -161,8 +177,11 @@ class IncrementalDedupIndex:
         pairs.count()
         if on_pairs is not None:
             on_pairs(pairs)  # sink first; see the docstring's ordering contract
-        self._append(bands_new, "bands")
-        self._append(inv_new, "inv")  # commit marker: the anti-join keys on inv
+        # the counts are cached-frame reads (materialized by pairs.count()
+        # above), spent to right-size the appended files — see _append
+        self._append(bands_new, "bands", n_rows=bands_new.count())
+        # commit marker: the anti-join keys on inv, so it goes last
+        self._append(inv_new, "inv", n_rows=inv_new.count())
         self._live = [bands_new, inv_new, pairs]
         return pairs
 
@@ -190,8 +209,15 @@ def start_dedup_stream(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         def sink(pairs: DataFrame) -> None:
-            if not pairs.isEmpty():
-                pairs.write.mode("overwrite").parquet(
+            # pairs arrives persisted and already counted by add_batch, so
+            # the count is a cache read; it both replaces the isEmpty
+            # probe and right-sizes the emitted files (a 32-partition
+            # cached frame wrote 32 one-KiB files per batch otherwise)
+            n = pairs.count()
+            if n:
+                k = max(1, min(pairs.rdd.getNumPartitions(),
+                               -(-n // IncrementalDedupIndex.ROWS_PER_FILE)))
+                pairs.coalesce(k).write.mode("overwrite").parquet(
                     _os.path.join(pairs_out, f"batch_id={batch_id}")
                 )
 
