@@ -165,9 +165,17 @@ def mixture_rebalance(
     domain weights), reproducible because membership is a pure hash
     function (same anti-leakage argument as ``with_split``).
 
-    Entirely plan-side: the share/rate table is a 5-row aggregate
-    cross-joined back (broadcast), the keep decision a per-row expression —
-    no driver collect, no shuffle beyond two tiny aggs at any corpus size.
+    Entirely plan-side: the share/rate table is a 5-row aggregate with all
+    derived quantities (corpus total, limiting scale, kept total) computed
+    as UNPARTITIONED WINDOW aggregates over that k-row frame — single-task
+    windows over k rows, deliberately: the former agg + crossJoin form
+    referenced the counts/shares/kept subtrees 2-3x each and the optimizer
+    re-derived the corpus scan for every reference (6 document scans, 54
+    Exchange nodes planned; round-13 optimization, guide §2.4 "duplicated
+    subtrees"). Every windowed reduction here is an integer SUM or a MIN —
+    order-independent, so the emitted doubles are bit-identical to the
+    agg form's. The keep decision stays a per-row expression — no driver
+    collect; two corpus scans (count pass, keep pass) at any corpus size.
 
     Returns per lang: corpus count, share, rate, kept count, kept share."""
     targets = targets or DEFAULT_MIX
@@ -179,11 +187,10 @@ def mixture_rebalance(
         )
     target_expr = target_expr.otherwise(F.lit(0.0))
 
+    w_all = Window.partitionBy()
     counts = documents.groupBy("lang").agg(F.count("*").alias("n"))
-    total = counts.agg(F.sum("n").alias("total"))
     shares = (
-        counts.crossJoin(F.broadcast(total))
-        .withColumn("share", F.col("n") / F.col("total"))
+        counts.withColumn("share", F.col("n") / F.sum("n").over(w_all))
         .withColumn("target", target_expr)
     )
     # zero-target groups (a lang OUTSIDE the target mixture, or a NULL
@@ -191,19 +198,19 @@ def mixture_rebalance(
     # mode it is a hard DIVIDE_BY_ZERO, so one unexpected language value
     # in the corpus killed the whole rebalance (found by the round-10
     # NULL-heavy sweep). They take rate 0.0 — excluded from the kept
-    # corpus (downsample-only semantics), visible in the report.
-    scale = shares.filter(F.col("target") > 0).agg(
-        F.min(F.col("share") / F.col("target")).alias("scale")
-    )
+    # corpus (downsample-only semantics), visible in the report. The MIN
+    # window skips them via the NULL the unmatched WHEN yields.
+    scale = F.min(
+        F.when(F.col("target") > 0, F.col("share") / F.col("target"))
+    ).over(w_all)
     rates = (
-        shares.crossJoin(F.broadcast(scale))
-        .withColumn(
+        shares.withColumn(
             "rate",
             F.when(
                 F.col("target") > 0,
                 F.least(
                     F.lit(1.0),
-                    F.col("target") * F.col("scale") / F.col("share"),
+                    F.col("target") * scale / F.col("share"),
                 ),
             ).otherwise(F.lit(0.0)),
         )
@@ -222,9 +229,8 @@ def mixture_rebalance(
             F.sum("keep").alias("n_kept"),
         )
     )
-    total_kept = kept.agg(F.sum("n_kept").alias("tk"))
     return (
-        kept.crossJoin(F.broadcast(total_kept))
+        kept.withColumn("tk", F.sum("n_kept").over(w_all))
         .select(
             "lang",
             "n_docs",
