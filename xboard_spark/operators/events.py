@@ -203,17 +203,38 @@ def user_rollup(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     fails the driver hash. (The round-9 symmetric-defect review found
     the docstring promised the approximate path while no such column
     existed.) The value sum runs in exact integer cents
-    (``_cent_value_sum``), magnitude-robust cross-engine."""
+    (``_cent_value_sum``), magnitude-robust cross-engine.
+
+    Shape (round 13, guide §2.3 "shuffle fewer bytes"): a single groupBy
+    mixing count_distinct with approx_count_distinct makes Spark's
+    distinct-aggregate rewrite build the 410-word HLL++ sketch buffer at
+    the (user_id, event_type) level — the first Exchange carried 416
+    columns (~3.3 KB/row, measured in plans/r13/user_rollup_before.txt).
+    The explicit two-level form below aggregates the narrow exact facts
+    per (user_id, event_type) first (6 skinny columns through the wide
+    exchange) and builds the sketch over the already-deduplicated frame.
+    Bit-identical by construction: HLL++ register updates are idempotent
+    (same value → same hash → same register), count_distinct over the
+    keys equals count of the deduped rows, and the exact long cent-sums
+    / counts / min / max are associative."""
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("_cents"),
+        F.min("ts").alias("_first"),
+        F.max("ts").alias("_last"),
+    )
     bound = F.expr("n_types DIV 5 + 2")
     return (
-        events.groupBy("user_id")
+        per_type.groupBy("user_id")
         .agg(
-            F.count("*").alias("n_events"),
-            F.count_distinct("event_type").alias("n_types"),
+            F.sum("_n").alias("n_events"),
+            F.count("event_type").alias("n_types"),
             F.approx_count_distinct("event_type", rsd).alias("approx_types"),
-            _cent_value_sum().alias("total_value"),
-            F.min("ts").alias("first_seen"),
-            F.max("ts").alias("last_seen"),
+            (F.sum("_cents").cast("double") / F.lit(100.0)).alias(
+                "total_value"
+            ),
+            F.min("_first").alias("first_seen"),
+            F.max("_last").alias("last_seen"),
         )
         .select(
             "user_id",
