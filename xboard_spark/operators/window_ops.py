@@ -12,10 +12,20 @@ are exposed); anti join plans as broadcast-anti for small right sides.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from xboard_spark.functions.exact import cent_sum_dollars
+
+# one-slot cache registry for rfm_segments' persisted long-form ranked
+# frame (the segment_priority_chi2 pattern): each call releases the
+# PREVIOUS call's frame, so steady state holds exactly one persisted
+# (customer x 3)-row frame, MEMORY_ONLY so even that is LRU-evictable.
+_RFM_RANGED_CACHE: list = []
+_RFM_RANGED_LOCK = threading.Lock()
 
 
 def nation_customer_ranks(customer: DataFrame, nation: DataFrame, k: int = 3) -> DataFrame:
@@ -404,9 +414,25 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
             )
         ).alias("dk"),
     ).select("o_custkey", F.col("dk.dim").alias("dim"), F.col("dk.key").alias("key"))
-    ranged = long.repartitionByRange("dim", "key", "o_custkey").withColumn(
-        "__pid", F.spark_partition_id()
+    # persist the range-partitioned frame: BOTH consumers below (the
+    # in-partition rank window and the per-(partition, dim) counts that
+    # become rank offsets) read it, and without the persist the optimizer
+    # re-derives the whole scan -> per-customer aggregate -> explode ->
+    # range exchange (+ its boundary-sampling job) subtree once per
+    # consumer — the round-13 plan audit showed two full orders scans and
+    # two range exchanges in one query (guide §2.4 "remove shuffles
+    # outright" / §5 persist-on-reuse). 3 narrow columns x 3 rows per
+    # customer; MEMORY_ONLY + one-slot registry per the chi2 note.
+    ranged = (
+        long.repartitionByRange("dim", "key", "o_custkey")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_ONLY)
     )
+    with _RFM_RANGED_LOCK:
+        prev = _RFM_RANGED_CACHE.pop() if _RFM_RANGED_CACHE else None
+        _RFM_RANGED_CACHE.append(ranged)
+    if prev is not None:
+        prev.unpersist(blocking=False)
     in_part = Window.partitionBy("__pid", "dim").orderBy("key", "o_custkey")
     ranked = ranged.withColumn("__rn", F.row_number().over(in_part))
     counts = ranged.groupBy("__pid", "dim").agg(F.count("*").alias("__cnt"))
@@ -438,7 +464,12 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         .cast("int")
     )
     tiled = (
-        ranked.join(offsets, ["__pid", "dim"])
+        # explicit hint: offsets is <= shuffle.partitions x 3 rows, but the
+        # persisted ranked frame carries its own (small-at-test-scale) IMR
+        # statistics and the planner picked IT as the broadcast side — at
+        # 100 TB that is 3 rows per customer shipped to the driver. Pin
+        # the bounded-by-config side as the build side.
+        ranked.join(F.broadcast(offsets), ["__pid", "dim"])
         .withColumn("__tile", tile)
         .groupBy("o_custkey")
         .agg(
