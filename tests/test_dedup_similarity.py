@@ -85,6 +85,29 @@ def test_simhash_close_for_near_dups(docs):
     assert ham_near < ham_far
 
 
+def test_simhash_arrow_equals_expression_path(spark, docs):
+    """The mapInArrow vote counter and the pure-expression simhash_col
+    path must agree bit-for-bit, including the degenerate rows the batch
+    kernel special-cases (NULL text -> NULL fps array, empty-token text,
+    NULL doc_id — all per-row, never grouped)."""
+    hostile = docs.unionByName(
+        spark.createDataFrame(
+            [(7, None), (8, "   "), (None, "null id text tokens here")],
+            "doc_id long, text string",
+        )
+    )
+    for bits in (16, 32):
+        a = sorted(
+            map(tuple, dedup.simhash_fingerprints(hostile, bits, arrow=False).collect()),
+            key=str,
+        )
+        b = sorted(
+            map(tuple, dedup.simhash_fingerprints(hostile, bits, arrow=True).collect()),
+            key=str,
+        )
+        assert a == b, bits
+
+
 @pytest.fixture(scope="module")
 def vecs(spark):
     import math

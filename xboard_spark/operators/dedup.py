@@ -21,6 +21,8 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -399,8 +401,72 @@ def simhash_col(fps_col: str, bits: int = 16) -> Column:
     return out
 
 
-def simhash_fingerprints(documents: DataFrame, bits: int = 16) -> DataFrame:
-    """Per-document SimHash fingerprint (staged: tokens -> fps -> votes)."""
+def _simhash_batch(bits: int):
+    """Vectorized SimHash vote counting for ``mapInArrow``: one numpy
+    bit-unpack + segment sum per Arrow batch replaces ``bits`` interpreted
+    higher-order ``aggregate()`` passes per row (every Catalyst HOF is
+    CodegenFallback, so the expression path walks each document's token-fp
+    array ``bits`` times in interpreted mode — measured as the bulk of
+    simhash_neardup's wall time at sf0.1; a pandas_udf variant measured no
+    better than the expression path because the per-row list-to-object
+    conversion ate the win: expr/pandas/mapInArrow noop min 2.22/2.64/0.68 s).
+    Operates directly on the ListArray buffers — offsets are absolute into
+    the child values array, so sliced batches stay correct. Pure integer
+    arithmetic end to end: bit b of the fingerprint is set iff the +1/-1
+    vote sum is > 0, i.e. iff 2 * count(tokens with bit b set) > n_tokens —
+    bit-identical to ``simhash_col`` by construction (the equivalence
+    pytest runs both paths)."""
+    shifts_u = np.arange(bits, dtype=np.uint64)
+    shifts_i = np.arange(bits, dtype=np.int64)
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            ids = b.column(0)
+            fps = b.column(1)
+            offs = fps.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = fps.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+            lens = offs[1:] - offs[:-1]
+            out = np.zeros(len(lens), dtype=np.int64)
+            if len(vals):
+                # one cumsum pass per bit keeps peak memory at
+                # O(n_tokens) instead of O(n_tokens * bits) — a batch of
+                # large documents would otherwise materialize a GB-scale
+                # bit matrix
+                cum = np.empty(len(vals) + 1, dtype=np.int64)
+                cum[0] = 0
+                for b in range(bits):
+                    np.cumsum(
+                        (vals >> shifts_u[b]) & np.uint64(1),
+                        out=cum[1:],
+                    )
+                    cnt_b = cum[offs[1:]] - cum[offs[:-1]]
+                    out |= ((2 * cnt_b) > lens).astype(np.int64) << shifts_i[b]
+            if fps.null_count:
+                # NULL token arrays: every vote is 0, no bit set (matches
+                # the expression path's when(NULL > 0, ...).otherwise(0))
+                out[fps.is_null().to_numpy(zero_copy_only=False)] = 0
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, pa.int64())], ["doc_id", "simhash"]
+            )
+
+    return fn
+
+
+def simhash_fingerprints(
+    documents: DataFrame, bits: int = 16, arrow: bool = True
+) -> DataFrame:
+    """Per-document SimHash fingerprint (staged: tokens -> fps -> votes).
+
+    ``arrow=True`` (default) counts the per-bit votes with one numpy pass
+    per Arrow batch (``_simhash_batch``); ``arrow=False`` keeps the pure
+    expression path (``simhash_col``) — same bits, kept as the cross-check
+    the equivalence pytest runs both of (the lsh_corpus pattern).
+    Tokenization and the per-token md5 fingerprints stay JVM-side in both
+    paths; only the exact-integer vote counting crosses the Arrow boundary,
+    and the frame is projected to (doc_id, fps) first (guide §4.1: opaque
+    functions defeat column pruning, so pass only what the function needs)."""
     tokens = F.regexp_extract_all(_norm_text(F.col("text")), F.lit(TOKEN_RE), 0)
     staged = documents.select("doc_id", tokens.alias("tokens")).select(
         "doc_id",
@@ -409,9 +475,15 @@ def simhash_fingerprints(documents: DataFrame, bits: int = 16) -> DataFrame:
             lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
         ).alias("fps"),
     )
-    return staged.select(
-        "doc_id", simhash_col("fps", bits).cast("long").alias("simhash")
-    ).orderBy("doc_id")
+    if arrow:
+        out = staged.mapInArrow(
+            _simhash_batch(bits), "doc_id long, simhash long"
+        )
+    else:
+        out = staged.select(
+            "doc_id", simhash_col("fps", bits).cast("long").alias("simhash")
+        )
+    return out.orderBy("doc_id")
 
 
 def prefix_dedup_groups(
