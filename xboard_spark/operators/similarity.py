@@ -1259,6 +1259,19 @@ def kmeans_inertia(
         best = dist.groupBy("vec_id").agg(
             F.min(F.struct("dist2", "cell")).alias("best")
         )
+        # best_k has two consumers (the inertia panel and the next
+        # iteration's assign), so the distance join re-derives once per
+        # consumer and compounds across iterations (plan audit: 10 scans,
+        # 36 exchanges for a 3-row panel). Persisting best_k was tried
+        # (round 13) and measured as a REGRESSION in clean solo sessions
+        # (old min 2.27-2.35 s vs persisted 2.38-3.21 s at sf0.1): every
+        # re-derivation starts from the persisted vd and the broadcast
+        # centroids, so the recompute is cheap, while materializing +
+        # re-reading n-row IMR frames per iteration is pure overhead.
+        # NOTE for re-measurers: an INTERLEAVED A/B cannot see this —
+        # CacheManager substitutes the persisted variant's cached
+        # subtrees into the unpersisted variant's identical plans, so
+        # both arms measure the cached shape. Solo sessions only.
         panels.append(
             best.agg(
                 F.lit(k).cast("long").alias("iteration"),
