@@ -538,6 +538,47 @@ def test_char_lm_fluency_scores_gibberish_lower(spark):
     assert out["clean"].n_bigrams > 0 and out["noise"].n_bigrams > 0
 
 
+def test_char_bigram_kernel_equals_expression_path(spark):
+    """The mapInArrow bigram counter and the explode/substr expression
+    path must agree count-for-count, including multi-byte code points,
+    row-boundary masking, NULL slice keys, and 2-char minimum rows."""
+    from pyspark.sql import functions as F
+
+    from xboard_spark.operators import text
+
+    docs = _mkdocs(
+        spark,
+        [
+            (1, "abcab", "en", "s1"),
+            (2, "ab", "en", "s1"),  # single bigram row
+            (3, "café naïve 你好你", "fr", "s2"),
+            (4, "zz  zz\tzz", None, None),  # NULL slice keys
+            (5, "x", "en", "s1"),  # shorter than one bigram: filtered
+        ],
+    )
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
+    staged = docs.select("lang", "source", norm.alias("norm")).filter(
+        F.length("norm") >= 2
+    )
+    a = sorted(
+        map(tuple, text._char_bigram_counts_expr(staged).collect()), key=str
+    )
+    b = sorted(
+        map(
+            tuple,
+            staged.mapInArrow(
+                text._char_bigram_batch,
+                "lang string, source string, bg string, n long",
+            )
+            .groupBy("lang", "source", "bg")
+            .agg(F.sum("n").alias("n"))
+            .collect(),
+        ),
+        key=str,
+    )
+    assert a == b and len(a) > 0
+
+
 def test_truncation_recall_monotone_and_bounded(spark, sf_dir):
     from xboard_spark.io import read_table
     from xboard_spark.operators import similarity

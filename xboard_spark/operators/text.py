@@ -639,6 +639,90 @@ def vocab_coverage(documents: DataFrame, vocab_size: int = 1000) -> DataFrame:
     )
 
 
+def _char_bigram_counts_expr(staged: DataFrame) -> DataFrame:
+    """Pure-expression char-bigram counter over (lang, source, norm) —
+    the pre-round-13 shape, kept as the cross-check the equivalence
+    pytest runs against ``_char_bigram_batch`` (the lsh_corpus pattern).
+    One 2-char substr per corpus character through an interpreted HOF."""
+    return (
+        staged.select(
+            "lang",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("norm") - 1),
+                    lambda i: F.col("norm").substr(i, F.lit(2)),
+                )
+            ).alias("bg"),
+        )
+        .groupBy("lang", "source", "bg")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _char_bigram_batch(batches):
+    """mapInArrow kernel: per-(lang, source) char-bigram PARTIAL counts
+    for one Arrow batch of (lang, source, norm) rows. Strings are viewed
+    as UTF-32 code points — the unit Spark's ``substr`` indexes — so the
+    emitted 2-char bigrams are byte-identical to the expression path's.
+    Adjacent-pair codes are packed into one uint64 (code points < 2^21)
+    together with a per-batch slice id, reduced with a single np.unique,
+    and bigrams that would span two rows are masked out. Output rows are
+    bounded by |slices| x |alphabet|² per batch, never the corpus."""
+    import numpy as np
+    import pyarrow as pa
+
+    for b in batches:
+        langs = b.column(0).to_pylist()
+        sources = b.column(1).to_pylist()
+        norms = b.column(2).to_pylist()
+        slice_ids = {}
+        row_sid = np.empty(len(norms), dtype=np.uint64)
+        for i, key in enumerate(zip(langs, sources)):
+            row_sid[i] = slice_ids.setdefault(key, len(slice_ids))
+        lens = np.fromiter(
+            (0 if s is None else len(s) for s in norms),
+            dtype=np.int64,
+            count=len(norms),
+        )
+        total = int(lens.sum())
+        if total < 2:
+            continue
+        big = "".join(s for s in norms if s)
+        codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.uint64
+        )
+        pair = (codes[:-1] << np.uint64(21)) | codes[1:]
+        # a bigram starting at a row's last char would span two rows:
+        # mask it out (the last row's is already out of pair's range)
+        ends = np.cumsum(lens[lens > 0])
+        keep = np.ones(len(pair), dtype=bool)
+        cross = ends - 1
+        keep[cross[cross < len(pair)]] = False
+        # row (slice) of each surviving bigram: searchsorted over row ends
+        starts_idx = np.arange(len(pair))[keep]
+        rows_nonempty = np.flatnonzero(lens > 0)
+        row_of = rows_nonempty[np.searchsorted(ends, starts_idx, side="right")]
+        key64 = (row_sid[row_of] << np.uint64(42)) | pair[keep]
+        uniq, cnt = np.unique(key64, return_counts=True)
+        sid = (uniq >> np.uint64(42)).astype(np.int64)
+        hi = ((uniq >> np.uint64(21)) & np.uint64((1 << 21) - 1)).astype(np.int64)
+        lo = (uniq & np.uint64((1 << 21) - 1)).astype(np.int64)
+        inv_slices = {v: k for k, v in slice_ids.items()}
+        out_lang = [inv_slices[s][0] for s in sid]
+        out_source = [inv_slices[s][1] for s in sid]
+        out_bg = [chr(h) + chr(l) for h, l in zip(hi, lo)]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_lang, pa.string()),
+                pa.array(out_source, pa.string()),
+                pa.array(out_bg, pa.string()),
+                pa.array(cnt.astype(np.int64), pa.int64()),
+            ],
+            ["lang", "source", "bg", "n"],
+        )
+
+
 def char_lm_fluency(documents: DataFrame) -> DataFrame:
     """Character-bigram language-model fluency score per (lang, source):
     train a maximum-likelihood char-bigram model ON the corpus itself and
@@ -661,16 +745,6 @@ def char_lm_fluency(documents: DataFrame) -> DataFrame:
     staged = documents.select("lang", "source", norm.alias("norm")).filter(
         F.length("norm") >= 2
     )
-    bg = staged.select(
-        "lang",
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("norm") - 1),
-                lambda i: F.col("norm").substr(i, F.lit(2)),
-            )
-        ).alias("bg"),
-    )
     # Aggregate-first (the dup_span_stats lesson): collapse the bigram
     # stream ONCE to (lang, source, bg, n); the model and the scoring
     # both derive from that small frame, so the corpus is tokenized and
@@ -679,12 +753,28 @@ def char_lm_fluency(documents: DataFrame) -> DataFrame:
     # becomes the weighted form sum(n * logp) / sum(n) — identical
     # multiset value, and the oracle computes the IDENTICAL weighted
     # expression so association matches.
+    # Bigram counting runs in a mapInArrow numpy kernel emitting per-batch
+    # PARTIAL counts (guide §4.2): the expression form — explode over a
+    # per-row transform(sequence, substr) — is an interpreted Catalyst HOF
+    # allocating one 2-char string per corpus character, measured at
+    # ~2 µs/bigram (2.8-3.1 s of the query's 3.9 s at sf0.1 for only 1.5M
+    # bigrams); the kernel views each normalized string as UTF-32 code
+    # points (what substr indexes) and reduces adjacent-pair codes with
+    # one np.unique per batch, so the exchange carries slice x alphabet²
+    # partial counts instead of the raw bigram stream (guide §2.3
+    # aggregate-before-shuffle). Exact integer counts either way; the
+    # expression path remains as _char_bigram_counts_expr for the
+    # equivalence pytest.
     # materialized once (localCheckpoint): three plan references (model
     # counts, context totals, scoring) would otherwise each re-run the
-    # full explode — 3 FileScans in the physical plan, measured
+    # full kernel — 3 FileScans in the physical plan, measured
     slice_counts = (
-        bg.groupBy("lang", "source", "bg")
-        .agg(F.count("*").alias("n"))
+        staged.mapInArrow(
+            _char_bigram_batch,
+            "lang string, source string, bg string, n long",
+        )
+        .groupBy("lang", "source", "bg")
+        .agg(F.sum("n").alias("n"))
         .localCheckpoint(eager=True)
     )
     bg_counts = slice_counts.groupBy("bg").agg(F.sum("n").alias("c_bg"))
