@@ -668,3 +668,27 @@ def test_first_batch_collapses_within_batch_duplicate_keys(spark, tmp_path):
         (1, 100),
         (2, 200),
     }
+
+
+def test_stream_shuffle_partitions_scope(spark, monkeypatch):
+    """The streaming-partition knob must apply inside the block (env
+    override winning over the default) and restore the session value on
+    exit, including on error."""
+    from xboard_spark.streaming.conf import (
+        STREAM_SHUFFLE_PARTITIONS_ENV,
+        stream_shuffle_partitions,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with stream_shuffle_partitions(spark):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    monkeypatch.setenv(STREAM_SHUFFLE_PARTITIONS_ENV, "13")
+    try:
+        with stream_shuffle_partitions(spark):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "13"
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -28,6 +28,7 @@ from xboard_spark.operators.dedup import (
     minhash_signatures,
     shingle_index,
 )
+from xboard_spark.streaming.conf import stream_shuffle_partitions
 
 
 class IncrementalDedupIndex:
@@ -340,14 +341,18 @@ def dedup_stream_demo(documents: DataFrame, workdir: str | None = None) -> DataF
     try:
         LAST_DEMO_TIMINGS.clear()
         _write_batch(documents.filter(F.col("doc_id") % 2 == 0), "batch1.json")
-        _timed_run()
-        _write_batch(
-            documents.filter(
-                (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 14 == 0)
-            ),
-            "batch2.json",
-        )
-        _timed_run()
+        # right-size micro-batch shuffles: streaming has no AQE, so the
+        # per-batch index/band-join shuffles inherit the full session
+        # width over batch-sized frames (see streaming/conf.py)
+        with stream_shuffle_partitions(spark):
+            _timed_run()
+            _write_batch(
+                documents.filter(
+                    (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 14 == 0)
+                ),
+                "batch2.json",
+            )
+            _timed_run()
         LAST_DEMO_TIMINGS["start_overhead_sec"] = round(
             LAST_DEMO_TIMINGS["wall_sec"] - LAST_DEMO_TIMINGS["steady_sec"], 3
         )

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from xboard_spark.streaming.conf import stream_shuffle_partitions
+
 WEBHOOK_SCHEMA = T.StructType(
     [
         T.StructField("tenant_id", T.LongType()),
@@ -451,20 +453,26 @@ def silver_merge_demo(events: DataFrame, workdir: str | None = None) -> DataFram
     run_log: list = []
     try:
         _write_file(b1.unionByName(redelivered), "batch1.json")
-        for fname, lines in [(None, None), ("batch2.json", b2)]:
-            if fname is not None:
-                _write_file(lines, fname)
-            stream = parse_order_events(
-                deduped_stream(read_webhook_stream(spark, indir))
-            )
-            q = start_bronze_to_silver(
-                stream,
-                silver,
-                ckpt,
-                keys=["tenant_id", "shopify_order_id"],
-                run_log=run_log,
-            )
-            q.awaitTermination()
+        # right-size state/micro-batch partitions: streaming has no AQE,
+        # so the delivery-hash dedup state and every in-batch merge
+        # shuffle inherit the full session width — 32 near-empty
+        # state-store partitions per batch are fixed cost, not work
+        # (measured on the tumbling demo; see streaming/conf.py)
+        with stream_shuffle_partitions(spark):
+            for fname, lines in [(None, None), ("batch2.json", b2)]:
+                if fname is not None:
+                    _write_file(lines, fname)
+                stream = parse_order_events(
+                    deduped_stream(read_webhook_stream(spark, indir))
+                )
+                q = start_bronze_to_silver(
+                    stream,
+                    silver,
+                    ckpt,
+                    keys=["tenant_id", "shopify_order_id"],
+                    run_log=run_log,
+                )
+                q.awaitTermination()
         # each availableNow run yields its data batch plus an empty
         # watermark-advance batch from dropDuplicatesWithinWatermark;
         # exactly TWO batches may carry rows (fail loudly, never hash a
