@@ -330,13 +330,27 @@ def approx_cardinality(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     contract now FAILS the driver hash instead of hiding in a rows-only
     row. Bound arithmetic is integer-only (``* 3 DIV 25``) on purpose:
     a float ``0.12 * n`` literal is DOUBLE on Spark but DECIMAL on
-    DuckDB, and ceil() at a representation boundary would split."""
+    DuckDB, and ceil() at a representation boundary would split.
+
+    Shape (round 13, the ``user_rollup`` two-level form, guide §2.3):
+    mixing count_distinct with approx_count_distinct in one groupBy made
+    Spark's distinct-aggregate rewrite carry the 410-word HLL++ sketch
+    buffer per (event_type, user_id) group through the first Exchange.
+    Aggregating the narrow count per (event_type, user_id) first ships 3
+    skinny columns instead, and the sketch builds over the deduplicated
+    frame — bit-identical: HLL++ register updates are idempotent, both
+    count_distinct (ignores NULLs; count("user_id") over the deduped
+    frame skips the NULL-user group identically) and count(*) (= sum of
+    per-group counts) are associative."""
     bound = F.expr("exact_users * 3 DIV 25 + 4")
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("_n")
+    )
     return (
-        events.groupBy("event_type")
+        per_user.groupBy("event_type")
         .agg(
-            F.count("*").alias("n_events"),
-            F.countDistinct("user_id").alias("exact_users"),
+            F.sum("_n").alias("n_events"),
+            F.count("user_id").alias("exact_users"),
             F.approx_count_distinct("user_id", rsd).alias("approx_users"),
         )
         .select(
