@@ -12,20 +12,10 @@ are exposed); anti join plans as broadcast-anti for small right sides.
 
 from __future__ import annotations
 
-import threading
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from xboard_spark.functions.exact import cent_sum_dollars
-
-# one-slot cache registry for rfm_segments' persisted long-form ranked
-# frame (the segment_priority_chi2 pattern): each call releases the
-# PREVIOUS call's frame, so steady state holds exactly one persisted
-# (customer x 3)-row frame, MEMORY_ONLY so even that is LRU-evictable.
-_RFM_RANGED_CACHE: list = []
-_RFM_RANGED_LOCK = threading.Lock()
 
 
 def nation_customer_ranks(customer: DataFrame, nation: DataFrame, k: int = 3) -> DataFrame:
@@ -414,25 +404,19 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
             )
         ).alias("dk"),
     ).select("o_custkey", F.col("dk.dim").alias("dim"), F.col("dk.key").alias("key"))
-    # persist the range-partitioned frame: BOTH consumers below (the
-    # in-partition rank window and the per-(partition, dim) counts that
-    # become rank offsets) read it, and without the persist the optimizer
-    # re-derives the whole scan -> per-customer aggregate -> explode ->
-    # range exchange (+ its boundary-sampling job) subtree once per
-    # consumer — the round-13 plan audit showed two full orders scans and
-    # two range exchanges in one query (guide §2.4 "remove shuffles
-    # outright" / §5 persist-on-reuse). 3 narrow columns x 3 rows per
-    # customer; MEMORY_ONLY + one-slot registry per the chi2 note.
-    ranged = (
-        long.repartitionByRange("dim", "key", "o_custkey")
-        .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_ONLY)
+    # Both consumers below (the in-partition rank window and the
+    # per-(partition, dim) counts that become rank offsets) re-derive
+    # this subtree — two orders scans and two range exchanges in the
+    # plan. Persisting it was tried (round 13) and measured as a small
+    # but consistent WARM regression in solo sessions (old warm-min
+    # 1.04/1.38 s vs persisted 1.14/1.49 s at sf0.1): the re-derivation
+    # is a cheap codegen'd pipeline locally, while the IMR materialize +
+    # re-read is fixed overhead (the kmeans_inertia verdict class). At
+    # real scale, where an orders scan is expensive, persist/checkpoint
+    # this frame — the trade flips with input size.
+    ranged = long.repartitionByRange("dim", "key", "o_custkey").withColumn(
+        "__pid", F.spark_partition_id()
     )
-    with _RFM_RANGED_LOCK:
-        prev = _RFM_RANGED_CACHE.pop() if _RFM_RANGED_CACHE else None
-        _RFM_RANGED_CACHE.append(ranged)
-    if prev is not None:
-        prev.unpersist(blocking=False)
     in_part = Window.partitionBy("__pid", "dim").orderBy("key", "o_custkey")
     ranked = ranged.withColumn("__rn", F.row_number().over(in_part))
     counts = ranged.groupBy("__pid", "dim").agg(F.count("*").alias("__cnt"))
