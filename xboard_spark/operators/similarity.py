@@ -393,38 +393,51 @@ def embedding_neardup(
     ``operators.dedup``, whose bands ARE this construction over minhashes).
     Like all sign-LSH it targets true near-duplicates (cos >= ~0.8); a low
     ``tau`` over weakly-similar data wants IVF-cell blocking instead."""
+    # Score ON the collision join and dedup multi-table collisions with
+    # max() — the knn_lsh shape: the cosine is table-independent, so this
+    # is exactly DISTINCT-then-score with the distinct exchange and both
+    # corpus re-join hops removed (round 13, guide §2.4; interleaved A/B
+    # at sf0.1: min 1.20 s -> 0.90 s, every adjacent pair faster,
+    # identical pairs). Vectors ride the (t, bucket) collision join —
+    # at 100 TB each table is the corpus partitioned by its bucket
+    # column, so that join is the local per-bucket self-join the
+    # docstring describes and the vectors never take an extra hop.
     corpus = lsh_corpus(embeddings, n_planes, n_tables)
-    longc = lsh_corpus_long(embeddings, n_planes, n_tables)
-    cand = (
-        longc.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
-        .join(
-            longc.select(F.col("vec_id").alias("vec_b"), "t", "bucket"),
-            ["t", "bucket"],
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"), F.col(f"bucket_{t}").alias("bucket")
+                )
+                for t in range(n_tables)
+            ]
         )
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+    ).alias("tb")
+    longv = corpus.select("vec_id", "v", "v_norm", tb).select(
+        "vec_id", "v", "v_norm", "tb.t", "tb.bucket"
+    )
+    a = longv.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("v_norm").alias("na"),
+        "t",
+        "bucket",
+    )
+    b = longv.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("v_norm").alias("nb"),
+        "t",
+        "bucket",
     )
     pairs = (
-        cand.join(
-            corpus.select(
-                F.col("vec_id").alias("vec_a"),
-                F.col("v").alias("va"),
-                F.col("v_norm").alias("na"),
-            ),
-            "vec_a",
-        )
-        .join(
-            corpus.select(
-                F.col("vec_id").alias("vec_b"),
-                F.col("v").alias("vb"),
-                F.col("v_norm").alias("nb"),
-            ),
-            "vec_b",
-        )
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn(
-            "cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            "c", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("c").alias("cosine"))
     )
     return (
         pairs.filter(F.col("cosine") >= tau)
