@@ -958,6 +958,13 @@ def truncation_recall(
     keyed join of neighbor sets, each n_queries*k rows. Recall is ONE
     exact-int division per dim: |truncated top-k ∩ full top-k| /
     (n_queries * k)."""
+    # the ground-truth neighbor set is referenced once per audited dim
+    # (each reference re-runs the bruteforce scoring). Materializing it
+    # once (eager localCheckpoint of the n_queries x k rows) was tried
+    # (round 13) and measured SLOWER (min 1.47 s -> 1.71 s at sf0.1,
+    # every adjacent pair): the re-derivations score against the cached
+    # norm corpus with broadcast queries — cheap — while the extra
+    # blocking job is not. The kmeans_inertia verdict class.
     full = knn_bruteforce(embeddings, n_queries, k).select("q_id", "vec_id")
     out = None
     for d in dims:
