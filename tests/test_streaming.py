@@ -692,3 +692,29 @@ def test_stream_shuffle_partitions_scope(spark, monkeypatch):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_stream_shuffle_partitions_validation(spark, monkeypatch):
+    """A bad env value must fail loudly AT the boundary (naming the env
+    var) and leave the session conf untouched — not surface later as an
+    opaque query-start failure (ADVICE r13). An explicit default=0 must
+    not silently map to the package default."""
+    import pytest
+
+    from xboard_spark.streaming.conf import (
+        STREAM_SHUFFLE_PARTITIONS_ENV,
+        stream_shuffle_partitions,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    for bad in ("banana", "0", "-4"):
+        monkeypatch.setenv(STREAM_SHUFFLE_PARTITIONS_ENV, bad)
+        with pytest.raises(ValueError, match=STREAM_SHUFFLE_PARTITIONS_ENV):
+            with stream_shuffle_partitions(spark):
+                pass  # pragma: no cover — must not be reached
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    monkeypatch.delenv(STREAM_SHUFFLE_PARTITIONS_ENV)
+    with pytest.raises(ValueError, match="positive"):
+        with stream_shuffle_partitions(spark, default=0):
+            pass  # pragma: no cover
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

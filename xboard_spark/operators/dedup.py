@@ -436,13 +436,13 @@ def _simhash_batch(bits: int):
                 # bit matrix
                 cum = np.empty(len(vals) + 1, dtype=np.int64)
                 cum[0] = 0
-                for b in range(bits):
+                for bit in range(bits):
                     np.cumsum(
-                        (vals >> shifts_u[b]) & np.uint64(1),
+                        (vals >> shifts_u[bit]) & np.uint64(1),
                         out=cum[1:],
                     )
                     cnt_b = cum[offs[1:]] - cum[offs[:-1]]
-                    out |= ((2 * cnt_b) > lens).astype(np.int64) << shifts_i[b]
+                    out |= ((2 * cnt_b) > lens).astype(np.int64) << shifts_i[bit]
             if fps.null_count:
                 # NULL token arrays: every vote is 0, no bit set (matches
                 # the expression path's when(NULL > 0, ...).otherwise(0))

@@ -227,29 +227,6 @@ def lsh_corpus(
     return _CORPUS_CACHE[key]
 
 
-def lsh_corpus_long(
-    embeddings: DataFrame,
-    n_planes: int = N_PLANES,
-    n_tables: int = N_TABLES,
-) -> DataFrame:
-    """(vec_id, t, bucket) — the wide corpus unpivoted for candidate joins
-    keyed on (t, bucket)."""
-    corpus = lsh_corpus(embeddings, n_planes, n_tables)
-    return corpus.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"), F.col(f"bucket_{t}").alias("bucket")
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
-
-
 def knn_bruteforce(
     embeddings: DataFrame, n_queries: int = 5, k: int = 5
 ) -> DataFrame:

@@ -43,8 +43,27 @@ def stream_shuffle_partitions(spark, default: int | None = None):
     demo (all runs sharing a checkpoint) in one ``with`` block."""
     n = os.environ.get(
         STREAM_SHUFFLE_PARTITIONS_ENV,
-        str(default or DEFAULT_STREAM_SHUFFLE_PARTITIONS),
+        str(
+            default
+            if default is not None
+            else DEFAULT_STREAM_SHUFFLE_PARTITIONS
+        ),
     )
+    # validate at the boundary: a bad value written into
+    # spark.sql.shuffle.partitions only surfaces later as an opaque
+    # query-start failure deep inside the stream (ADVICE r13)
+    try:
+        n_int = int(n)
+    except ValueError:
+        raise ValueError(
+            f"{STREAM_SHUFFLE_PARTITIONS_ENV}={n!r} is not an integer"
+        ) from None
+    if n_int <= 0:
+        raise ValueError(
+            f"{STREAM_SHUFFLE_PARTITIONS_ENV} must be a positive integer, "
+            f"got {n!r}"
+        )
+    n = str(n_int)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n)
     try:
