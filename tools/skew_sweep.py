@@ -82,6 +82,36 @@ def _recompute_n_chars(path: str) -> None:
     )
 
 
+BOILERPLATE = (
+    "all rights reserved unauthorized reproduction of this document "
+    "is strictly prohibited"
+)
+
+
+def _append_boilerplate(path: str, frac_mod: int) -> int:
+    """Append one shared boilerplate sentence to rows where
+    i % frac_mod != 0 — a HOT SHINGLE spanning many DISTINCT documents
+    (the exact-dup cluster above makes shingles hot only via identical
+    texts; this makes the df cap's own aggregation key skewed across
+    otherwise-unique docs, the shape VERDICT r13 #1 called out for the
+    filtered_index df path). Returns rows rewritten."""
+    t = pq.read_table(path)
+    idx = t.schema.get_field_index("text")
+    typ = t.schema.field(idx).type
+    vals = t.column(idx).to_pylist()
+    n = 0
+    for i in range(len(vals)):
+        if vals[i] is not None and i % frac_mod != 0:
+            vals[i] = vals[i] + " " + BOILERPLATE
+            n += 1
+    pq.write_table(
+        t.set_column(idx, t.schema.field(idx), pa.array(vals, type=typ)),
+        path,
+        version="2.6",
+    )
+    return n
+
+
 def _min_not_null(vals):
     return min(v for v in vals if v is not None)
 
@@ -117,6 +147,11 @@ def main() -> None:
     # mass exact-duplicate document cluster (50%) + hot lang/source
     n = _rewrite(p("documents.parquet"), "text", _first_not_null, 2)
     print(f"documents.text: {n} rows -> copies of one document")
+    # hot shingle across DISTINCT documents: 90% of docs share one
+    # boilerplate sentence, so its shingles' df dwarfs max_df while the
+    # docs stay unique — the df-cap aggregation itself is skewed
+    n = _append_boilerplate(p("documents.parquet"), 10)
+    print(f"documents.text: {n} rows -> shared boilerplate shingle")
     _recompute_n_chars(p("documents.parquet"))
     n = _rewrite(p("documents.parquet"), "lang", _first_not_null, 10)
     print(f"documents.lang: {n} rows -> hot lang")

@@ -155,7 +155,17 @@ _CLUSTERS_CACHE: dict[tuple[int, int, int, int, int, int], DataFrame] = (
 def cached_filtered_index(documents: DataFrame, n: int, max_df: int) -> DataFrame:
     key = (documents.semanticHash(), n, max_df)
     if key not in _INDEX_CACHE:
-        _INDEX_CACHE[key] = filtered_index(shingle_index(documents, n), max_df).persist()
+        # Materialize the unfiltered index ONCE before the df filter: the
+        # batch filter shape references ``inv`` twice (stop-set aggregate +
+        # anti-join probe), and without a lineage cut the optimizer
+        # re-derives the whole tokenize->window->fingerprint subtree per
+        # reference (TWO full document scans inside one index build — the
+        # round-13 defect the window form was introduced to fix). The
+        # checkpoint is the narrow (long, long) index, orders of magnitude
+        # smaller than the text it came from; at 100 TB this is the
+        # "materialize the proxy, scan the payload once" shape of guide §8.
+        inv = shingle_index(documents, n).localCheckpoint(eager=True)
+        _INDEX_CACHE[key] = filtered_index(inv, max_df).persist()
     return _INDEX_CACHE[key]
 
 
@@ -169,26 +179,34 @@ def filtered_index(
     keeps Jaccard well-defined over the filtered sets. Without it one
     ubiquitous shingle makes candidate generation quadratic in the corpus.
 
-    Two result-identical shapes, chosen per call site from round-13
-    interleaved A/B measurements:
+    Two result-identical shapes, chosen per call site:
 
-    * default (``rejoin=False``): df as a COUNT window over shfp. The
-      old groupBy + join-back form references ``inv`` twice and the
-      optimizer re-derives the whole tokenize->window->fingerprint
-      subtree for each reference — the plan showed TWO full document
-      scans inside one index build (measured 1.83 s -> 0.98 s warm at
-      sf0.1 for the full-corpus build alone, identical 260 388 rows).
-      One subtree, one exchange on the uniformly-distributed shfp key;
-      at 100 TB the join form's broadcast of the surviving-shingle set
-      is impossible anyway (it grows with the corpus), so its sort-merge
-      fallback would cost MORE sorts than this single window. This is
-      the batch path (``cached_filtered_index``).
-    * ``rejoin=True``: the groupBy + broadcast-join-back form, for SMALL
-      per-micro-batch indexes (streaming ``add_batch``): there the df
-      set always broadcasts, the doubled subtree over a tiny batch is
-      cheap, and the window form's per-batch shfp sort measured SLOWER
-      in the composed stream (steady 13.6-14.4 s vs 11.1-11.6 s
-      interleaved at sf0.1)."""
+    * default (``rejoin=False``, the batch path via
+      ``cached_filtered_index``): document frequency from a two-level
+      hash aggregate (partial map-side combine caps any hot shingle's
+      reduce-side input at one row per map task), keeping only the STOP
+      set (df > max_df), then a broadcast LEFT ANTI join removes its
+      rows map-side. No row-preserving operation is ever keyed on shfp,
+      so a hot stop-shingle — precisely the rows this function exists to
+      remove — never serializes into one task. The round-13 window form
+      (count over ``Window.partitionBy("shfp")``) had no partial
+      aggregation: every row of a hot shingle landed in ONE window task,
+      and unlike a join a window cannot be AQE-skew-split (VERDICT r13
+      #1). The caller cuts lineage so ``inv`` is derived once (see
+      ``cached_filtered_index``).
+
+      Broadcast bound: |stop set| <= |index rows| / max_df by pigeonhole,
+      and in practice it is the Zipf HEAD (ubiquitous boilerplate
+      shingles) — a vocabulary, not a corpus-scale set. If a deployment
+      ever overflows it, drop the hint: the planner's sort-merge anti
+      fallback is AQE-skew-splittable on the left side, which the window
+      form never was.
+    * ``rejoin=True``: the groupBy + join-back of the SURVIVING set, for
+      SMALL per-micro-batch indexes (streaming ``add_batch``): there the
+      df set always broadcasts, the doubled subtree over a tiny batch is
+      cheap, and a per-batch shfp sort measured SLOWER in the composed
+      stream (steady 13.6-14.4 s vs 11.1-11.6 s interleaved at sf0.1,
+      round 13)."""
     if rejoin:
         df_ok = (
             inv.groupBy("shfp")
@@ -197,12 +215,13 @@ def filtered_index(
             .select("shfp")
         )
         return inv.join(df_ok, "shfp")
-    w = Window.partitionBy("shfp")
-    return (
-        inv.withColumn("_df", F.count("*").over(w))
-        .filter(F.col("_df") <= max_df)
-        .drop("_df")
+    stop = (
+        inv.groupBy("shfp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shfp")
     )
+    return inv.join(F.broadcast(stop), "shfp", "left_anti")
 
 
 def _pair_jaccard(
