@@ -100,6 +100,60 @@ def test_sink_crash_before_index_commit_replays_same_pairs(spark, tmp_path, text
     assert {(1, 3), (2, 4)} <= replay
 
 
+def test_crash_between_sizes_and_inv_appends_replays_identically(
+    spark, tmp_path, texts
+):
+    """The sizes sidecar's replay guard: a crash AFTER the bands and sizes
+    appends but BEFORE the inv commit marker leaves orphan sizes rows; the
+    replayed batch re-appends identical values and the dedup-on-read must
+    keep every pair's Jaccard exact (a duplicated sizes row would
+    otherwise duplicate its doc's pair rows)."""
+    base, near, other = texts
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "idx"))
+    idx.add_batch(
+        spark.createDataFrame([(1, base), (2, other)], "doc_id long, text string")
+    )
+    b2 = spark.createDataFrame(
+        [(3, near), (4, other)], "doc_id long, text string"
+    )
+
+    class AppendCrash(RuntimeError):
+        pass
+
+    orig_append = idx._append
+
+    def crashing_append(df, name, n_rows=None):
+        if name == "inv":
+            raise AppendCrash("simulated crash before the inv commit")
+        return orig_append(df, name, n_rows=n_rows)
+
+    idx._append = crashing_append
+    with pytest.raises(AppendCrash):
+        idx.add_batch(b2)
+    idx._append = orig_append
+    # orphan state exists for batch-2 docs in bands and sizes, not in inv
+    assert idx._read("inv").filter("doc_id >= 3").count() == 0
+    assert idx._read("sizes").filter("doc_id >= 3").count() > 0
+
+    replay = idx.add_batch(b2).collect()
+    got = {(r.doc_a, r.doc_b) for r in replay}
+    assert {(1, 3), (2, 4)} <= got
+    assert len(got) == len(replay)  # no duplicated pair rows
+    # Jaccards match the batch operator exactly (no shingle is df-capped
+    # in this 4-doc corpus, so the incremental and batch filtered sets
+    # coincide and the sidecar sizes must reproduce the groupBy exactly)
+    full = spark.createDataFrame(
+        [(1, base), (2, other), (3, near), (4, other)],
+        "doc_id long, text string",
+    )
+    batch = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_dedup_pairs(full).collect()
+    }
+    for r in replay:
+        assert batch[(r.doc_a, r.doc_b)] == r.jaccard
+
+
 def test_new_doc_with_smaller_id_than_indexed_dup_is_paired(spark, tmp_path, texts):
     """Candidate canonicalization: ids carry no arrival-order guarantee,
     so a new doc whose id is SMALLER than an indexed duplicate's must

@@ -225,7 +225,10 @@ def filtered_index(
 
 
 def _pair_jaccard(
-    inv: DataFrame, candidates: DataFrame | None, tau: float
+    inv: DataFrame,
+    candidates: DataFrame | None,
+    tau: float,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over the filtered shingle sets, computed purely from
     inverted-index counts — no array materialization, no per-pair set
@@ -239,8 +242,15 @@ def _pair_jaccard(
     the candidate frame is an unpersisted plan (bands self-join +
     distinct), and referencing it two more times to build the key set
     re-derives that whole subtree per reference, which costs far more
-    than the one map-side-combined groupBy over the index it saves."""
-    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    than the one map-side-combined groupBy over the index it saves.
+
+    ``sizes`` (doc_id, n_sh) lets a caller that MAINTAINS doc sizes as
+    state (the incremental streaming index) substitute its table for the
+    full-index aggregate — a doc's filtered shingle-set size is fixed the
+    moment it is indexed, so the stored values equal the groupBy exactly.
+    Batch callers leave it None."""
+    if sizes is None:
+        sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if candidates is None:
         a = inv.select(F.col("doc_id").alias("doc_a"), "shfp")
         b = inv.select(F.col("doc_id").alias("doc_b"), "shfp")

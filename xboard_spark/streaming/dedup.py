@@ -126,14 +126,35 @@ class IncrementalDedupIndex:
             documents = documents.join(
                 inv_old.select("doc_id").distinct(), "doc_id", "left_anti"
             )
-        # rejoin=True: the per-batch index is small — the broadcast
-        # join-back df filter measured faster here than the window form
-        # that wins on the full-corpus batch build (see filtered_index)
-        inv_new = filtered_index(
-            shingle_index(documents), self.max_df, rejoin=True
-        ).persist()
+        # Persist the batch's RAW shingle index before the df filter: the
+        # filter shape references it twice (df aggregate + probe), and
+        # without the cache each reference re-derived the whole
+        # JSON-parse -> anti-join -> tokenize -> window -> fingerprint
+        # subtree per micro-batch (measured 2.1-2.4 s of each batch at
+        # sf0.1 — the largest single stage). Released via _live like the
+        # other per-batch frames.
+        raw_inv = shingle_index(documents).persist()
+        inv_new = filtered_index(raw_inv, self.max_df).persist()
         sigs_new = minhash_signatures(inv_new)
         bands_new = band_hashes(sigs_new).persist()
+        # Doc sizes as index STATE: a doc's filtered shingle-set size is
+        # fixed the moment it is indexed (the df cap is batch-local, inv
+        # rows are written once), so (doc_id, n_sh) is appended alongside
+        # the index and the Jaccard verify reads it back instead of
+        # re-aggregating the WHOLE accumulated index every micro-batch —
+        # O(batch) work replacing an O(index) pass (guide §2.3/§2.4).
+        # dropDuplicates on the union is the replay guard: a crash between
+        # the sizes and inv appends leaves orphan sizes rows whose docs
+        # re-enter on replay with IDENTICAL values, so dedup is exact.
+        sizes_new = (
+            inv_new.groupBy("doc_id").agg(F.count("*").alias("n_sh")).persist()
+        )
+        sizes_old = self._read("sizes")
+        all_sizes = (
+            sizes_new
+            if sizes_old is None
+            else sizes_old.unionByName(sizes_new).dropDuplicates(["doc_id"])
+        )
 
         bands_old = self._read("bands")
         all_bands = (
@@ -162,7 +183,7 @@ class IncrementalDedupIndex:
         # exact verify on the combined shingle index — the SHARED batch
         # definition, candidate-restricted
         pairs = (
-            _pair_jaccard(all_inv, candidates, self.tau)
+            _pair_jaccard(all_inv, candidates, self.tau, sizes=all_sizes)
             .select(
                 F.col("doc_a").cast("long").alias("doc_a"),
                 F.col("doc_b").cast("long").alias("doc_b"),
@@ -181,9 +202,12 @@ class IncrementalDedupIndex:
         # the counts are cached-frame reads (materialized by pairs.count()
         # above), spent to right-size the appended files — see _append
         self._append(bands_new, "bands", n_rows=bands_new.count())
-        # commit marker: the anti-join keys on inv, so it goes last
+        self._append(sizes_new, "sizes", n_rows=sizes_new.count())
+        # commit marker: the anti-join keys on inv, so it goes last (a
+        # crash before it leaves orphan band/sizes rows; the candidate
+        # distinct() and the sizes dedup absorb both on replay)
         self._append(inv_new, "inv", n_rows=inv_new.count())
-        self._live = [bands_new, inv_new, pairs]
+        self._live = [raw_inv, bands_new, inv_new, sizes_new, pairs]
         return pairs
 
 
