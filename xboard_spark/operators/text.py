@@ -1070,9 +1070,18 @@ def bpe_learn(documents: DataFrame, n_merges: int = 5) -> DataFrame:
             f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
             "ELSE concat(acc, array(s)) END)"
         )
-        syms = syms.select(
-            F.expr(fold).alias("sym"), "freq"
-        ).localCheckpoint(eager=True)
+        syms = syms.select(F.expr(fold).alias("sym"), "freq")
+        # Lineage-truncate every few rounds, not every round: each eager
+        # checkpoint is a full fixed-latency barrier job over the
+        # vocab-sized frame (warm min-of-5 at sf0.1, alternated twice:
+        # per-round 1.627/2.657 s -> every-8 1.512/1.687 s).
+        # Un-truncated lineage re-runs the accumulated folds from the
+        # last checkpoint on every round's collect — interpreted but
+        # vocab-sized, so re-running <8 folds is far cheaper than a
+        # barrier job; 8 bounds both the plan depth and the O(k) refold
+        # work at the MAX_BPE_MERGES=64 cap.
+        if rnd % 8 == 0:
+            syms = syms.localCheckpoint(eager=True)
 
     return spark.createDataFrame(
         merges,
