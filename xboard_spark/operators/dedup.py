@@ -314,7 +314,17 @@ def ngram_jaccard_pairs(
     subtree (ReuseExchange only dedups *identical* exchanges, and these
     consumers shuffle on different keys). The index is 2 longs/row —
     orders of magnitude smaller than the text it came from — and shared
-    with ``minhash_dedup_pairs`` via ``cached_filtered_index``."""
+    with ``minhash_dedup_pairs`` via ``cached_filtered_index``.
+
+    Pair-join floor (r14 probe): the exhaustive same-shingle self-join is
+    this audit's cost by construction (sum(df^2) pair rows -> one hash
+    aggregate). A size-compatibility pre-filter (J >= tau forces
+    min(n_a,n_b) >= tau*max(n_a,n_b)) was probed and REJECTED: at sf0.1 it
+    prunes only 23.7% of pair rows while widening every surviving row by
+    the two attached sizes (net shuffle BYTES increase), and attaching
+    n_sh to the index rows needs a per-doc frame broadcast that does not
+    exist at 100 TB (the sort-merge fallback would add a full doc_id
+    shuffle of the index). The production path is minhash banding."""
     inv = cached_filtered_index(documents, n, max_df)
     return _pair_jaccard(inv, None, tau).orderBy("doc_a", "doc_b")
 
@@ -607,7 +617,22 @@ def dup_span_stats(documents: DataFrame, window: int = 10) -> DataFrame:
     NULL doc_id rows are excluded: "occurs in at least one OTHER
     document" needs a document identity to tell own-doc repeats from
     cross-doc duplication (the doc_chunks treatment; round-10 null-key
-    sweep)."""
+    sweep).
+
+    r14 de-skew review of the aggregate/window chain (VERDICT r13 #4) —
+    left as is, with the stage attribution on record (noop min-of-3 at
+    sf0.1: tokens 0.38, +explode spans 1.23, +md5 1.15, +group agg 1.73,
+    +spfp window 2.11, full 2.91): every rewrite that merges the chain's
+    exchanges (aggregating by (spfp, doc) only, repartitioning by spfp
+    between the two levels, or windowing at (spfp, doc) granularity)
+    concentrates ALL rows of a hot span fingerprint into one task —
+    exactly the skew class the r14 filtered_index fix removed — while the
+    current chain spreads the first exchange by doc_id and feeds the spfp
+    window only one row per (spfp, lang, source). The remaining local
+    cost is three well-formed partial+final exchanges of a mostly-unique
+    225k-row span stream; the interpreted span-build explode (+0.85 s)
+    stays the only attackable term and keeps its r13 deferral (an Arrow
+    kernel is semantics-sensitive for < 0.7 s net)."""
     documents = documents.filter(F.col("doc_id").isNotNull())
     toks = documents.select(
         "doc_id",
