@@ -55,6 +55,8 @@ def clear_index_caches() -> int:
             dedup._CLUSTERS_CACHE,
             graph._EDGE_CACHE,
             graph._RAW_EDGE_CACHE,
+            graph._ORIENTED_CACHE,
+            graph._KW_GRAPH_CACHE,
             linkage._FUZZY_PAIRS_CACHE,
             linkage._ENTITY_CLUSTERS_CACHE,
             similarity._NORM_CACHE,

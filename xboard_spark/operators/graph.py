@@ -49,6 +49,13 @@ _RAW_EDGE_CACHE: dict[int, DataFrame] = BoundedFrameCache()
 # warm copurchase_triangles at sf0.1 (1.2M edges); the keyed persist
 # pays once per corpus like the edge cache it derives from.
 _ORIENTED_CACHE: dict[int, DataFrame] = BoundedFrameCache()
+# (documents semanticHash, window, min_count) -> materialized TextRank
+# term-co-occurrence (src, dst, frac) frame. keyword_pagerank rebuilt the
+# whole tokenize -> bounded-window pair join -> weight/out-weight graph on
+# EVERY call (the only graph operator without the r4 graph-cache
+# contract); the graph, not the 2-iteration PageRank over it, is the
+# expensive artifact.
+_KW_GRAPH_CACHE: dict[tuple[int, int, int], DataFrame] = BoundedFrameCache()
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
@@ -172,6 +179,11 @@ def keyword_pagerank(
     so (a-before-b) and (b-before-a) occurrences combine into one
     undirected weight. The PageRank core is shared with
     ``part_pagerank`` (identical arithmetic, same oracle discipline)."""
+    key = (documents.semanticHash(), window, min_count)
+    if key in _KW_GRAPH_CACHE:
+        return _pagerank(_KW_GRAPH_CACHE[key], n_iters, top).withColumnRenamed(
+            "node", "term"
+        )
     tok = documents.select(
         "doc_id",
         F.posexplode(
@@ -205,10 +217,10 @@ def keyword_pagerank(
         und.select(F.col("wb").alias("src"), F.col("wa").alias("dst"), "w")
     )
     out_w = directed.groupBy("src").agg(F.sum("w").alias("out_w"))
-    weighted = directed.join(out_w, "src").select(
+    _KW_GRAPH_CACHE[key] = directed.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("frac")
     ).localCheckpoint(eager=True)
-    return _pagerank(weighted, n_iters, top).withColumnRenamed(
+    return _pagerank(_KW_GRAPH_CACHE[key], n_iters, top).withColumnRenamed(
         "node", "term"
     )
 
